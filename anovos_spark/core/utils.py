@@ -1,0 +1,77 @@
+"""Shared frame utilities: melt, transpose, pairwise reduce.
+
+Reference parity: flatten_dataframe / transpose_dataframe / pairwise_reduce
+(reference: shared/utils.py:6-45, 113-132), rebuilt on modern primitives
+(`stack` expression instead of create_map+explode — one codegen stage, no
+map materialization).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ensure_list(x) -> list:
+    if x is None:
+        return []
+    if isinstance(x, str):
+        return [c.strip() for c in x.split("|") if c.strip()]
+    return list(x)
+
+
+def melt(
+    df: DataFrame,
+    id_vars: list[str],
+    value_vars: list[str],
+    var_name: str = "attribute",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide → long unpivot via a single `stack` expression.
+
+    All value columns are cast to a common type (string if mixed, else the
+    widest numeric).  Equivalent to the reference's create_map+explode melt
+    (shared/utils.py:21-24) but stays in one whole-stage-codegen span.
+    """
+    dtypes = dict(df.dtypes)
+    vtypes = {dtypes[c] for c in value_vars}
+    target = vtypes.pop() if len(vtypes) == 1 else "string"
+    n = len(value_vars)
+    pairs = ", ".join(f"'{c}', cast(`{c}` as {target})" for c in value_vars)
+    stack_expr = f"stack({n}, {pairs}) as ({var_name}, {value_name})"
+    return df.select(*id_vars, F.expr(stack_expr))
+
+
+def transpose(df: DataFrame, fixed_col: str) -> DataFrame:
+    """Long → wide: melt all non-fixed columns then pivot on fixed_col
+    (reference: shared/utils.py:28-45)."""
+    value_vars = [c for c in df.columns if c != fixed_col]
+    long_df = melt(df, [fixed_col], value_vars, "key", "value")
+    return long_df.groupBy("key").pivot(fixed_col).agg(F.first("value"))
+
+
+def pairwise_reduce(op, items: list):
+    """Reduce a list with a balanced (log-depth) tree instead of left-deep.
+
+    Keeps many-way unions/joins from building a deep skewed plan
+    (reference: shared/utils.py:113-132).
+    """
+    items = list(items)
+    if not items:
+        raise ValueError("pairwise_reduce over empty list")
+    while len(items) > 1:
+        nxt = []
+        for i in range(0, len(items) - 1, 2):
+            nxt.append(op(items[i], items[i + 1]))
+        if len(items) % 2 == 1:
+            nxt.append(items[-1])
+        items = nxt
+    return items[0]
+
+
+def union_by_name(dfs: list[DataFrame]) -> DataFrame:
+    """Balanced multi-frame unionByName (replaces the reference's
+    sc.union([df.rdd ...]) pattern, stats_generator.py:403-414)."""
+    return pairwise_reduce(lambda a, b: a.unionByName(b, allowMissingColumns=False), dfs)

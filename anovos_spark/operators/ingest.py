@@ -1,0 +1,109 @@
+"""Ingest ETL row/column operators.
+
+Reference parity: select/delete/rename/recast/concatenate/join/sample
+(reference: data_ingest/data_ingest.py:119-367, data_ingest/data_sampling.py:8-149).
+All pure DataFrame transformations — Catalyst prunes/pushes through them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from anovos_spark.core.utils import ensure_list, pairwise_reduce
+
+JOIN_TYPES = {"inner", "full", "left", "right", "left_semi", "left_anti", "cross", "outer"}
+
+
+def select_column(idf: DataFrame, list_of_cols) -> DataFrame:
+    """Projection (reference: data_ingest.py:239-274)."""
+    return idf.select(*ensure_list(list_of_cols))
+
+
+def delete_column(idf: DataFrame, list_of_cols) -> DataFrame:
+    """Anti-projection (reference: data_ingest.py:201-236)."""
+    return idf.drop(*ensure_list(list_of_cols))
+
+
+def rename_column(idf: DataFrame, list_of_cols, list_of_newcols) -> DataFrame:
+    """Positional rename (reference: data_ingest.py:277-319)."""
+    olds, news = ensure_list(list_of_cols), ensure_list(list_of_newcols)
+    if len(olds) != len(news):
+        raise ValueError("rename_column: old/new lists differ in length")
+    mapping = dict(zip(olds, news))
+    return idf.select(*[F.col(c).alias(mapping.get(c, c)) for c in idf.columns])
+
+
+def recast_column(idf: DataFrame, list_of_cols, list_of_dtypes) -> DataFrame:
+    """Cast a list of columns (reference: data_ingest.py:322-367).
+
+    Single select (one projection node) instead of chained withColumn.
+    """
+    cols, dtypes = ensure_list(list_of_cols), ensure_list(list_of_dtypes)
+    if len(cols) != len(dtypes):
+        raise ValueError("recast_column: cols/dtypes lists differ in length")
+    mapping = dict(zip(cols, dtypes))
+    return idf.select(
+        *[F.col(c).cast(mapping[c]).alias(c) if c in mapping else F.col(c) for c in idf.columns]
+    )
+
+
+def concatenate_dataset(*idfs: DataFrame, method_type: str = "name") -> DataFrame:
+    """Multi-frame union by position or by name with a balanced tree
+    (reference: data_ingest.py:119-152)."""
+    if method_type == "name":
+        base_cols = idfs[0].columns
+        frames = [df.select(*base_cols) for df in idfs]
+    else:
+        frames = list(idfs)
+    return pairwise_reduce(DataFrame.union, frames)
+
+
+def join_dataset(
+    *idfs: DataFrame,
+    join_cols,
+    join_type: str = "inner",
+    broadcast_smaller: bool = False,
+) -> DataFrame:
+    """N-way equi-join on shared key columns, balanced pairwise tree
+    (reference: data_ingest.py:155-198).
+
+    At scale: Catalyst/AQE picks broadcast vs sort-merge per pair; pass
+    broadcast_smaller=True to force-broadcast every right side when the
+    caller knows the dims are small (cuts N-1 shuffles to 0).
+    """
+    join_cols = ensure_list(join_cols)
+    if join_type not in JOIN_TYPES:
+        raise ValueError(f"join_type must be one of {sorted(JOIN_TYPES)}")
+
+    def _join(a: DataFrame, b: DataFrame) -> DataFrame:
+        right = F.broadcast(b) if broadcast_smaller else b
+        return a.join(right, join_cols, join_type)
+
+    return pairwise_reduce(_join, list(idfs))
+
+
+def data_sample(
+    idf: DataFrame,
+    strata_cols=None,
+    fraction: float = 0.1,
+    method_type: str = "random",
+    seed: int = 12,
+) -> DataFrame:
+    """Random or stratified-proportionate sampling
+    (reference: data_ingest/data_sampling.py:8-149; seed 12 per :20).
+
+    Stratified uses sampleBy on a concatenated strata key — one scan, no
+    per-stratum jobs.
+    """
+    if method_type == "random":
+        return idf.sample(withReplacement=False, fraction=fraction, seed=seed)
+    strata_cols = ensure_list(strata_cols)
+    if not strata_cols:
+        raise ValueError("stratified sampling requires strata_cols")
+    keyed = idf.withColumn(
+        "__strata__", F.concat_ws("", *[F.col(c).cast("string") for c in strata_cols])
+    )
+    strata = [r["__strata__"] for r in keyed.select("__strata__").distinct().collect()]
+    fractions = {s: fraction for s in strata}
+    return keyed.sampleBy("__strata__", fractions, seed=seed).drop("__strata__")

@@ -1,0 +1,321 @@
+"""Descriptive statistics generators.
+
+Reference parity: stats_generator.py (global_summary, missingCount,
+nonzeroCount, mode, central tendency, uniqueCount, cardinality, dispersion,
+percentiles, shape — reference: data_analyzer/stats_generator.py:33-1011).
+
+Architecture difference vs the reference (deliberate, for 100 TB):
+- ONE wide aggregation job computes every per-column metric in a single
+  pass (partial aggregation map-side, no shuffle beyond the final reduce),
+  then a driver-cheap `stack` reshapes the 1-row wide result into the
+  long ``[attribute, metric...]`` stats frame.  The reference instead runs
+  `df.summary()` + transposes and per-column jobs (e.g. mode_computation
+  loops per column, stats_generator.py:386-401) — O(cols) jobs.
+- Mode is batched: melt discrete columns → one groupBy(attribute, value)
+  → window top-1, i.e. one shuffle for ALL columns.
+- Exact vs approx is an explicit knob: ``exact=True`` uses
+  `percentile`/`count_distinct` (oracle-comparable); ``exact=False`` uses
+  `percentile_approx(err)`/`approx_count_distinct(rsd)` — the scale path
+  (reference defaults: relativeError 0.01, rsd 0.05; stats_generator.py:566,
+  quality_checker.py:847).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from anovos_spark.core.typing import discrete_columns, resolve_columns
+from anovos_spark.core.utils import melt
+
+
+def _stack_wide_row(
+    wide: DataFrame, cols: list[str], metrics: list[str], types: dict | None = None
+) -> DataFrame:
+    """Reshape a 1-row frame with ``{col}__{metric}`` columns into the long
+    ``[attribute, *metrics]`` stats frame. Runs on a 1-row frame → free.
+
+    ``types`` maps metric → SQL type; metrics default to double (stack
+    requires a uniform type per output column across all input columns).
+    """
+    types = types or {}
+
+    def _val(c: str, m: str) -> str:
+        t = types.get(m, "double")
+        return f"cast(`{c}__{m}` as {t})"
+
+    tuples = ", ".join(
+        "'{c}', {vals}".format(c=c, vals=", ".join(_val(c, m) for m in metrics))
+        for c in cols
+    )
+    expr = f"stack({len(cols)}, {tuples}) as (attribute, {', '.join(metrics)})"
+    return wide.select(F.expr(expr))
+
+
+def global_summary(idf: DataFrame) -> DataFrame:
+    """[metric, value] overview: rows/cols counts + type split
+    (reference: stats_generator.py:33-113)."""
+    spark = idf.sparkSession
+    from anovos_spark.core.typing import attribute_type_segregation
+
+    num_cols, cat_cols, other_cols = attribute_type_segregation(idf)
+    rows = idf.count()
+    data = [
+        ("rows_count", str(rows)),
+        ("columns_count", str(len(idf.columns))),
+        ("numcols_count", str(len(num_cols))),
+        ("catcols_count", str(len(cat_cols))),
+        ("othercols_count", str(len(other_cols))),
+    ]
+    return spark.createDataFrame(data, schema="metric string, value string")
+
+
+def missing_count(idf: DataFrame, list_of_cols="all", drop_cols=()) -> DataFrame:
+    """[attribute, missing_count, missing_pct] — single pass
+    (reference: stats_generator.py:116-176; their summary()+transpose is
+    replaced by one agg of isNull sums)."""
+    cols = resolve_columns(idf, list_of_cols, drop_cols)
+    aggs = [F.count(F.lit(1)).alias("__total__")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__missing_count")
+        )
+    wide = idf.agg(*aggs)
+    for c in cols:
+        wide = wide.withColumn(
+            f"{c}__missing_pct",
+            F.round(F.col(f"{c}__missing_count") / F.col("__total__"), 6),
+        )
+    return _stack_wide_row(wide, cols, ["missing_count", "missing_pct"], {"missing_count": "long"})
+
+
+def nonzero_count(idf: DataFrame, list_of_cols="all", drop_cols=()) -> DataFrame:
+    """[attribute, nonzero_count, nonzero_pct] for numeric cols
+    (reference: stats_generator.py:179-248 uses RDD MLlib colStats — replaced
+    with a pure Catalyst conditional count)."""
+    cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
+    aggs = [F.count(F.lit(1)).alias("__total__")]
+    for c in cols:
+        aggs.append(
+            F.count(F.when(F.col(c) != 0, F.lit(1))).alias(f"{c}__nonzero_count")
+        )
+    wide = idf.agg(*aggs)
+    for c in cols:
+        wide = wide.withColumn(
+            f"{c}__nonzero_pct",
+            F.round(F.col(f"{c}__nonzero_count") / F.col("__total__"), 6),
+        )
+    return _stack_wide_row(wide, cols, ["nonzero_count", "nonzero_pct"], {"nonzero_count": "long"})
+
+
+def mode_computation(idf: DataFrame, list_of_cols="all", drop_cols=()) -> DataFrame:
+    """[attribute, mode, mode_rows] top-1 value per discrete column.
+
+    Batched: melt → ONE groupBy(attribute, value) → window top-1, versus the
+    reference's per-column groupBy/orderBy/limit(1) jobs
+    (stats_generator.py:328-421).  Tie-break is deterministic: highest count,
+    then lexicographically smallest value (the reference picks randomly,
+    stats_generator.py:358 — divergence documented).
+    """
+    cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="discrete")
+    long_df = melt(idf.select(cols), [], cols, "attribute", "value")
+    counts = (
+        long_df.where(F.col("value").isNotNull())
+        .groupBy("attribute", "value")
+        .agg(F.count(F.lit(1)).alias("mode_rows"))
+    )
+    w = Window.partitionBy("attribute").orderBy(
+        F.col("mode_rows").desc(), F.col("value").asc()
+    )
+    return (
+        counts.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .select(F.col("attribute"), F.col("value").alias("mode"), "mode_rows")
+    )
+
+
+def unique_count(
+    idf: DataFrame, list_of_cols="all", drop_cols=(), exact: bool = True, rsd: float = 0.05
+) -> DataFrame:
+    """[attribute, unique_values] distinct counts, exact or HLL++ approx
+    (reference: stats_generator.py:529-620)."""
+    cols = resolve_columns(idf, list_of_cols, drop_cols)
+    aggs = [
+        (
+            F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(F.col(c), rsd)
+        ).alias(f"{c}__unique_values")
+        for c in cols
+    ]
+    return _stack_wide_row(idf.agg(*aggs), cols, ["unique_values"], {"unique_values": "long"})
+
+
+def measures_of_cardinality(
+    idf: DataFrame, list_of_cols="all", drop_cols=(), exact: bool = True
+) -> DataFrame:
+    """[attribute, unique_values, IDness] where IDness = distinct/non-null
+    (reference: stats_generator.py:623-733) — one pass, no join."""
+    cols = resolve_columns(idf, list_of_cols, drop_cols)
+    aggs = []
+    for c in cols:
+        cnt = F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(F.col(c))
+        aggs.append(cnt.alias(f"{c}__unique_values"))
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
+    wide = idf.agg(*aggs)
+    for c in cols:
+        wide = wide.withColumn(
+            f"{c}__IDness",
+            F.round(F.col(f"{c}__unique_values") / F.col(f"{c}__nonnull"), 6),
+        )
+    return _stack_wide_row(wide, cols, ["unique_values", "IDness"], {"unique_values": "long"})
+
+
+def measures_of_counts(idf: DataFrame, list_of_cols="all", drop_cols=()) -> DataFrame:
+    """[attribute, fill_count, fill_pct, missing_count, missing_pct]
+    (reference: stats_generator.py:116-176 composite)."""
+    cols = resolve_columns(idf, list_of_cols, drop_cols)
+    aggs = [F.count(F.lit(1)).alias("__total__")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__fill_count"))
+    wide = idf.agg(*aggs)
+    for c in cols:
+        wide = (
+            wide.withColumn(
+                f"{c}__fill_pct", F.round(F.col(f"{c}__fill_count") / F.col("__total__"), 6)
+            )
+            .withColumn(
+                f"{c}__missing_count", F.col("__total__") - F.col(f"{c}__fill_count")
+            )
+            .withColumn(
+                f"{c}__missing_pct",
+                F.round(1.0 - F.col(f"{c}__fill_count") / F.col("__total__"), 6),
+            )
+        )
+    return _stack_wide_row(
+        wide,
+        cols,
+        ["fill_count", "fill_pct", "missing_count", "missing_pct"],
+        {"fill_count": "long", "missing_count": "long"},
+    )
+
+
+def measures_of_central_tendency(
+    idf: DataFrame, list_of_cols="all", drop_cols=(), exact: bool = True
+) -> DataFrame:
+    """[attribute, mean, median, mode, mode_pct]
+    (reference: stats_generator.py:424-526).
+
+    mean/median in one agg pass over numeric cols; mode via the batched
+    mode_computation; joined on the tiny stats frames (broadcast).
+    """
+    num_cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
+    disc_cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="discrete")
+
+    median_fn = (
+        (lambda c: F.expr(f"percentile(`{c}`, 0.5)"))
+        if exact
+        else (lambda c: F.expr(f"percentile_approx(`{c}`, 0.5, 100)"))
+    )
+    aggs = [F.count(F.lit(1)).alias("__total__")]
+    for c in num_cols:
+        aggs.append(F.round(F.mean(c), 6).alias(f"{c}__mean"))
+        aggs.append(F.round(median_fn(c), 6).alias(f"{c}__median"))
+    for c in disc_cols:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
+    wide = idf.agg(*aggs)
+
+    parts = []
+    if num_cols:
+        parts.append(_stack_wide_row(wide, num_cols, ["mean", "median"]))
+    base = parts[0] if parts else None
+
+    if disc_cols:
+        nonnull = _stack_wide_row(wide, disc_cols, ["nonnull"], {"nonnull": "long"})
+        modes = mode_computation(idf, disc_cols).join(
+            F.broadcast(nonnull), "attribute", "inner"
+        )
+        modes = modes.select(
+            "attribute",
+            F.col("mode").cast("string").alias("mode"),
+            F.round(F.col("mode_rows") / F.col("nonnull"), 6).alias("mode_pct"),
+        )
+        if base is not None:
+            return base.join(modes, "attribute", "full_outer")
+        return modes
+    return base
+
+
+def measures_of_dispersion(
+    idf: DataFrame, list_of_cols="all", drop_cols=(), exact: bool = True
+) -> DataFrame:
+    """[attribute, stddev, variance, cov, IQR, range] for numeric cols
+    (reference: stats_generator.py:736-829) — one agg pass."""
+    cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
+    q = (
+        (lambda c, p: F.expr(f"percentile(`{c}`, {p})"))
+        if exact
+        else (lambda c, p: F.expr(f"percentile_approx(`{c}`, {p}, 100)"))
+    )
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.stddev(c).alias(f"{c}__sd"),
+            F.variance(c).alias(f"{c}__var"),
+            F.mean(c).alias(f"{c}__mean"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            q(c, 0.25).alias(f"{c}__q1"),
+            q(c, 0.75).alias(f"{c}__q3"),
+        ]
+    wide = idf.agg(*aggs)
+    for c in cols:
+        wide = (
+            wide.withColumn(f"{c}__stddev", F.round(F.col(f"{c}__sd"), 6))
+            .withColumn(f"{c}__variance", F.round(F.col(f"{c}__var"), 6))
+            .withColumn(f"{c}__cov", F.round(F.col(f"{c}__sd") / F.col(f"{c}__mean"), 6))
+            .withColumn(f"{c}__IQR", F.round(F.col(f"{c}__q3") - F.col(f"{c}__q1"), 6))
+            .withColumn(f"{c}__range", F.round(F.col(f"{c}__max") - F.col(f"{c}__min"), 6))
+        )
+    return _stack_wide_row(wide, cols, ["stddev", "variance", "cov", "IQR", "range"])
+
+
+PERCENTILES = [0.0, 0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99, 1.0]
+_PCT_NAMES = ["min", "1%", "5%", "10%", "25%", "50%", "75%", "90%", "95%", "99%", "max"]
+
+
+def measures_of_percentiles(
+    idf: DataFrame, list_of_cols="all", drop_cols=(), exact: bool = True
+) -> DataFrame:
+    """[attribute, min, 1%, 5%, 10%, 25%, 50%, 75%, 90%, 95%, 99%, max]
+    (reference: stats_generator.py:832-916) — one agg pass, array percentile."""
+    cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
+    pcts = "array(" + ", ".join(str(p) for p in PERCENTILES[1:-1]) + ")"
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+        fn = "percentile" if exact else "percentile_approx"
+        aggs.append(F.expr(f"{fn}(`{c}`, {pcts})").alias(f"{c}__pcts"))
+    wide = idf.agg(*aggs)
+    for c in cols:
+        for i, name in enumerate(_PCT_NAMES):
+            if name == "min":
+                src = F.col(f"{c}__min")
+            elif name == "max":
+                src = F.col(f"{c}__max")
+            else:
+                src = F.col(f"{c}__pcts")[i - 1]
+            wide = wide.withColumn(f"{c}__pct_{name.replace('%', '')}", F.round(src, 6))
+    metric_names = [f"pct_{n.replace('%', '')}" for n in _PCT_NAMES]
+    return _stack_wide_row(wide, cols, metric_names)
+
+
+def measures_of_shape(idf: DataFrame, list_of_cols="all", drop_cols=()) -> DataFrame:
+    """[attribute, skewness, kurtosis] all columns in one pass
+    (reference: stats_generator.py:919-1011).  Spark semantics: population
+    skewness g1 and excess kurtosis (m4/m2² − 3)."""
+    cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
+    aggs = []
+    for c in cols:
+        aggs.append(F.round(F.skewness(c), 6).alias(f"{c}__skewness"))
+        aggs.append(F.round(F.kurtosis(c), 6).alias(f"{c}__kurtosis"))
+    return _stack_wide_row(idf.agg(*aggs), cols, ["skewness", "kurtosis"])

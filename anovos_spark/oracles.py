@@ -1,0 +1,184 @@
+"""DuckDB oracle SQL for every query in ``anovos_spark.queries``.
+
+Each SQL string runs on DuckDB with the testdata parquet tables registered
+as views (region nation customer supplier part orders lineitem events
+documents embeddings).  Aliases match the Spark-side column names exactly;
+floats are rounded to 6 decimals on BOTH sides to absorb summation-order
+differences (6 instead of 4: with the testdata denominators no ratio can
+land exactly on a .5 boundary at 1e-6, so HALF_UP-vs-C-round divergence
+cannot occur).
+"""
+
+from __future__ import annotations
+
+from anovos_spark.queries import LINEITEM_DISCRETE, LINEITEM_NUM
+
+LINEITEM_ALL = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+
+
+def _union(parts: list[str]) -> str:
+    return "\nUNION ALL\n".join(parts)
+
+
+def global_summary_sql() -> str:
+    return (
+        "SELECT 'rows_count' AS metric, CAST(count(*) AS VARCHAR) AS value FROM lineitem\n"
+        "UNION ALL SELECT 'columns_count', '11'\n"
+        "UNION ALL SELECT 'numcols_count', '8'\n"
+        "UNION ALL SELECT 'catcols_count', '2'\n"
+        "UNION ALL SELECT 'othercols_count', '1'"
+    )
+
+
+def counts_sql() -> str:
+    parts = [
+        f"SELECT '{c}' AS attribute, count({c}) AS fill_count, "
+        f"round(CAST(count({c}) AS DOUBLE)/count(*), 6) AS fill_pct, "
+        f"count(*) - count({c}) AS missing_count, "
+        f"round(1.0 - CAST(count({c}) AS DOUBLE)/count(*), 6) AS missing_pct "
+        f"FROM lineitem"
+        for c in LINEITEM_ALL
+    ]
+    return _union(parts)
+
+
+def nonzero_sql() -> str:
+    parts = [
+        f"SELECT '{c}' AS attribute, "
+        f"count(CASE WHEN {c} != 0 THEN 1 END) AS nonzero_count, "
+        f"round(CAST(count(CASE WHEN {c} != 0 THEN 1 END) AS DOUBLE)/count(*), 6) AS nonzero_pct "
+        f"FROM lineitem"
+        for c in LINEITEM_NUM
+    ]
+    return _union(parts)
+
+
+def central_tendency_sql() -> str:
+    nums = _union(
+        [
+            f"SELECT '{c}' AS attribute, round(avg({c}), 6) AS mean, "
+            f"round(CAST(quantile_cont({c}, 0.5) AS DOUBLE), 6) AS median FROM lineitem"
+            for c in LINEITEM_NUM
+        ]
+    )
+    longv = _union(
+        [
+            f"SELECT '{c}' AS attribute, CAST({c} AS VARCHAR) AS value "
+            f"FROM lineitem WHERE {c} IS NOT NULL"
+            for c in LINEITEM_DISCRETE
+        ]
+    )
+    return f"""
+WITH nums AS ({nums}),
+longv AS ({longv}),
+cnts AS (SELECT attribute, value, count(*) AS cnt FROM longv GROUP BY 1, 2),
+nn AS (SELECT attribute, sum(cnt) AS nonnull FROM cnts GROUP BY 1),
+modes AS (
+  SELECT attribute, value AS mode, cnt FROM (
+    SELECT attribute, value, cnt,
+           row_number() OVER (PARTITION BY attribute ORDER BY cnt DESC, value ASC) AS rn
+    FROM cnts) t
+  WHERE rn = 1
+),
+mstats AS (
+  SELECT m.attribute, m.mode,
+         round(CAST(m.cnt AS DOUBLE)/nn.nonnull, 6) AS mode_pct
+  FROM modes m JOIN nn ON m.attribute = nn.attribute
+)
+SELECT COALESCE(n.attribute, s.attribute) AS attribute,
+       n.mean, n.median, s.mode, s.mode_pct
+FROM nums n FULL JOIN mstats s ON n.attribute = s.attribute
+"""
+
+
+def cardinality_sql() -> str:
+    parts = [
+        f"SELECT '{c}' AS attribute, count(DISTINCT {c}) AS unique_values, "
+        f"round(CAST(count(DISTINCT {c}) AS DOUBLE)/count({c}), 6) AS \"IDness\" "
+        f"FROM lineitem"
+        for c in LINEITEM_ALL
+    ]
+    return _union(parts)
+
+
+def dispersion_sql() -> str:
+    parts = [
+        f"SELECT '{c}' AS attribute, "
+        f"round(stddev_samp({c}), 6) AS stddev, "
+        f"round(var_samp({c}), 6) AS variance, "
+        f"round(stddev_samp({c})/avg({c}), 6) AS cov, "
+        f"round(CAST(quantile_cont({c}, 0.75) - quantile_cont({c}, 0.25) AS DOUBLE), 6) AS \"IQR\", "
+        f"round(CAST(max({c}) - min({c}) AS DOUBLE), 6) AS \"range\" "
+        f"FROM lineitem"
+        for c in LINEITEM_NUM
+    ]
+    return _union(parts)
+
+
+_PCTS = [
+    ("pct_min", None),
+    ("pct_1", 0.01),
+    ("pct_5", 0.05),
+    ("pct_10", 0.10),
+    ("pct_25", 0.25),
+    ("pct_50", 0.50),
+    ("pct_75", 0.75),
+    ("pct_90", 0.90),
+    ("pct_95", 0.95),
+    ("pct_99", 0.99),
+    ("pct_max", None),
+]
+
+
+def percentiles_sql() -> str:
+    parts = []
+    for c in LINEITEM_NUM:
+        exprs = []
+        for name, p in _PCTS:
+            if name == "pct_min":
+                exprs.append(f"round(CAST(min({c}) AS DOUBLE), 6) AS {name}")
+            elif name == "pct_max":
+                exprs.append(f"round(CAST(max({c}) AS DOUBLE), 6) AS {name}")
+            else:
+                exprs.append(f"round(CAST(quantile_cont({c}, {p}) AS DOUBLE), 6) AS {name}")
+        parts.append(f"SELECT '{c}' AS attribute, " + ", ".join(exprs) + " FROM lineitem")
+    return _union(parts)
+
+
+def shape_sql() -> str:
+    # Spark semantics: population skewness m3/m2^1.5, excess kurtosis m4/m2^2 - 3
+    parts = [
+        f"""SELECT '{c}' AS attribute,
+ round(m3/pow(m2, 1.5), 6) AS skewness,
+ round(m4/pow(m2, 2) - 3, 6) AS kurtosis
+FROM (SELECT avg(pow({c} - mu, 3)) AS m3, avg(pow({c} - mu, 2)) AS m2,
+             avg(pow({c} - mu, 4)) AS m4
+      FROM lineitem, (SELECT avg({c}) AS mu FROM lineitem) s)"""
+        for c in LINEITEM_NUM
+    ]
+    return _union(parts)
+
+
+def registry() -> dict[str, str]:
+    return {
+        "global_summary": global_summary_sql(),
+        "measures_of_counts": counts_sql(),
+        "nonzero_count": nonzero_sql(),
+        "central_tendency": central_tendency_sql(),
+        "cardinality": cardinality_sql(),
+        "dispersion": dispersion_sql(),
+        "percentiles": percentiles_sql(),
+        "shape": shape_sql(),
+    }

@@ -1,0 +1,98 @@
+import pytest
+from pyspark.sql import functions as F
+
+from anovos_spark.operators import stats
+
+
+@pytest.fixture(scope="module")
+def small_df(spark):
+    data = [
+        (1, 10.0, "a"),
+        (2, 20.0, "b"),
+        (3, None, "a"),
+        (4, 40.0, None),
+        (5, 50.0, "a"),
+        (6, 0.0, "c"),
+    ]
+    return spark.createDataFrame(data, schema="id int, x double, cat string")
+
+
+def _as_dict(df, key="attribute"):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+def test_global_summary(small_df):
+    d = {r["metric"]: r["value"] for r in stats.global_summary(small_df).collect()}
+    assert d["rows_count"] == "6"
+    assert d["columns_count"] == "3"
+    assert d["numcols_count"] == "2"
+    assert d["catcols_count"] == "1"
+
+
+def test_missing_count(small_df):
+    d = _as_dict(stats.missing_count(small_df))
+    assert d["x"]["missing_count"] == 1
+    assert d["cat"]["missing_count"] == 1
+    assert d["id"]["missing_count"] == 0
+    assert abs(d["x"]["missing_pct"] - round(1 / 6, 6)) < 1e-9
+
+
+def test_nonzero_count(small_df):
+    d = _as_dict(stats.nonzero_count(small_df))
+    assert d["x"]["nonzero_count"] == 4  # 10,20,40,50 (null and 0 excluded)
+    assert d["id"]["nonzero_count"] == 6
+
+
+def test_mode_deterministic(small_df):
+    d = _as_dict(stats.mode_computation(small_df, ["cat"]))
+    assert d["cat"]["mode"] == "a"
+    assert d["cat"]["mode_rows"] == 3
+
+
+def test_mode_tie_break(spark):
+    df = spark.createDataFrame([("b",), ("b",), ("a",), ("a",)], schema="c string")
+    d = _as_dict(stats.mode_computation(df, ["c"]))
+    assert d["c"]["mode"] == "a"  # tie → smallest value
+
+
+def test_central_tendency(small_df):
+    d = _as_dict(stats.measures_of_central_tendency(small_df))
+    assert d["x"]["mean"] == 24.0  # (10+20+40+50+0)/5
+    assert d["x"]["median"] == 20.0
+    assert d["cat"]["mode"] == "a"
+    assert d["cat"]["mode_pct"] == 0.6  # 3/5 non-null
+
+
+def test_unique_and_cardinality(small_df):
+    d = _as_dict(stats.unique_count(small_df))
+    assert d["cat"]["unique_values"] == 3
+    assert d["id"]["unique_values"] == 6
+    card = _as_dict(stats.measures_of_cardinality(small_df))
+    assert card["id"]["IDness"] == 1.0
+    assert card["cat"]["IDness"] == 0.6
+
+
+def test_dispersion(small_df):
+    d = _as_dict(stats.measures_of_dispersion(small_df))
+    assert d["x"]["range"] == 50.0
+    assert d["x"]["variance"] == pytest.approx(430.0, abs=1e-2)
+
+
+def test_percentiles(small_df):
+    d = _as_dict(stats.measures_of_percentiles(small_df))
+    assert d["x"]["pct_min"] == 0.0
+    assert d["x"]["pct_max"] == 50.0
+    assert d["x"]["pct_50"] == 20.0
+
+
+def test_shape(small_df):
+    d = _as_dict(stats.measures_of_shape(small_df))
+    assert "skewness" in d["x"]
+    assert d["x"]["kurtosis"] is not None
+
+
+def test_counts_vs_lineitem(lineitem):
+    d = _as_dict(stats.measures_of_counts(lineitem))
+    total = lineitem.count()
+    assert d["l_quantity"]["fill_count"] == total
+    assert d["l_quantity"]["missing_count"] == 0
