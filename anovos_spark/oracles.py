@@ -171,6 +171,123 @@ FROM (SELECT avg(pow({c} - mu, 3)) AS m3, avg(pow({c} - mu, 2)) AS m2,
     return _union(parts)
 
 
+# --------------------------------------------------------------------------- #
+# quality checker oracles
+# --------------------------------------------------------------------------- #
+def duplicates_sql() -> str:
+    sub = "SELECT DISTINCT l_suppkey, l_returnflag, l_linestatus FROM lineitem"
+    return f"""
+SELECT 'rows_count' AS metric, count(*)::BIGINT AS value FROM lineitem
+UNION ALL
+SELECT 'unique_rows_count', (SELECT count(*) FROM ({sub}) u)::BIGINT
+UNION ALL
+SELECT 'duplicate_rows', (count(*) - (SELECT count(*) FROM ({sub}) u))::BIGINT FROM lineitem
+"""
+
+
+def null_rows_sql() -> str:
+    nc = " + ".join(f"({c} IS NULL)::INT" for c in LINEITEM_ALL)
+    n = len(LINEITEM_ALL)
+    return f"""
+WITH t AS (SELECT ({nc}) AS nc FROM lineitem)
+SELECT nc::BIGINT AS null_cols_count,
+       count(*)::BIGINT AS row_count,
+       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM t), 6) AS row_pct,
+       (nc >= 0.8 * {n})::INT AS flagged
+FROM t GROUP BY nc
+"""
+
+
+def outliers_sql() -> str:
+    # min_validation=2 of 3 methods == median of the 3 candidate bounds
+    parts = []
+    for c in LINEITEM_NUM:
+        parts.append(f"""
+SELECT '{c}' AS attribute,
+  (CASE WHEN b.pl = b.pu THEN 0 ELSE count(CASE WHEN t.{c} < b.lb THEN 1 END) END)::BIGINT AS lower_outliers,
+  (CASE WHEN b.pl = b.pu THEN 0 ELSE count(CASE WHEN t.{c} > b.ub THEN 1 END) END)::BIGINT AS upper_outliers
+FROM lineitem t, (
+  SELECT pl, pu,
+         list_sort([pl, mu - 3*sd, q1 - 1.5*(q3-q1)])[2] AS lb,
+         list_sort([pu, mu + 3*sd, q3 + 1.5*(q3-q1)])[2] AS ub
+  FROM (SELECT quantile_cont({c}, 0.05) AS pl, quantile_cont({c}, 0.95) AS pu,
+               quantile_cont({c}, 0.25) AS q1, quantile_cont({c}, 0.75) AS q3,
+               avg({c}) AS mu, stddev_samp({c}) AS sd
+        FROM lineitem) s
+) b
+GROUP BY b.pl, b.pu, b.lb, b.ub""")
+    return _union(parts)
+
+
+ORDERS_DISCRETE = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def idness_sql() -> str:
+    parts = [
+        f"SELECT '{c}' AS attribute, count(DISTINCT {c})::BIGINT AS unique_values, "
+        f"round(CAST(count(DISTINCT {c}) AS DOUBLE)/count({c}), 6) AS \"IDness\", "
+        f"(round(CAST(count(DISTINCT {c}) AS DOUBLE)/count({c}), 6) >= 0.8)::INT AS flagged "
+        f"FROM orders"
+        for c in ORDERS_DISCRETE
+    ]
+    return _union(parts)
+
+
+def biasedness_sql() -> str:
+    longv = _union(
+        [
+            f"SELECT '{c}' AS attribute, CAST({c} AS VARCHAR) AS value "
+            f"FROM lineitem WHERE {c} IS NOT NULL"
+            for c in LINEITEM_DISCRETE
+        ]
+    )
+    return f"""
+WITH longv AS ({longv}),
+cnts AS (SELECT attribute, value, count(*) AS cnt FROM longv GROUP BY 1, 2),
+nn AS (SELECT attribute, sum(cnt) AS nonnull FROM cnts GROUP BY 1),
+modes AS (
+  SELECT attribute, value AS mode, cnt FROM (
+    SELECT attribute, value, cnt,
+           row_number() OVER (PARTITION BY attribute ORDER BY cnt DESC, value ASC) AS rn
+    FROM cnts) t
+  WHERE rn = 1
+)
+SELECT m.attribute, m.mode,
+       round(CAST(m.cnt AS DOUBLE)/nn.nonnull, 6) AS mode_pct,
+       (round(CAST(m.cnt AS DOUBLE)/nn.nonnull, 6) >= 0.8)::INT AS flagged
+FROM modes m JOIN nn ON m.attribute = nn.attribute
+"""
+
+
+CUSTOMER_DISCRETE = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+
+
+def invalid_entries_sql() -> str:
+    from anovos_spark.operators.quality import (
+        NULL_SYNONYMS,
+        _CONSEC_RE,
+        _REPEAT_RE,
+        _SPECIAL_RE,
+    )
+
+    syns = ", ".join(f"'{s}'" for s in NULL_SYNONYMS)
+    parts = []
+    for c in CUSTOMER_DISCRETE:
+        v = f"lower(trim(CAST({c} AS VARCHAR)))"
+        cond = (
+            f"({v} IN ({syns}) OR regexp_matches({v}, '{_SPECIAL_RE}') "
+            f"OR regexp_matches({v}, '{_REPEAT_RE}') "
+            f"OR regexp_matches({v}, '{_CONSEC_RE}'))"
+        )
+        parts.append(
+            f"SELECT '{c}' AS attribute, "
+            f"count(CASE WHEN {c} IS NOT NULL AND {cond} THEN 1 END)::BIGINT AS invalid_count, "
+            f"round(CAST(count(CASE WHEN {c} IS NOT NULL AND {cond} THEN 1 END) AS DOUBLE)/count(*), 6) AS invalid_pct "
+            f"FROM customer"
+        )
+    return _union(parts)
+
+
 def registry() -> dict[str, str]:
     return {
         "global_summary": global_summary_sql(),
@@ -181,4 +298,10 @@ def registry() -> dict[str, str]:
         "dispersion": dispersion_sql(),
         "percentiles": percentiles_sql(),
         "shape": shape_sql(),
+        "duplicate_detection": duplicates_sql(),
+        "null_rows_detection": null_rows_sql(),
+        "outlier_detection": outliers_sql(),
+        "idness_detection": idness_sql(),
+        "biasedness_detection": biasedness_sql(),
+        "invalid_entries_detection": invalid_entries_sql(),
     }

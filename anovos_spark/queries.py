@@ -79,6 +79,56 @@ def q_shape(spark, sf_dir):
     return stats.measures_of_shape(table(spark, sf_dir, "lineitem"))
 
 
+# --------------------------------------------------------------------------- #
+# quality checker
+# --------------------------------------------------------------------------- #
+DUP_SUBSET = ["l_suppkey", "l_returnflag", "l_linestatus"]
+
+
+def q_duplicates(spark, sf_dir):
+    from anovos_spark.operators.quality import duplicate_detection
+
+    _, stats = duplicate_detection(table(spark, sf_dir, "lineitem"), DUP_SUBSET)
+    return stats
+
+
+def q_null_rows(spark, sf_dir):
+    from anovos_spark.operators.quality import null_rows_detection
+
+    _, stats = null_rows_detection(table(spark, sf_dir, "lineitem"))
+    return stats
+
+
+def q_outliers(spark, sf_dir):
+    from anovos_spark.operators.quality import outlier_detection
+
+    _, stats = outlier_detection(
+        table(spark, sf_dir, "lineitem"), min_validation=2, exact=_exact()
+    )
+    return stats
+
+
+def q_idness(spark, sf_dir):
+    from anovos_spark.operators.quality import idness_detection
+
+    _, stats = idness_detection(table(spark, sf_dir, "orders"), exact=_exact())
+    return stats
+
+
+def q_biasedness(spark, sf_dir):
+    from anovos_spark.operators.quality import biasedness_detection
+
+    _, stats = biasedness_detection(table(spark, sf_dir, "lineitem"))
+    return stats
+
+
+def q_invalid_entries(spark, sf_dir):
+    from anovos_spark.operators.quality import invalid_entries_detection
+
+    _, stats = invalid_entries_detection(table(spark, sf_dir, "customer"))
+    return stats
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_summary": q_global_summary,
@@ -89,4 +139,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion": q_dispersion,
         "percentiles": q_percentiles,
         "shape": q_shape,
+        "duplicate_detection": q_duplicates,
+        "null_rows_detection": q_null_rows,
+        "outlier_detection": q_outliers,
+        "idness_detection": q_idness,
+        "biasedness_detection": q_biasedness,
+        "invalid_entries_detection": q_invalid_entries,
     }
