@@ -17,10 +17,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full central-tendency battery on lineitem sf0.001."""
-    from anovos_spark.queries import q_central_tendency
+    """Flagship: TPC-H Q1-style pricing summary (expression_parser +
+    decimal-exact aggregation) on lineitem sf0.001."""
+    from anovos_spark.queries import q1_pricing_summary
 
-    return q_central_tendency(spark, "/root/testdata/sf0.001")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -178,31 +178,28 @@ def outlier_fit(
         if total > sample_size:
             fit_df = idf.sample(False, sample_size / total, seed)
 
-    def q(c, p):
-        fn = "percentile" if exact else "percentile_approx"
-        return F.expr(f"{fn}(`{c}`, {p})")
-
+    fn = "percentile" if exact else "percentile_approx"
+    pts = f"array({cfg['pctile_lower']}, {cfg['pctile_upper']}, 0.25, 0.75)"
     aggs = []
     for c in cols:
         aggs += [
             F.mean(c).alias(f"{c}__mean"),
             F.stddev(c).alias(f"{c}__sd"),
-            q(c, cfg["pctile_lower"]).alias(f"{c}__pl"),
-            q(c, cfg["pctile_upper"]).alias(f"{c}__pu"),
-            q(c, 0.25).alias(f"{c}__q1"),
-            q(c, 0.75).alias(f"{c}__q3"),
+            # one sketch per column instead of one per (column, quantile)
+            F.expr(f"{fn}(`{c}`, {pts})").alias(f"{c}__qs"),
         ]
     row = fit_df.agg(*aggs).collect()[0]
 
     bounds: dict[str, tuple[float | None, float | None]] = {}
     k = min_validation
     for c in cols:
-        pl, pu = row[f"{c}__pl"], row[f"{c}__pu"]
+        qs = row[f"{c}__qs"] or [None, None, None, None]
+        pl, pu, c_q1, c_q3 = qs[0], qs[1], qs[2], qs[3]
         if pl is None or pu is None or pl == pu:
             bounds[c] = (None, None)
             continue
         mean, sd = row[f"{c}__mean"], row[f"{c}__sd"] or 0.0
-        q1, q3 = row[f"{c}__q1"], row[f"{c}__q3"]
+        q1, q3 = c_q1, c_q3
         iqr = q3 - q1
         lowers = sorted(
             [pl, mean - cfg["stdev_k"] * sd, q1 - cfg["iqr_k"] * iqr], reverse=True

@@ -215,9 +215,22 @@ def measures_of_central_tendency(
         if exact
         else (lambda c: F.expr(f"percentile_approx(`{c}`, 0.5, 100)"))
     )
+    # exact mode: mean from a decimal-exact sum — the result is independent of
+    # partition/summation order, so it hash-matches the DuckDB oracle at any
+    # parallelism (double sums differ in the last ulps per partitioning).
+    mean_fn = (
+        (
+            lambda c: F.expr(
+                f"cast(sum(cast(`{c}` as decimal(18,6))) as double)"
+            )
+            / F.count(F.col(c))
+        )
+        if exact
+        else (lambda c: F.mean(c))
+    )
     aggs = [F.count(F.lit(1)).alias("__total__")]
     for c in num_cols:
-        aggs.append(F.round(F.mean(c), 6).alias(f"{c}__mean"))
+        aggs.append(F.round(mean_fn(c), 6).alias(f"{c}__mean"))
         aggs.append(F.round(median_fn(c), 6).alias(f"{c}__median"))
     for c in disc_cols:
         aggs.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
@@ -257,10 +270,24 @@ def measures_of_dispersion(
     )
     aggs = []
     for c in cols:
+        if exact:
+            # decimal-exact s1/s2 → partition-order-independent variance:
+            # var = (s2 − s1²/n)/(n−1) evaluated in double, byte-identical
+            # to the oracle's same expression over the same exact sums.
+            aggs += [
+                F.expr(f"cast(sum(cast(`{c}` as decimal(18,6))) as double)").alias(f"{c}__s1"),
+                F.expr(
+                    f"cast(sum(cast(`{c}` as decimal(18,6)) * cast(`{c}` as decimal(18,6))) as double)"
+                ).alias(f"{c}__s2"),
+                F.count(F.col(c)).cast("double").alias(f"{c}__n"),
+            ]
+        else:
+            aggs += [
+                F.stddev(c).alias(f"{c}__sd_"),
+                F.variance(c).alias(f"{c}__var_"),
+                F.mean(c).alias(f"{c}__mean"),
+            ]
         aggs += [
-            F.stddev(c).alias(f"{c}__sd"),
-            F.variance(c).alias(f"{c}__var"),
-            F.mean(c).alias(f"{c}__mean"),
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
             q(c, 0.25).alias(f"{c}__q1"),
@@ -268,10 +295,20 @@ def measures_of_dispersion(
         ]
     wide = idf.agg(*aggs)
     for c in cols:
+        if exact:
+            var = (F.col(f"{c}__s2") - F.col(f"{c}__s1") * F.col(f"{c}__s1") / F.col(f"{c}__n")) / (
+                F.col(f"{c}__n") - 1
+            )
+            sd = F.sqrt(var)
+            mean = F.col(f"{c}__s1") / F.col(f"{c}__n")
+        else:
+            var = F.col(f"{c}__var_")
+            sd = F.col(f"{c}__sd_")
+            mean = F.col(f"{c}__mean")
         wide = (
-            wide.withColumn(f"{c}__stddev", F.round(F.col(f"{c}__sd"), 6))
-            .withColumn(f"{c}__variance", F.round(F.col(f"{c}__var"), 6))
-            .withColumn(f"{c}__cov", F.round(F.col(f"{c}__sd") / F.col(f"{c}__mean"), 6))
+            wide.withColumn(f"{c}__stddev", F.round(sd, 6))
+            .withColumn(f"{c}__variance", F.round(var, 6))
+            .withColumn(f"{c}__cov", F.round(sd / mean, 6))
             .withColumn(f"{c}__IQR", F.round(F.col(f"{c}__q3") - F.col(f"{c}__q1"), 6))
             .withColumn(f"{c}__range", F.round(F.col(f"{c}__max") - F.col(f"{c}__min"), 6))
         )

@@ -68,7 +68,8 @@ def nonzero_sql() -> str:
 def central_tendency_sql() -> str:
     nums = _union(
         [
-            f"SELECT '{c}' AS attribute, round(avg({c}), 6) AS mean, "
+            f"SELECT '{c}' AS attribute, "
+            f"round(CAST(sum(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)/count({c}), 6) AS mean, "
             f"round(CAST(quantile_cont({c}, 0.5) AS DOUBLE), 6) AS median FROM lineitem"
             for c in LINEITEM_NUM
         ]
@@ -114,14 +115,19 @@ def cardinality_sql() -> str:
 
 
 def dispersion_sql() -> str:
+    # decimal-exact s1/s2 then the same double expression the engine uses:
+    # var = (s2 − s1²/n)/(n−1) — bit-identical at any parallelism
     parts = [
-        f"SELECT '{c}' AS attribute, "
-        f"round(stddev_samp({c}), 6) AS stddev, "
-        f"round(var_samp({c}), 6) AS variance, "
-        f"round(stddev_samp({c})/avg({c}), 6) AS cov, "
-        f"round(CAST(quantile_cont({c}, 0.75) - quantile_cont({c}, 0.25) AS DOUBLE), 6) AS \"IQR\", "
-        f"round(CAST(max({c}) - min({c}) AS DOUBLE), 6) AS \"range\" "
-        f"FROM lineitem"
+        f"""SELECT attribute,
+ round(sqrt(var), 6) AS stddev, round(var, 6) AS variance,
+ round(sqrt(var)/(s1/n), 6) AS cov, round(iqr, 6) AS "IQR", round(rng, 6) AS "range"
+FROM (SELECT '{c}' AS attribute, (s2 - s1*s1/n)/(n-1) AS var, s1, n, iqr, rng
+      FROM (SELECT CAST(sum(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                   CAST(sum(CAST({c} AS DECIMAL(19,6)) * CAST({c} AS DECIMAL(19,6))) AS DOUBLE) AS s2,
+                   CAST(count({c}) AS DOUBLE) AS n,
+                   CAST(quantile_cont({c}, 0.75) - quantile_cont({c}, 0.25) AS DOUBLE) AS iqr,
+                   CAST(max({c}) - min({c}) AS DOUBLE) AS rng
+            FROM lineitem) a) b"""
         for c in LINEITEM_NUM
     ]
     return _union(parts)
@@ -288,6 +294,133 @@ def invalid_entries_sql() -> str:
     return _union(parts)
 
 
+# --------------------------------------------------------------------------- #
+# transformer oracles
+# --------------------------------------------------------------------------- #
+BIN_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def binning_eqrange_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS attribute,
+ CAST(greatest(1, least(10, floor(({c} - b.mn)/((b.mx - b.mn)/10)) + 1)) AS INT) AS bin,
+ count(*)::BIGINT AS bin_count
+FROM lineitem, (SELECT CAST(min({c}) AS DOUBLE) AS mn, CAST(max({c}) AS DOUBLE) AS mx FROM lineitem) b
+GROUP BY 1, 2"""
+        for c in BIN_COLS
+    ]
+    return _union(parts)
+
+
+def binning_eqfreq_sql() -> str:
+    cuts = ", ".join(
+        f"quantile_cont(l_quantity, {i/10}) AS c{i}" for i in range(1, 10)
+    )
+    add = " + ".join(f"(l_quantity > b.c{i})::INT" for i in range(1, 10))
+    return f"""
+SELECT CAST(1 + {add} AS INT) AS bin, count(*)::BIGINT AS bin_count
+FROM lineitem, (SELECT {cuts} FROM lineitem) b
+GROUP BY 1"""
+
+
+def label_encoding_sql() -> str:
+    longv = _union(
+        [
+            f"SELECT '{c}' AS attribute, {c} AS value FROM lineitem WHERE {c} IS NOT NULL"
+            for c in ["l_returnflag", "l_linestatus"]
+        ]
+    )
+    return f"""
+WITH longv AS ({longv}),
+cnts AS (SELECT attribute, value, count(*) AS cnt FROM longv GROUP BY 1, 2)
+SELECT attribute, value,
+       CAST(row_number() OVER (PARTITION BY attribute ORDER BY cnt DESC, value ASC) - 1 AS INT) AS index
+FROM cnts"""
+
+
+def target_encoding_sql() -> str:
+    return """
+SELECT 'o_orderpriority' AS attribute, o_orderpriority AS value,
+       round(avg((o_orderstatus = 'F')::INT), 6) AS rate
+FROM orders WHERE o_orderpriority IS NOT NULL
+GROUP BY 2"""
+
+
+def z_standardization_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS attribute,
+ round((mn - mu)/sd, 6) AS z_min, round((mx - mu)/sd, 6) AS z_max
+FROM (SELECT CAST(min({c}) AS DOUBLE) mn, CAST(max({c}) AS DOUBLE) mx,
+             avg({c}) mu, stddev_samp({c}) sd FROM lineitem) s"""
+        for c in LINEITEM_NUM
+    ]
+    return _union(parts)
+
+
+def normalization_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS attribute,
+ round((mn - mn)/(mx - mn), 6) AS n_min, round((mx - mn)/(mx - mn), 6) AS n_max
+FROM (SELECT CAST(min({c}) AS DOUBLE) mn, CAST(max({c}) AS DOUBLE) mx FROM lineitem) s"""
+        for c in LINEITEM_NUM
+    ]
+    return _union(parts)
+
+
+def imputation_mmm_sql() -> str:
+    return """
+WITH t AS (SELECT CASE WHEN l_orderkey % 10 = 0 THEN NULL ELSE l_quantity END AS q,
+                  l_orderkey FROM lineitem),
+med AS (SELECT quantile_cont(q, 0.5) AS m FROM t)
+SELECT 'l_quantity' AS attribute,
+       sum((l_orderkey % 10 = 0)::INT)::BIGINT AS imputed_rows,
+       round(CAST(sum(CAST(COALESCE(q, m) AS DECIMAL(18,6))) AS DOUBLE)/count(COALESCE(q, m)), 6) AS mean_after
+FROM t, med"""
+
+
+def outlier_categories_sql() -> str:
+    return """
+WITH cnts AS (SELECT o_orderpriority AS value, count(*) AS cnt FROM orders
+              WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+ranked AS (SELECT value, cnt,
+                  row_number() OVER (ORDER BY cnt DESC, value ASC) AS rn,
+                  CAST(sum(cnt) OVER (ORDER BY cnt DESC, value ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / (SELECT sum(cnt) FROM cnts) AS cum
+           FROM cnts),
+kept AS (SELECT value FROM (
+           SELECT value, rn, lag(cum, 1, 0.0) OVER (ORDER BY rn) AS prev FROM ranked) t
+         WHERE prev < 0.6 AND rn <= 50)
+SELECT CASE WHEN o.o_orderpriority IN (SELECT value FROM kept)
+            THEN o.o_orderpriority ELSE 'outlier_categories' END AS value,
+       count(*)::BIGINT AS cnt
+FROM orders o GROUP BY 1"""
+
+
+def feature_math_sql() -> str:
+    return """
+SELECT 'avg_ln_quantity' AS metric, round(avg(ln(l_quantity)), 6) AS value FROM lineitem
+UNION ALL SELECT 'avg_sqrt_price', round(avg(sqrt(l_extendedprice)), 6) FROM lineitem
+UNION ALL SELECT 'avg_sq_discount', round(avg(pow(l_discount, 2)), 6) FROM lineitem
+UNION ALL SELECT 'avg_exp_tax', round(avg(exp(l_tax)), 6) FROM lineitem"""
+
+
+def q1_pricing_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2))) * (1::DECIMAL(4,2) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)/count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)/count(*) AS avg_disc,
+  count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY 1, 2"""
+
+
 def registry() -> dict[str, str]:
     return {
         "global_summary": global_summary_sql(),
@@ -304,4 +437,14 @@ def registry() -> dict[str, str]:
         "idness_detection": idness_sql(),
         "biasedness_detection": biasedness_sql(),
         "invalid_entries_detection": invalid_entries_sql(),
+        "attribute_binning_eqrange": binning_eqrange_sql(),
+        "attribute_binning_eqfreq": binning_eqfreq_sql(),
+        "label_encoding": label_encoding_sql(),
+        "target_encoding": target_encoding_sql(),
+        "z_standardization": z_standardization_sql(),
+        "normalization": normalization_sql(),
+        "imputation_mmm": imputation_mmm_sql(),
+        "outlier_categories": outlier_categories_sql(),
+        "feature_transformation": feature_math_sql(),
+        "q1_pricing_summary": q1_pricing_sql(),
     }

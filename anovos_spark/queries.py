@@ -12,6 +12,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from anovos_spark.operators import stats
 
@@ -129,6 +130,180 @@ def q_invalid_entries(spark, sf_dir):
     return stats
 
 
+# --------------------------------------------------------------------------- #
+# transformers
+# --------------------------------------------------------------------------- #
+BIN_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def q_binning_eqrange(spark, sf_dir):
+    from anovos_spark.core.utils import melt
+    from anovos_spark.operators.transformers import attribute_binning
+
+    li = table(spark, sf_dir, "lineitem")
+    odf, _ = attribute_binning(li, BIN_COLS, bin_size=10)
+    long_df = melt(odf.select(BIN_COLS), [], BIN_COLS, "attribute", "bin")
+    return (
+        long_df.groupBy("attribute", "bin")
+        .count()
+        .select("attribute", F.col("bin").cast("int"), F.col("count").alias("bin_count"))
+    )
+
+
+def q_binning_eqfreq(spark, sf_dir):
+    from anovos_spark.operators.transformers import attribute_binning
+
+    li = table(spark, sf_dir, "lineitem")
+    odf, _ = attribute_binning(
+        li, ["l_quantity"], method_type="equal_frequency", bin_size=10, exact=_exact()
+    )
+    return (
+        odf.groupBy("l_quantity")
+        .count()
+        .select(
+            F.col("l_quantity").cast("int").alias("bin"),
+            F.col("count").alias("bin_count"),
+        )
+    )
+
+
+def q_label_encoding(spark, sf_dir):
+    from anovos_spark.operators.transformers import label_encoding_fit
+
+    li = table(spark, sf_dir, "lineitem")
+    model = label_encoding_fit(li, ["l_returnflag", "l_linestatus"])
+    rows = [
+        (c, v, i) for c, m in model.items() for v, i in m.items()
+    ]
+    return spark.createDataFrame(rows, schema="attribute string, value string, index int")
+
+
+def q_target_encoding(spark, sf_dir):
+    from anovos_spark.operators.transformers import target_encoding_fit
+
+    od = table(spark, sf_dir, "orders")
+    model = target_encoding_fit(od, ["o_orderpriority"], "o_orderstatus", "F")
+    rows = [(c, v, r) for c, m in model.items() for v, r in m.items()]
+    return spark.createDataFrame(rows, schema="attribute string, value string, rate double")
+
+
+def q_z_standardization(spark, sf_dir):
+    from anovos_spark.operators.transformers import z_standardization
+
+    li = table(spark, sf_dir, "lineitem")
+    odf, model = z_standardization(li, LINEITEM_NUM)
+    aggs = []
+    for c in model:
+        aggs.append(F.round(F.min(c), 6).alias(f"{c}__z_min"))
+        aggs.append(F.round(F.max(c), 6).alias(f"{c}__z_max"))
+    wide = odf.agg(*aggs)
+    from anovos_spark.operators.stats import _stack_wide_row
+
+    return _stack_wide_row(wide, list(model), ["z_min", "z_max"])
+
+
+def q_normalization(spark, sf_dir):
+    from anovos_spark.operators.transformers import normalization
+
+    li = table(spark, sf_dir, "lineitem")
+    odf, model = normalization(li, LINEITEM_NUM)
+    aggs = []
+    for c in model:
+        aggs.append(F.round(F.min(c), 6).alias(f"{c}__n_min"))
+        aggs.append(F.round(F.max(c), 6).alias(f"{c}__n_max"))
+    wide = odf.agg(*aggs)
+    from anovos_spark.operators.stats import _stack_wide_row
+
+    return _stack_wide_row(wide, list(model), ["n_min", "n_max"])
+
+
+def q_imputation_mmm(spark, sf_dir):
+    from anovos_spark.operators.transformers import imputation_MMM
+
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 10 == 0, F.lit(None)).otherwise(F.col("l_quantity")),
+    )
+    odf, model = imputation_MMM(li, ["l_quantity"], method_type="median", exact=_exact())
+    return odf.agg(
+        F.lit("l_quantity").alias("attribute"),
+        F.sum((F.col("l_orderkey") % 10 == 0).cast("long")).alias("imputed_rows"),
+        F.round(
+            F.expr("cast(sum(cast(l_quantity as decimal(18,6))) as double)")
+            / F.count("l_quantity"),
+            6,
+        ).alias("mean_after"),
+    )
+
+
+def q_outlier_categories(spark, sf_dir):
+    from anovos_spark.operators.transformers import (
+        outlier_categories_apply,
+        outlier_categories_fit,
+    )
+
+    od = table(spark, sf_dir, "orders")
+    model = outlier_categories_fit(od, ["o_orderpriority"], coverage=0.6)
+    odf = outlier_categories_apply(od, model)
+    return (
+        odf.groupBy("o_orderpriority")
+        .count()
+        .select(F.col("o_orderpriority").alias("value"), F.col("count").alias("cnt"))
+    )
+
+
+def q_feature_math(spark, sf_dir):
+    from anovos_spark.operators.transformers import feature_transformation
+
+    li = table(spark, sf_dir, "lineitem")
+    odf = feature_transformation(li, ["l_quantity"], method_type="ln", output_mode="append")
+    odf = feature_transformation(odf, ["l_extendedprice"], method_type="sqrt", output_mode="append")
+    odf = feature_transformation(odf, ["l_discount"], method_type="sq", output_mode="append")
+    odf = feature_transformation(odf, ["l_tax"], method_type="exp", output_mode="append")
+    wide = odf.agg(
+        F.round(F.avg("l_quantity_ln"), 6).alias("avg_ln_quantity"),
+        F.round(F.avg("l_extendedprice_sqrt"), 6).alias("avg_sqrt_price"),
+        F.round(F.avg("l_discount_sq"), 6).alias("avg_sq_discount"),
+        F.round(F.avg("l_tax_exp"), 6).alias("avg_exp_tax"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(4, 'avg_ln_quantity', avg_ln_quantity, 'avg_sqrt_price', avg_sqrt_price, "
+            "'avg_sq_discount', avg_sq_discount, 'avg_exp_tax', avg_exp_tax) as (metric, value)"
+        )
+    )
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary through expression_parser — decimal
+    sums for bit-exact cross-engine results."""
+    from anovos_spark.operators.transformers import expression_parser
+
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-01")
+    )
+    li = expression_parser(
+        li,
+        [
+            "cast(l_quantity as decimal(12,2)) as qty_d",
+            "cast(l_extendedprice as decimal(12,2)) as price_d",
+            "cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2))) as disc_price_d",
+            "cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2))) * (cast(1 as decimal(4,2)) + cast(l_tax as decimal(4,2))) as charge_d",
+            "cast(l_discount as decimal(4,2)) as disc_d",
+        ],
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty_d").cast("double").alias("sum_qty"),
+        F.sum("price_d").cast("double").alias("sum_base_price"),
+        F.sum("disc_price_d").cast("double").alias("sum_disc_price"),
+        F.sum("charge_d").cast("double").alias("sum_charge"),
+        (F.sum("qty_d").cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum("price_d").cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        (F.sum("disc_d").cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_summary": q_global_summary,
@@ -145,4 +320,14 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idness_detection": q_idness,
         "biasedness_detection": q_biasedness,
         "invalid_entries_detection": q_invalid_entries,
+        "attribute_binning_eqrange": q_binning_eqrange,
+        "attribute_binning_eqfreq": q_binning_eqfreq,
+        "label_encoding": q_label_encoding,
+        "target_encoding": q_target_encoding,
+        "z_standardization": q_z_standardization,
+        "normalization": q_normalization,
+        "imputation_mmm": q_imputation_mmm,
+        "outlier_categories": q_outlier_categories,
+        "feature_transformation": q_feature_math,
+        "q1_pricing_summary": q1_pricing_summary,
     }
