@@ -1,0 +1,398 @@
+"""Datetime / timestamp operators + time-windowed aggregates.
+
+Reference parity: data_transformer/datetime.py (conversions :126-547,
+timeUnits_extraction :550, arithmetic/flags :624-1718, aggregator :1721,
+window_aggregator :1824, lagged_ts :1933).
+
+All pure Catalyst expressions — the reference's UDFs (dateutil parse :338,
+leap-year :1665) are replaced by built-ins.  Window aggregates partition by
+the caller's id columns: at 100 TB the partition key spreads state across
+executors; an empty partitionBy (global ordered window) is refused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from anovos_spark.core.utils import ensure_list
+
+_FACTORS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+TIME_UNITS = {
+    "hour": F.hour,
+    "minute": F.minute,
+    "second": F.second,
+    "dayofmonth": F.dayofmonth,
+    "dayofweek": F.dayofweek,
+    "dayofyear": F.dayofyear,
+    "weekofyear": F.weekofyear,
+    "month": F.month,
+    "quarter": F.quarter,
+    "year": F.year,
+}
+
+
+def _append(idf: DataFrame, new_cols: dict[str, Column], output_mode: str = "append") -> DataFrame:
+    if output_mode == "append":
+        return idf.select(*idf.columns, *[c.alias(n) for n, c in new_cols.items()])
+    raise ValueError("datetime ops are append-only; rename/drop afterwards")
+
+
+def timestamp_to_unix(idf: DataFrame, list_of_cols, precision: str = "s") -> DataFrame:
+    """Timestamp → epoch seconds/ms (reference: datetime.py:126-198)."""
+    cols = ensure_list(list_of_cols)
+    factor = 1000 if precision == "ms" else 1
+    return _append(
+        idf,
+        {
+            f"{c}_unix": (F.col(c).cast("double") * factor).cast("long")
+            for c in cols
+        },
+    )
+
+
+def unix_to_timestamp(idf: DataFrame, list_of_cols, precision: str = "s") -> DataFrame:
+    """Epoch → timestamp (reference: datetime.py:200-269)."""
+    cols = ensure_list(list_of_cols)
+    div = 1000.0 if precision == "ms" else 1.0
+    return _append(
+        idf,
+        {f"{c}_ts": F.to_timestamp(F.col(c) / div) for c in cols},
+    )
+
+
+def timezone_conversion(
+    idf: DataFrame, list_of_cols, given_tz: str, output_tz: str
+) -> DataFrame:
+    """tz → tz (reference: datetime.py:272-336)."""
+    cols = ensure_list(list_of_cols)
+    return _append(
+        idf,
+        {
+            f"{c}_tz": F.from_utc_timestamp(F.to_utc_timestamp(F.col(c), given_tz), output_tz)
+            for c in cols
+        },
+    )
+
+
+def string_to_timestamp(
+    idf: DataFrame, list_of_cols, input_format: str = "yyyy-MM-dd HH:mm:ss"
+) -> DataFrame:
+    """Parse strings with an explicit format (reference: datetime.py:338-412;
+    their dateutil UDF becomes F.to_timestamp(c, fmt))."""
+    cols = ensure_list(list_of_cols)
+    return _append(
+        idf, {f"{c}_ts": F.to_timestamp(F.col(c), input_format) for c in cols}
+    )
+
+
+def timestamp_to_string(
+    idf: DataFrame, list_of_cols, output_format: str = "yyyy-MM-dd HH:mm:ss"
+) -> DataFrame:
+    """Format timestamps (reference: datetime.py:414-478)."""
+    cols = ensure_list(list_of_cols)
+    return _append(
+        idf, {f"{c}_str": F.date_format(F.col(c), output_format) for c in cols}
+    )
+
+
+def time_units_extraction(idf: DataFrame, list_of_cols, units="all") -> DataFrame:
+    """Extract hour/minute/.../year component columns
+    (reference: datetime.py:550-621, getattr(F, unit) :614-616)."""
+    cols = ensure_list(list_of_cols)
+    units = list(TIME_UNITS) if units == "all" else ensure_list(units)
+    bad = [u for u in units if u not in TIME_UNITS]
+    if bad:
+        raise ValueError(f"unknown time units {bad}; allowed {list(TIME_UNITS)}")
+    new = {}
+    for c in cols:
+        for u in units:
+            new[f"{c}_{u}"] = TIME_UNITS[u](F.col(c))
+    return _append(idf, new)
+
+
+def time_diff(idf: DataFrame, ts1: str, ts2: str, unit: str = "second") -> DataFrame:
+    """|ts2 − ts1| in the given unit (reference: datetime.py:624-694)."""
+    if unit not in _FACTORS:
+        raise ValueError(f"unit must be one of {list(_FACTORS)}")
+    d = F.abs(F.col(ts2).cast("double") - F.col(ts1).cast("double")) / _FACTORS[unit]
+    return _append(idf, {f"{ts1}_{ts2}_diff": d})
+
+
+def time_elapsed(idf: DataFrame, list_of_cols, unit: str = "day") -> DataFrame:
+    """Time since each timestamp vs now (reference: datetime.py:696-768).
+    Non-deterministic by nature (current_timestamp)."""
+    cols = ensure_list(list_of_cols)
+    f = _FACTORS[unit]
+    return _append(
+        idf,
+        {
+            f"{c}_elapsed": (
+                F.current_timestamp().cast("double") - F.col(c).cast("double")
+            )
+            / f
+            for c in cols
+        },
+    )
+
+
+def adding_time_units(idf: DataFrame, list_of_cols, unit: str, unit_value: int) -> DataFrame:
+    """ts + N units via INTERVAL arithmetic (reference: datetime.py:771-827)."""
+    cols = ensure_list(list_of_cols)
+    return _append(
+        idf,
+        {
+            f"{c}_adjusted": F.col(c) + F.expr(f"INTERVAL {int(unit_value)} {unit}")
+            for c in cols
+        },
+    )
+
+
+def timestamp_comparison(
+    idf: DataFrame,
+    list_of_cols,
+    comparison_type: str = "greater_than",
+    comparison_value: str = "1970-01-01 00:00:00",
+) -> DataFrame:
+    """Flag rows vs a base timestamp (reference: datetime.py:829-921)."""
+    cols = ensure_list(list_of_cols)
+    base = F.to_timestamp(F.lit(comparison_value))
+    ops = {
+        "greater_than": lambda c: c > base,
+        "less_than": lambda c: c < base,
+        "greaterThan_equalTo": lambda c: c >= base,
+        "lessThan_equalTo": lambda c: c <= base,
+    }
+    if comparison_type not in ops:
+        raise ValueError(f"comparison_type must be one of {list(ops)}")
+    return _append(
+        idf,
+        {
+            f"{c}_compared": ops[comparison_type](F.col(c)).cast("int")
+            for c in cols
+        },
+    )
+
+
+# ---- calendar boundaries & flags (reference: datetime.py:923-1718) ---------- #
+def start_of_month(idf, list_of_cols):
+    return _append(idf, {f"{c}_monthStart": F.trunc(F.col(c), "month") for c in ensure_list(list_of_cols)})
+
+
+def end_of_month(idf, list_of_cols):
+    return _append(idf, {f"{c}_monthEnd": F.last_day(F.col(c)) for c in ensure_list(list_of_cols)})
+
+
+def is_month_start(idf, list_of_cols):
+    return _append(idf, {f"{c}_isMonthStart": (F.dayofmonth(F.col(c)) == 1).cast("int") for c in ensure_list(list_of_cols)})
+
+
+def is_month_end(idf, list_of_cols):
+    return _append(
+        idf,
+        {f"{c}_isMonthEnd": (F.to_date(F.col(c)) == F.last_day(F.col(c))).cast("int") for c in ensure_list(list_of_cols)},
+    )
+
+
+def start_of_year(idf, list_of_cols):
+    return _append(idf, {f"{c}_yearStart": F.trunc(F.col(c), "year") for c in ensure_list(list_of_cols)})
+
+
+def end_of_year(idf, list_of_cols):
+    return _append(
+        idf,
+        {
+            f"{c}_yearEnd": F.to_date(
+                F.concat_ws("-", F.year(F.col(c)), F.lit("12"), F.lit("31"))
+            )
+            for c in ensure_list(list_of_cols)
+        },
+    )
+
+
+def is_year_start(idf, list_of_cols):
+    return _append(idf, {f"{c}_isYearStart": ((F.dayofyear(F.col(c))) == 1).cast("int") for c in ensure_list(list_of_cols)})
+
+
+def is_year_end(idf, list_of_cols):
+    return _append(
+        idf,
+        {f"{c}_isYearEnd": ((F.month(F.col(c)) == 12) & (F.dayofmonth(F.col(c)) == 31)).cast("int") for c in ensure_list(list_of_cols)},
+    )
+
+
+def start_of_quarter(idf, list_of_cols):
+    return _append(idf, {f"{c}_quarterStart": F.to_date(F.date_trunc("quarter", F.col(c))) for c in ensure_list(list_of_cols)})
+
+
+def end_of_quarter(idf, list_of_cols):
+    return _append(
+        idf,
+        {
+            f"{c}_quarterEnd": F.date_sub(
+                F.to_date(F.date_trunc("quarter", F.col(c)) + F.expr("INTERVAL 3 MONTH")), 1
+            )
+            for c in ensure_list(list_of_cols)
+        },
+    )
+
+
+def is_quarter_start(idf, list_of_cols):
+    return _append(
+        idf,
+        {f"{c}_isQuarterStart": (F.to_date(F.col(c)) == F.to_date(F.date_trunc("quarter", F.col(c)))).cast("int") for c in ensure_list(list_of_cols)},
+    )
+
+
+def is_quarter_end(idf, list_of_cols):
+    return _append(
+        idf,
+        {
+            f"{c}_isQuarterEnd": (
+                F.to_date(F.col(c))
+                == F.date_sub(F.to_date(F.date_trunc("quarter", F.col(c)) + F.expr("INTERVAL 3 MONTH")), 1)
+            ).cast("int")
+            for c in ensure_list(list_of_cols)
+        },
+    )
+
+
+def is_year_first_half(idf, list_of_cols):
+    return _append(idf, {f"{c}_isFirstHalf": F.month(F.col(c)).isin(list(range(1, 7))).cast("int") for c in ensure_list(list_of_cols)})
+
+
+def is_selected_hour(idf, list_of_cols, start_hour: int, end_hour: int):
+    hours = (
+        list(range(start_hour, end_hour + 1))
+        if start_hour <= end_hour
+        else list(range(start_hour, 24)) + list(range(0, end_hour + 1))
+    )
+    return _append(idf, {f"{c}_isSelectedHour": F.hour(F.col(c)).isin(hours).cast("int") for c in ensure_list(list_of_cols)})
+
+
+def is_leap_year(idf, list_of_cols):
+    """Calendar expression instead of the reference's UDF (datetime.py:1665)."""
+    def leap(c):
+        y = F.year(F.col(c))
+        return (((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)).cast("int")
+
+    return _append(idf, {f"{c}_isLeapYear": leap(c) for c in ensure_list(list_of_cols)})
+
+
+def is_weekend(idf, list_of_cols):
+    """Saturday/Sunday flag (Spark dayofweek: 1=Sunday, 7=Saturday;
+    reference: datetime.py:1711-1712)."""
+    return _append(idf, {f"{c}_isWeekend": F.dayofweek(F.col(c)).isin([1, 7]).cast("int") for c in ensure_list(list_of_cols)})
+
+
+# ---- aggregates over time -------------------------------------------------- #
+_AGG_FNS = {
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+    "mean": F.mean,
+    "median": lambda c: F.expr(f"percentile(`{c}`, 0.5)") if isinstance(c, str) else F.expr("percentile(x, 0.5)"),
+    "stddev": F.stddev,
+    "countDistinct": F.count_distinct,
+    "sumDistinct": F.sum_distinct,
+    "collect_list": F.collect_list,
+    "collect_set": F.collect_set,
+}
+
+
+def aggregator(
+    idf: DataFrame,
+    list_of_cols,
+    list_of_aggs,
+    time_col: str,
+    granularity_format: str = "yyyy-MM-dd",
+) -> DataFrame:
+    """groupBy(time bucket) + per-column aggregations
+    (reference: datetime.py:1721-1821).  One hash-agg shuffle keyed by the
+    bucket — partial aggregation handles the fan-in at scale."""
+    cols, aggs = ensure_list(list_of_cols), ensure_list(list_of_aggs)
+    bucket = F.date_format(F.col(time_col), granularity_format).alias(time_col)
+    exprs = []
+    for c in cols:
+        for a in aggs:
+            if a not in _AGG_FNS:
+                raise ValueError(f"unknown agg {a!r}")
+            if a == "median":
+                exprs.append(F.expr(f"percentile(`{c}`, 0.5)").alias(f"{c}_median"))
+            else:
+                exprs.append(_AGG_FNS[a](c).alias(f"{c}_{a}"))
+    return idf.groupBy(bucket).agg(*exprs)
+
+
+def window_aggregator(
+    idf: DataFrame,
+    list_of_cols,
+    list_of_aggs,
+    order_col: str,
+    window_type: str = "expanding",
+    window_size: int = 10,
+    partition_col: str | None = None,
+    tie_breaker_col: str | None = None,
+) -> DataFrame:
+    """Expanding / rolling window aggregates ordered by a timestamp
+    (reference: datetime.py:1824-1930).
+
+    A partition column is REQUIRED (the reference allows a global ordered
+    window — a single-partition bottleneck at scale, SURVEY §4).  Ordering
+    adds a tie-breaker column for determinism.
+    """
+    if not partition_col:
+        raise ValueError(
+            "window_aggregator requires partition_col: a global ordered window "
+            "serializes onto one task at scale"
+        )
+    cols, aggs = ensure_list(list_of_cols), ensure_list(list_of_aggs)
+    order = [F.col(order_col).asc()]
+    if tie_breaker_col:
+        order.append(F.col(tie_breaker_col).asc())
+    base = Window.partitionBy(partition_col).orderBy(*order)
+    if window_type == "expanding":
+        w = base.rowsBetween(Window.unboundedPreceding, 0)
+    elif window_type == "rolling":
+        w = base.rowsBetween(-(int(window_size) - 1), 0)
+    else:
+        raise ValueError("window_type must be expanding|rolling")
+    out = [F.col(c) for c in idf.columns]
+    for c in cols:
+        for a in aggs:
+            if a == "median":
+                raise ValueError("median not supported over row windows; use percentile on groups")
+            out.append(_AGG_FNS[a](c).over(w).alias(f"{c}_{a}_w"))
+    return idf.select(*out)
+
+
+def lagged_ts(
+    idf: DataFrame,
+    list_of_cols,
+    lag: int = 1,
+    output_type: str = "ts",
+    partition_col: str | None = None,
+    order_col: str | None = None,
+    tie_breaker_col: str | None = None,
+) -> DataFrame:
+    """Lag-k column (+ optional diff vs lag)
+    (reference: datetime.py:1933-2012).  Partitioned window required."""
+    if not partition_col:
+        raise ValueError("lagged_ts requires partition_col (single-partition hazard)")
+    cols = ensure_list(list_of_cols)
+    new = {}
+    for c in cols:
+        oc = order_col or c
+        order = [F.col(oc).asc()]
+        if tie_breaker_col:
+            order.append(F.col(tie_breaker_col).asc())
+        w = Window.partitionBy(partition_col).orderBy(*order)
+        lag_col = F.lag(F.col(c), lag).over(w)
+        new[f"{c}_lag{lag}"] = lag_col
+        if output_type == "ts_diff":
+            new[f"{c}_lag{lag}_diff"] = (
+                F.col(c).cast("double") - lag_col.cast("double")
+            )
+    return _append(idf, new)

@@ -421,6 +421,182 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-01'
 GROUP BY 1, 2"""
 
 
+# --------------------------------------------------------------------------- #
+# association & drift/stability oracles
+# --------------------------------------------------------------------------- #
+def correlation_sql() -> str:
+    import itertools
+
+    parts = [
+        f"SELECT '{c}' AS attribute1, '{c}' AS attribute2, 1.0 AS corr FROM (SELECT 1) one"
+        for c in LINEITEM_NUM
+    ]
+    for a, b in itertools.combinations(LINEITEM_NUM, 2):
+        parts.append(
+            f"SELECT '{a}', '{b}', round(corr({a}, {b}), 6) FROM lineitem"
+        )
+        parts.append(
+            f"SELECT '{b}', '{a}', round(corr({a}, {b}), 6) FROM lineitem"
+        )
+    return _union(parts)
+
+
+def _orders_iv_long() -> str:
+    """Shared IV/IG long CTE: equal-frequency-10 bin the numeric attrs on
+    orders, keep o_orderpriority raw; value as VARCHAR; y = (status='F')."""
+    num = ["o_custkey", "o_totalprice"]
+    parts = []
+    for c in num:
+        cuts = ", ".join(f"quantile_cont({c}, {i/10}) AS c{i}" for i in range(1, 10))
+        add = " + ".join(f"({c} > b.c{i})::INT" for i in range(1, 10))
+        parts.append(
+            f"SELECT '{c}' AS attribute, CAST(1 + {add} AS VARCHAR) AS value, "
+            f"(o_orderstatus = 'F')::INT AS y "
+            f"FROM orders, (SELECT {cuts} FROM orders) b"
+        )
+    parts.append(
+        "SELECT 'o_orderpriority', o_orderpriority, (o_orderstatus = 'F')::INT FROM orders"
+    )
+    return _union(parts)
+
+
+def iv_sql() -> str:
+    return f"""
+WITH longv AS ({_orders_iv_long()}),
+agg AS (SELECT attribute, value, sum(1 - y) AS l0, sum(y) AS l1 FROM longv GROUP BY 1, 2),
+tot AS (SELECT attribute, sum(l0) AS l0t, sum(l1) AS l1t FROM agg GROUP BY 1),
+woe AS (
+  SELECT a.attribute,
+         CASE WHEN a.l0 > 0 AND a.l1 > 0
+              THEN ln((CAST(a.l0 AS DOUBLE)/t.l0t)/(CAST(a.l1 AS DOUBLE)/t.l1t))
+              ELSE ln(((a.l0 + 0.5)/t.l0t)/((a.l1 + 0.5)/t.l1t)) END AS woe,
+         (CAST(a.l0 AS DOUBLE)/t.l0t - CAST(a.l1 AS DOUBLE)/t.l1t) AS diff
+  FROM agg a JOIN tot t ON a.attribute = t.attribute)
+SELECT attribute, round(sum(woe * diff), 6) AS iv FROM woe GROUP BY 1"""
+
+
+def ig_sql() -> str:
+    return f"""
+WITH longv AS ({_orders_iv_long()}),
+tot AS (SELECT avg(y) AS p FROM (SELECT (o_orderstatus = 'F')::INT AS y FROM orders) t),
+te AS (SELECT CASE WHEN p > 0 AND p < 1
+                   THEN -(p * log2(p) + (1 - p) * log2(1 - p)) ELSE 0.0 END AS h FROM tot),
+agg AS (SELECT attribute, value, sum(y) AS ev, count(*) AS n FROM longv GROUP BY 1, 2),
+attr_tot AS (SELECT attribute, sum(n) AS nt FROM agg GROUP BY 1),
+ent AS (
+  SELECT a.attribute,
+         CASE WHEN CAST(a.ev AS DOUBLE)/a.n > 0 AND CAST(a.ev AS DOUBLE)/a.n < 1
+              THEN -(CAST(a.n AS DOUBLE)/t.nt) *
+                   ((CAST(a.ev AS DOUBLE)/a.n) * log2(CAST(a.ev AS DOUBLE)/a.n)
+                    + (1 - CAST(a.ev AS DOUBLE)/a.n) * log2(1 - CAST(a.ev AS DOUBLE)/a.n))
+              ELSE 0.0 END AS e
+  FROM agg a JOIN attr_tot t ON a.attribute = t.attribute)
+SELECT attribute, round((SELECT h FROM te) - sum(e), 6) AS ig FROM ent GROUP BY 1"""
+
+
+DRIFT_CAT = ["l_returnflag", "l_linestatus"]
+
+
+def drift_sql() -> str:
+    num_parts_s, num_parts_t = [], []
+    for c in LINEITEM_NUM:
+        bexpr = f"CAST(CAST(greatest(1, least(10, floor(({c} - b.mn)/((b.mx - b.mn)/10)) + 1)) AS INT) AS VARCHAR)"
+        bounds = (
+            f"(SELECT CAST(min({c}) AS DOUBLE) AS mn, CAST(max({c}) AS DOUBLE) AS mx "
+            f"FROM lineitem WHERE l_orderkey % 2 = 0) b"
+        )
+        num_parts_s.append(
+            f"SELECT '{c}' AS attribute, COALESCE({bexpr}, '-1') AS bin "
+            f"FROM lineitem, {bounds} WHERE l_orderkey % 2 = 0"
+        )
+        num_parts_t.append(
+            f"SELECT '{c}' AS attribute, COALESCE({bexpr}, '-1') AS bin "
+            f"FROM lineitem, {bounds} WHERE l_orderkey % 2 = 1"
+        )
+    for c in DRIFT_CAT:
+        num_parts_s.append(
+            f"SELECT '{c}', COALESCE({c}, '-1') FROM lineitem WHERE l_orderkey % 2 = 0"
+        )
+        num_parts_t.append(
+            f"SELECT '{c}', COALESCE({c}, '-1') FROM lineitem WHERE l_orderkey % 2 = 1"
+        )
+    long_s = _union(num_parts_s)
+    long_t = _union(num_parts_t)
+    return f"""
+WITH ns AS (SELECT count(*) AS n FROM lineitem WHERE l_orderkey % 2 = 0),
+nt AS (SELECT count(*) AS n FROM lineitem WHERE l_orderkey % 2 = 1),
+long_s AS ({long_s}),
+long_t AS ({long_t}),
+p AS (SELECT attribute, bin, CAST(count(*) AS DOUBLE)/(SELECT n FROM ns) AS p FROM long_s GROUP BY 1, 2),
+q AS (SELECT attribute, bin, CAST(count(*) AS DOUBLE)/(SELECT n FROM nt) AS q FROM long_t GROUP BY 1, 2),
+xy AS (
+  SELECT COALESCE(p.attribute, q.attribute) AS attribute,
+         COALESCE(p.bin, q.bin) AS bin,
+         CASE WHEN p.p IS NULL OR p.p = 0 THEN 0.0001 ELSE p.p END AS p,
+         CASE WHEN q.q IS NULL OR q.q = 0 THEN 0.0001 ELSE q.q END AS q
+  FROM p FULL JOIN q ON p.attribute = q.attribute AND p.bin = q.bin),
+cum AS (
+  SELECT attribute, p, q,
+         sum(p) OVER (PARTITION BY attribute
+                      ORDER BY COALESCE(TRY_CAST(bin AS INT), 2147483647), bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         sum(q) OVER (PARTITION BY attribute
+                      ORDER BY COALESCE(TRY_CAST(bin AS INT), 2147483647), bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq
+  FROM xy)
+SELECT attribute,
+       round(sum((p - q) * ln(p/q)), 6) AS "PSI",
+       round((sum(p * ln(p/((p+q)/2))) + sum(q * ln(q/((p+q)/2))))/2, 6) AS "JSD",
+       round(sqrt(sum(pow(sqrt(p) - sqrt(q), 2))/2), 6) AS "HD",
+       round(max(abs(cp - cq)), 6) AS "KS",
+       (round(sum((p - q) * ln(p/q)), 6) > 0.1 OR
+        round((sum(p * ln(p/((p+q)/2))) + sum(q * ln(q/((p+q)/2))))/2, 6) > 0.1 OR
+        round(sqrt(sum(pow(sqrt(p) - sqrt(q), 2))/2), 6) > 0.1 OR
+        round(max(abs(cp - cq)), 6) > 0.1)::INT AS flagged
+FROM cum GROUP BY attribute"""
+
+
+STAB_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+STAB_YEARS = [1995, 1996, 1997, 1998, 1999, 2000]
+
+
+def stability_sql() -> str:
+    yr_filter = ", ".join(str(y) for y in STAB_YEARS)
+    per_parts = []
+    for c in STAB_COLS:
+        per_parts.append(f"""
+SELECT '{c}' AS attribute, s.y, s.mean, s.sd, s.kurt FROM (
+  SELECT yr.y, avg(v) AS mean, stddev_samp(v) AS sd,
+         avg(pow(v - m.mu, 4))/pow(avg(pow(v - m.mu, 2)), 2) AS kurt
+  FROM (SELECT year(l_shipdate) AS y, {c} AS v FROM lineitem
+        WHERE year(l_shipdate) IN ({yr_filter})) yr
+  JOIN (SELECT year(l_shipdate) AS y, avg({c}) AS mu FROM lineitem
+        WHERE year(l_shipdate) IN ({yr_filter}) GROUP BY 1) m ON yr.y = m.y
+  GROUP BY yr.y) s""")
+    periods = _union(per_parts)
+    return f"""
+WITH periods AS ({periods}),
+cvs AS (
+  SELECT attribute,
+         round(stddev_samp(mean)/avg(mean), 6) AS mean_cv,
+         round(stddev_samp(sd)/avg(sd), 6) AS stddev_cv,
+         round(stddev_samp(kurt)/avg(kurt), 6) AS kurtosis_cv
+  FROM periods GROUP BY 1),
+scored AS (
+  SELECT attribute, mean_cv, stddev_cv, kurtosis_cv,
+         CASE WHEN abs(mean_cv) < 0.03 THEN 4.0 WHEN abs(mean_cv) < 0.1 THEN 3.0
+              WHEN abs(mean_cv) < 0.2 THEN 2.0 WHEN abs(mean_cv) < 0.5 THEN 1.0 ELSE 0.0 END AS mean_si,
+         CASE WHEN abs(stddev_cv) < 0.03 THEN 4.0 WHEN abs(stddev_cv) < 0.1 THEN 3.0
+              WHEN abs(stddev_cv) < 0.2 THEN 2.0 WHEN abs(stddev_cv) < 0.5 THEN 1.0 ELSE 0.0 END AS stddev_si,
+         CASE WHEN abs(kurtosis_cv) < 0.03 THEN 4.0 WHEN abs(kurtosis_cv) < 0.1 THEN 3.0
+              WHEN abs(kurtosis_cv) < 0.2 THEN 2.0 WHEN abs(kurtosis_cv) < 0.5 THEN 1.0 ELSE 0.0 END AS kurtosis_si
+  FROM cvs)
+SELECT attribute, mean_cv, stddev_cv, kurtosis_cv, mean_si, stddev_si, kurtosis_si,
+       round(mean_si * 0.5 + stddev_si * 0.3 + kurtosis_si * 0.2, 4) AS stability_index,
+       (round(mean_si * 0.5 + stddev_si * 0.3 + kurtosis_si * 0.2, 4) < 1.0)::INT AS flagged
+FROM scored"""
+
+
 def registry() -> dict[str, str]:
     return {
         "global_summary": global_summary_sql(),
@@ -447,4 +623,9 @@ def registry() -> dict[str, str]:
         "outlier_categories": outlier_categories_sql(),
         "feature_transformation": feature_math_sql(),
         "q1_pricing_summary": q1_pricing_sql(),
+        "correlation_matrix": correlation_sql(),
+        "iv_calculation": iv_sql(),
+        "ig_calculation": ig_sql(),
+        "drift_statistics": drift_sql(),
+        "stability_index": stability_sql(),
     }

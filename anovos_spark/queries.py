@@ -304,6 +304,62 @@ def q1_pricing_summary(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------- #
+# association & drift/stability
+# --------------------------------------------------------------------------- #
+IV_COLS = ["o_custkey", "o_totalprice", "o_orderpriority"]
+STAB_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+STAB_YEARS = [1995, 1996, 1997, 1998, 1999, 2000]
+
+
+def q_correlation(spark, sf_dir):
+    from anovos_spark.operators.association import correlation_matrix
+
+    return correlation_matrix(table(spark, sf_dir, "lineitem"), LINEITEM_NUM)
+
+
+def q_iv(spark, sf_dir):
+    from anovos_spark.operators.association import iv_calculation
+
+    return iv_calculation(
+        table(spark, sf_dir, "orders"),
+        "o_orderstatus",
+        "F",
+        IV_COLS,
+        exact=_exact(),
+    )
+
+
+def q_ig(spark, sf_dir):
+    from anovos_spark.operators.association import ig_calculation
+
+    return ig_calculation(
+        table(spark, sf_dir, "orders"),
+        "o_orderstatus",
+        "F",
+        IV_COLS,
+        exact=_exact(),
+    )
+
+
+def q_drift(spark, sf_dir):
+    from anovos_spark.operators.drift import drift_statistics
+
+    li = table(spark, sf_dir, "lineitem")
+    source = li.where(F.col("l_orderkey") % 2 == 0)
+    target = li.where(F.col("l_orderkey") % 2 == 1)
+    cols = LINEITEM_NUM + ["l_returnflag", "l_linestatus"]
+    return drift_statistics(target, source, cols, exact=_exact())
+
+
+def q_stability(spark, sf_dir):
+    from anovos_spark.operators.drift import stability_index_computation
+
+    li = table(spark, sf_dir, "lineitem")
+    periods = [li.where(F.year("l_shipdate") == y) for y in STAB_YEARS]
+    return stability_index_computation(periods, STAB_COLS)
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_summary": q_global_summary,
@@ -330,4 +386,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_categories": q_outlier_categories,
         "feature_transformation": q_feature_math,
         "q1_pricing_summary": q1_pricing_summary,
+        "correlation_matrix": q_correlation,
+        "iv_calculation": q_iv,
+        "ig_calculation": q_ig,
+        "drift_statistics": q_drift,
+        "stability_index": q_stability,
     }
