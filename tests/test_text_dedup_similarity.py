@@ -1,0 +1,114 @@
+import pytest
+from pyspark.sql import functions as F
+
+from anovos_spark.operators import dedup as DD
+from anovos_spark.operators import multimodal as MM
+from anovos_spark.operators import similarity as SIM
+from anovos_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "The  quick brown fox jumps over the lazy dog"),  # exact dup of 1 after norm
+        (4, "completely different content about spark engines"),
+        (5, "el rio de la plata es un lugar en la costa"),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_text_statistics(docs):
+    d = {r["doc_id"]: r for r in TX.text_statistics(docs).collect()}
+    assert d[1]["n_tokens"] == 9
+    assert d[1]["punct_ratio"] == 0.0
+    assert d[3]["n_tokens"] == 9  # double space not a token
+
+
+def test_quality_score(docs):
+    d = {r["doc_id"]: r for r in TX.quality_score(docs).collect()}
+    assert d[1]["keep"] == 1
+    assert d[5]["stopword_ratio"] == 0.0  # spanish text, english stopwords
+
+
+def test_language_id(docs):
+    d = {r["doc_id"]: r["pred_lang"] for r in TX.language_id(docs).collect()}
+    assert d[1] == "en"
+    assert d[5] == "es"
+
+
+def test_exact_dedup(docs):
+    odf, stats = DD.exact_dedup(docs, treatment=True)
+    groups = stats.collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+    assert groups[0]["keep_id"] == 1
+    kept = {r["doc_id"] for r in odf.collect()}
+    assert kept == {1, 2, 4, 5}  # 3 deduped against 1
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # identical after norm
+    assert (1, 2) in pairs and 0.5 < pairs[(1, 2)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_vs_exact(docs):
+    mh = {(r["id_a"], r["id_b"]) for r in DD.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert mh <= exact  # LSH never invents pairs (verified by exact jaccard)
+    assert (1, 3) in mh  # identical docs always collide in every band
+
+
+def test_simhash(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in DD.simhash_pairs(docs, max_distance=0).collect()}
+    assert pairs.get((1, 3)) == 0  # same tokens → same simhash
+    sigs = {r["id"]: r["simhash"] for r in DD.simhash_signatures(docs).collect()}
+    ham = lambda a, b: bin(sigs[a] ^ sigs[b]).count("1")  # noqa: E731
+    assert ham(1, 2) < ham(1, 4)  # near-dup closer than unrelated doc
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    out = SIM.brute_force_topk(emb, emb.where(F.col("vec_id") == 1), k=3)
+    ranked = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert ranked == [2, 3, 4]  # by cosine: 0.99.., 0.0, -1.0
+
+
+def test_lsh_topk_contains_close_neighbor(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    rows.append((100, [1.0, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    out = SIM.lsh_bucket_topk(emb, emb.where(F.col("vec_id") == 100), k=3, n_bits=4, n_tables=8)
+    neigh = [r["neighbor_id"] for r in out.collect()]
+    assert 0 in neigh  # the nearly-parallel vector lands in a shared bucket
+
+
+def test_media_metadata(docs, spark):
+    bin_df = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    out = {r["id"]: r for r in MM.media_metadata(bin_df, "blob", "doc_id").collect()}
+    assert out[1]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert out[1]["format"] == "unknown"
+    jpeg = spark.createDataFrame(
+        [(9, bytearray(b"\xff\xd8\xff\xe0rest"))], schema="doc_id long, blob binary"
+    )
+    r = MM.media_metadata(jpeg, "blob", "doc_id").collect()[0]
+    assert r["format"] == "jpeg"
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 200000))], schema="doc_id long, blob binary"
+    )
+    out = MM.frame_sample_plan(df, "blob", "doc_id", every_n_bytes=65536, max_samples=8)
+    rows = out.collect()
+    assert len(rows) == 3  # 200000 // 65536 = 3 samples
+    assert {r["byte_offset"] for r in rows} == {0, 65536, 131072}
