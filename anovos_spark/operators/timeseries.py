@@ -1,0 +1,218 @@
+"""Timeseries auto-detection & analysis.
+
+Reference parity: data_ingest/ts_auto_detection.py (regex_date_time_parser
+:51-552, ts_loop_cols_pre :554-620, ts_preprocess :622-761) and
+data_analyzer/ts_analyzer.py (daypart_cat :52, ts_processed_feats :87,
+ts_eligiblity_check :160-257, ts_viz_data :259-550).
+
+Design change (SURVEY §7.7): the reference classifies datetime strings with
+a ~500-line regex grammar inside a UDF.  Here detection is a FORMAT VOTE:
+for each candidate column, try a fixed battery of `to_timestamp(c, fmt)`
+expressions and measure parse-success rates in ONE aggregation pass; the
+winning format (success ≥ threshold) is used to convert.  Same outcome,
+pure Catalyst, no UDF, one job for all columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from anovos_spark.core.utils import ensure_list
+
+# candidate formats, ordered by specificity (first winning format is used;
+# covers the reference grammar's length-{4,6,8,10,13} families)
+CANDIDATE_FORMATS = [
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd",
+    "yyyy/MM/dd HH:mm:ss",
+    "yyyy/MM/dd",
+    "dd-MM-yyyy HH:mm:ss",
+    "dd-MM-yyyy",
+    "dd/MM/yyyy HH:mm:ss",
+    "dd/MM/yyyy",
+    "MM-dd-yyyy",
+    "MM/dd/yyyy",
+    "yyyyMMdd",
+    "yyyyMMddHHmmss",
+    "yyyy-MM",
+    "yyyyMM",
+]
+
+
+def ts_candidate_columns(idf: DataFrame) -> list[str]:
+    """Columns worth probing: strings plus integer columns whose values look
+    like yyyymmdd / epoch (reference: ts_auto_detection.py:554-620)."""
+    cands = []
+    for name, dtype in idf.dtypes:
+        if dtype == "string" or dtype in ("int", "bigint", "long"):
+            cands.append(name)
+        elif dtype in ("timestamp", "date"):
+            cands.append(name)
+    return cands
+
+
+def ts_format_vote(
+    idf: DataFrame,
+    list_of_cols=None,
+    formats: list[str] | None = None,
+    success_threshold: float = 0.8,
+) -> dict[str, str]:
+    """Detect the datetime format of each candidate column by parse-rate
+    vote — ONE aggregation job over all (column, format) pairs.
+
+    Returns {col: fmt} for columns where some format parses ≥ threshold of
+    non-null values ('native' for already-temporal columns).
+    """
+    formats = formats or CANDIDATE_FORMATS
+    cols = ensure_list(list_of_cols) if list_of_cols else ts_candidate_columns(idf)
+    dtypes = dict(idf.dtypes)
+
+    result: dict[str, str] = {}
+    aggs = []
+    probe_cols = []
+    for c in cols:
+        if dtypes.get(c) in ("timestamp", "date"):
+            result[c] = "native"
+            continue
+        probe_cols.append(c)
+        s = F.col(c).cast("string")
+        aggs.append(F.count(s).alias(f"{c}__nn"))
+        for i, fmt in enumerate(formats):
+            parsed = F.try_to_timestamp(s, F.lit(fmt))
+            aggs.append(F.count(parsed).alias(f"{c}__f{i}"))
+    if not probe_cols:
+        return result
+    row = idf.agg(*aggs).collect()[0]
+    for c in probe_cols:
+        nn = row[f"{c}__nn"] or 0
+        if nn == 0:
+            continue
+        for i, fmt in enumerate(formats):
+            if (row[f"{c}__f{i}"] or 0) >= success_threshold * nn:
+                result[c] = fmt
+                break
+    return result
+
+
+def ts_preprocess(
+    idf: DataFrame, detected: dict[str, str] | None = None
+) -> tuple[DataFrame, dict[str, str]]:
+    """Convert every detected datetime column to TimestampType
+    (reference: ts_auto_detection.py:622-761).  Returns (odf, formats)."""
+    detected = detected or ts_format_vote(idf)
+    odf = idf
+    for c, fmt in detected.items():
+        if fmt == "native":
+            continue
+        odf = odf.withColumn(
+            c, F.try_to_timestamp(F.col(c).cast("string"), F.lit(fmt))
+        )
+    return odf, detected
+
+
+def daypart_cat(hour_col) -> F.Column:
+    """Hour → daypart bucket (reference: ts_analyzer.py:52-84) — F.when
+    chain instead of the reference's UDF."""
+    h = F.col(hour_col) if isinstance(hour_col, str) else hour_col
+    return (
+        F.when((h >= 4) & (h < 7), "early_hours")
+        .when((h >= 7) & (h < 10), "morning")
+        .when((h >= 10) & (h < 14), "late_morning")
+        .when((h >= 14) & (h < 17), "afternoon")
+        .when((h >= 17) & (h < 20), "evening")
+        .otherwise("night")
+    )
+
+
+def ts_processed_feats(idf: DataFrame, ts_col: str) -> DataFrame:
+    """All time units + date + daypart + weekend flag
+    (reference: ts_analyzer.py:87-158)."""
+    from anovos_spark.operators.datetime_ops import time_units_extraction
+
+    odf = time_units_extraction(idf, [ts_col])
+    return odf.select(
+        *odf.columns,
+        F.to_date(F.col(ts_col)).alias(f"{ts_col}_date"),
+        daypart_cat(f"{ts_col}_hour").alias(f"{ts_col}_daypart"),
+        F.dayofweek(F.col(ts_col)).isin([1, 7]).cast("int").alias(f"{ts_col}_weekend"),
+    )
+
+
+def ts_eligibility_check(
+    idf: DataFrame, ts_col: str, id_col: str | None = None
+) -> DataFrame:
+    """Regularity metrics for a timestamp column: lag-1 day-gap mean /
+    stddev / coefficient-of-variation, span, distinct dates
+    (reference: ts_analyzer.py:160-257).  [metric, value] frame.
+
+    Gap stats run over per-id windows when id_col is given (partitioned —
+    no global window)."""
+    d = F.to_date(F.col(ts_col))
+    if id_col:
+        w = Window.partitionBy(id_col).orderBy(d)
+    else:
+        # date-level gaps: aggregate to distinct dates first (bounded size),
+        # then a single-partition window over dates is safe
+        w = Window.orderBy("d")
+    if id_col:
+        gaps = idf.select(
+            F.datediff(d, F.lag(d, 1).over(w)).alias("gap")
+        ).where(F.col("gap").isNotNull())
+    else:
+        dates = idf.select(d.alias("d")).distinct()
+        gaps = dates.select(
+            F.datediff(F.col("d"), F.lag("d", 1).over(w)).alias("gap")
+        ).where(F.col("gap").isNotNull())
+    agg = idf.agg(
+        F.count_distinct(d).alias("n_dates"),
+        F.min(d).alias("min_date"),
+        F.max(d).alias("max_date"),
+    ).collect()[0]
+    g = gaps.agg(
+        F.round(F.mean("gap"), 6).alias("gap_mean"),
+        F.round(F.stddev("gap"), 6).alias("gap_stddev"),
+    ).collect()[0]
+    cov = (
+        round(g["gap_stddev"] / g["gap_mean"], 6)
+        if g["gap_mean"] and g["gap_stddev"] is not None
+        else None
+    )
+    spark = idf.sparkSession
+    data = [
+        ("n_dates", float(agg["n_dates"])),
+        ("span_days", float((agg["max_date"] - agg["min_date"]).days)),
+        ("gap_mean", g["gap_mean"]),
+        ("gap_stddev", g["gap_stddev"]),
+        ("gap_cov", cov),
+    ]
+    return spark.createDataFrame(data, schema="metric string, value double")
+
+
+def ts_analyzer(
+    idf: DataFrame, ts_col: str, value_col: str
+) -> DataFrame:
+    """Aggregates per (date, hour, daypart, weekend) for reporting
+    (reference: ts_viz_data / ts_analyzer, ts_analyzer.py:259-550) —
+    one groupBy per granularity, union-ed long."""
+    from anovos_spark.core.utils import union_by_name
+
+    feats = ts_processed_feats(idf, ts_col)
+    frames = []
+    for key, alias in [
+        (F.col(f"{ts_col}_date").cast("string"), "date"),
+        (F.col(f"{ts_col}_hour").cast("string"), "hour"),
+        (F.col(f"{ts_col}_daypart"), "daypart"),
+        (F.col(f"{ts_col}_weekend").cast("string"), "weekend"),
+    ]:
+        frames.append(
+            feats.groupBy(key.alias("key"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.mean(value_col), 6).alias("value_mean"),
+            )
+            .withColumn("granularity", F.lit(alias))
+        )
+    return union_by_name(frames).select("granularity", "key", "n_rows", "value_mean")

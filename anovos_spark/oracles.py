@@ -842,6 +842,152 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10"""
 
 
+# --------------------------------------------------------------------------- #
+# geospatial & timeseries-detection oracles
+# --------------------------------------------------------------------------- #
+_COORDS = """(SELECT c_custkey, c_nationkey,
+   CAST(c_custkey % 170 AS DOUBLE) - 85.0 + 0.25 AS lat,
+   CAST(c_custkey % 360 AS DOUBLE) - 180.0 + 0.5 AS lon,
+   CAST(c_nationkey * 7 % 170 AS DOUBLE) - 85.0 AS lat2,
+   CAST(c_nationkey * 13 % 360 AS DOUBLE) - 180.0 AS lon2
+ FROM customer)"""
+
+
+def _hav(lat1, lon1, lat2, lon2):
+    return (
+        f"2*6371.0088*asin(least(1.0, sqrt("
+        f"pow(sin(radians({lat2} - {lat1})/2), 2) + "
+        f"cos(radians({lat1}))*cos(radians({lat2}))*"
+        f"pow(sin(radians({lon2} - {lon1})/2), 2))))"
+    )
+
+
+def geo_distance_sql() -> str:
+    d = _hav("lat", "lon", "lat2", "lon2")
+    return f"""
+SELECT c_nationkey, count(*)::BIGINT AS n,
+       round(avg({d}), 6) AS avg_dist_km,
+       round(min({d}), 6) AS min_dist_km,
+       round(max({d}), 6) AS max_dist_km
+FROM {_COORDS} pts GROUP BY 1"""
+
+
+def geohash_sql() -> str:
+    # precision 6 → 30 bits: lon gets 15 (even global bits), lat gets 15
+    lon_bits, lat_bits = 15, 15
+    lon_q = f"CAST(least({2**lon_bits - 1}, floor((lon + 180.0)/360.0*{float(2**lon_bits)})) AS BIGINT)"
+    lat_q = f"CAST(least({2**lat_bits - 1}, floor((lat + 90.0)/180.0*{float(2**lat_bits)})) AS BIGINT)"
+
+    def bit(i: int) -> str:
+        if i % 2 == 0:
+            return f"((lq >> {lon_bits - 1 - i // 2}) & 1)"
+        return f"((tq >> {lat_bits - 1 - i // 2}) & 1)"
+
+    chars = []
+    for k in range(6):
+        val = " + ".join(f"{bit(5 * k + j)} * {2 ** (4 - j)}" for j in range(5))
+        chars.append(
+            f"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(({val}) AS INT) + 1, 1)"
+        )
+    gh = " || ".join(chars)
+    return f"""
+WITH q AS (SELECT {lon_q} AS lq, {lat_q} AS tq FROM {_COORDS} pts)
+SELECT substr({gh}, 1, 3) AS gh3, count(*)::BIGINT AS cnt FROM q GROUP BY 1"""
+
+
+def centroid_rog_sql() -> str:
+    d = _hav("p.lat", "p.lon", "c.lat_c", "c.lon_c")
+    return f"""
+WITH pts AS (SELECT * FROM {_COORDS} t),
+agg AS (SELECT c_nationkey,
+          sum(cos(radians(lat))*cos(radians(lon))*1.0) AS sx,
+          sum(cos(radians(lat))*sin(radians(lon))*1.0) AS sy,
+          sum(sin(radians(lat))*1.0) AS sz,
+          sum(1.0) AS sw
+        FROM pts GROUP BY 1),
+cent AS (SELECT c_nationkey,
+           degrees(atan2(sz/sw, sqrt((sx/sw)*(sx/sw) + (sy/sw)*(sy/sw)))) AS lat_c,
+           degrees(atan2(sy/sw, sx/sw)) AS lon_c
+         FROM agg),
+rog AS (SELECT p.c_nationkey, round(avg({d}), 6) AS rog_km
+        FROM pts p JOIN cent c ON p.c_nationkey = c.c_nationkey GROUP BY 1)
+SELECT c.c_nationkey, round(c.lat_c, 6) AS lat_centroid,
+       round(c.lon_c, 6) AS lon_centroid, r.rog_km
+FROM cent c JOIN rog r ON c.c_nationkey = r.c_nationkey"""
+
+
+# Java datetime pattern → strptime equivalent, SAME order as
+# timeseries.CANDIDATE_FORMATS (the vote picks the first winner)
+_FMT_MAP = [
+    ("yyyy-MM-dd HH:mm:ss.SSSSSS", "%Y-%m-%d %H:%M:%S.%f"),
+    ("yyyy-MM-dd HH:mm:ss", "%Y-%m-%d %H:%M:%S"),
+    ("yyyy-MM-dd'T'HH:mm:ss", "%Y-%m-%dT%H:%M:%S"),
+    ("yyyy-MM-dd", "%Y-%m-%d"),
+    ("yyyy/MM/dd HH:mm:ss", "%Y/%m/%d %H:%M:%S"),
+    ("yyyy/MM/dd", "%Y/%m/%d"),
+    ("dd-MM-yyyy HH:mm:ss", "%d-%m-%Y %H:%M:%S"),
+    ("dd-MM-yyyy", "%d-%m-%Y"),
+    ("dd/MM/yyyy HH:mm:ss", "%d/%m/%Y %H:%M:%S"),
+    ("dd/MM/yyyy", "%d/%m/%Y"),
+    ("MM-dd-yyyy", "%m-%d-%Y"),
+    ("MM/dd/yyyy", "%m/%d/%Y"),
+    ("yyyyMMdd", "%Y%m%d"),
+    ("yyyyMMddHHmmss", "%Y%m%d%H%M%S"),
+    ("yyyy-MM", "%Y-%m"),
+    ("yyyyMM", "%Y%m"),
+]
+
+
+def ts_format_vote_sql() -> str:
+    cols = ["compact_str", "euro_str", "iso_str", "not_a_date"]
+    src = """(SELECT strftime(o_orderdate, '%Y-%m-%d') AS iso_str,
+        strftime(o_orderdate, '%Y%m%d') AS compact_str,
+        strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS euro_str,
+        o_orderpriority AS not_a_date FROM orders)"""
+    parts = []
+    for c in cols:
+        branches = " ".join(
+            "WHEN count(try_strptime({c}, '{sp}')) >= 0.8*count({c}) THEN '{j}'".format(
+                c=c, sp=sp, j=java.replace("'", "''")
+            )
+            for java, sp in _FMT_MAP
+        )
+        parts.append(
+            f"SELECT '{c}' AS attribute, (SELECT CASE {branches} END FROM {src} s) AS fmt"
+        )
+    return (
+        "SELECT attribute, fmt FROM (\n"
+        + _union(parts)
+        + "\n) v WHERE fmt IS NOT NULL"
+    )
+
+
+def ts_eligibility_sql() -> str:
+    return """
+WITH dd AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+g AS (SELECT date_diff('day', lag(d) OVER (ORDER BY d), d) AS gap FROM dd),
+gs AS (SELECT round(avg(gap), 6) AS m, round(stddev_samp(gap), 6) AS s
+       FROM g WHERE gap IS NOT NULL)
+SELECT 'n_dates' AS metric, (SELECT count(*) FROM dd)::DOUBLE AS value
+UNION ALL SELECT 'span_days', (SELECT date_diff('day', min(d), max(d)) FROM dd)::DOUBLE
+UNION ALL SELECT 'gap_mean', (SELECT m FROM gs)
+UNION ALL SELECT 'gap_stddev', (SELECT s FROM gs)
+UNION ALL SELECT 'gap_cov', (SELECT CASE WHEN m IS NOT NULL AND m != 0 AND s IS NOT NULL
+                                    THEN round(s/m, 6) END FROM gs)"""
+
+
+def daypart_sql() -> str:
+    return """
+SELECT CASE WHEN hour(ts) >= 4 AND hour(ts) < 7 THEN 'early_hours'
+            WHEN hour(ts) >= 7 AND hour(ts) < 10 THEN 'morning'
+            WHEN hour(ts) >= 10 AND hour(ts) < 14 THEN 'late_morning'
+            WHEN hour(ts) >= 14 AND hour(ts) < 17 THEN 'afternoon'
+            WHEN hour(ts) >= 17 AND hour(ts) < 20 THEN 'evening'
+            ELSE 'night' END AS daypart,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1"""
+
+
 def registry() -> dict[str, str]:
     return {
         "global_summary": global_summary_sql(),
@@ -888,4 +1034,10 @@ def registry() -> dict[str, str]:
         "lagged_ts": lagged_ts_sql(),
         "join_enrich": join_enrich_sql(),
         "q3_shipping_priority": q3_sql(),
+        "geo_distance": geo_distance_sql(),
+        "geohash_encode": geohash_sql(),
+        "geo_centroid_rog": centroid_rog_sql(),
+        "ts_format_vote": ts_format_vote_sql(),
+        "ts_eligibility": ts_eligibility_sql(),
+        "ts_daypart": daypart_sql(),
     }

@@ -549,6 +549,91 @@ def q3_shipping_priority(spark, sf_dir):
     return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
 
 
+# --------------------------------------------------------------------------- #
+# geospatial & timeseries-detection queries (coords synthesized from keys so
+# the DuckDB oracle reproduces them bit-for-bit)
+# --------------------------------------------------------------------------- #
+def _cust_coords(spark, sf_dir):
+    cu = table(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        "c_nationkey",
+        ((F.col("c_custkey") % 170).cast("double") - 85.0 + 0.25).alias("lat"),
+        ((F.col("c_custkey") % 360).cast("double") - 180.0 + 0.5).alias("lon"),
+        ((F.col("c_nationkey") * 7 % 170).cast("double") - 85.0).alias("lat2"),
+        ((F.col("c_nationkey") * 13 % 360).cast("double") - 180.0).alias("lon2"),
+    )
+
+
+def q_geo_distance(spark, sf_dir):
+    from anovos_spark.operators.geospatial import location_distance
+
+    df = location_distance(_cust_coords(spark, sf_dir), "lat", "lon", "lat2", "lon2")
+    return df.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("distance_km"), 6).alias("avg_dist_km"),
+        F.round(F.min("distance_km"), 6).alias("min_dist_km"),
+        F.round(F.max("distance_km"), 6).alias("max_dist_km"),
+    )
+
+
+def q_geohash(spark, sf_dir):
+    from anovos_spark.operators.geospatial import geohash_encode
+
+    df = geohash_encode(_cust_coords(spark, sf_dir), "lat", "lon", precision=6)
+    return (
+        df.select(F.substring("geohash", 1, 3).alias("gh3"))
+        .groupBy("gh3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_centroid_rog(spark, sf_dir):
+    from anovos_spark.operators.geospatial import centroid, rog_calculation
+
+    df = _cust_coords(spark, sf_dir)
+    cent = centroid(df, "c_nationkey", "lat", "lon")
+    rog = rog_calculation(df, "c_nationkey", "lat", "lon")
+    return cent.join(rog, "c_nationkey").select(
+        "c_nationkey",
+        F.round("lat_centroid", 6).alias("lat_centroid"),
+        F.round("lon_centroid", 6).alias("lon_centroid"),
+        "rog_km",
+    )
+
+
+def q_ts_format_vote(spark, sf_dir):
+    from anovos_spark.operators.timeseries import ts_format_vote
+
+    od = table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_str"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("compact_str"),
+        F.date_format("o_orderdate", "dd/MM/yyyy HH:mm:ss").alias("euro_str"),
+        F.col("o_orderpriority").alias("not_a_date"),
+    )
+    votes = ts_format_vote(od)
+    rows = sorted(votes.items())
+    return spark.createDataFrame(rows, schema="attribute string, fmt string")
+
+
+def q_ts_eligibility(spark, sf_dir):
+    from anovos_spark.operators.timeseries import ts_eligibility_check
+
+    ev = table(spark, sf_dir, "events")
+    return ts_eligibility_check(ev, "ts")
+
+
+def q_daypart(spark, sf_dir):
+    from anovos_spark.operators.timeseries import daypart_cat
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(daypart_cat(F.hour("ts")).alias("daypart"))
+        .groupBy("daypart")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_summary": q_global_summary,
@@ -595,4 +680,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lagged_ts": q_lagged_ts,
         "join_enrich": q_join_enrich,
         "q3_shipping_priority": q3_shipping_priority,
+        "geo_distance": q_geo_distance,
+        "geohash_encode": q_geohash,
+        "geo_centroid_rog": q_centroid_rog,
+        "ts_format_vote": q_ts_format_vote,
+        "ts_eligibility": q_ts_eligibility,
+        "ts_daypart": q_daypart,
     }

@@ -1,0 +1,120 @@
+import pytest
+from pyspark.sql import functions as F
+
+from anovos_spark.operators import geospatial as GEO
+from anovos_spark.operators import timeseries as TS
+
+
+@pytest.fixture(scope="module")
+def geo_df(spark):
+    rows = [
+        (1, 48.8566, 2.3522),    # Paris
+        (1, 51.5074, -0.1278),   # London
+        (2, 40.7128, -74.0060),  # NYC
+        (2, 40.7306, -73.9352),  # NYC (close)
+    ]
+    return spark.createDataFrame(rows, schema="uid int, lat double, lon double")
+
+
+def test_haversine(spark):
+    df = spark.createDataFrame(
+        [(48.8566, 2.3522, 51.5074, -0.1278)], schema="a double, b double, c double, d double"
+    )
+    out = GEO.location_distance(df, "a", "b", "c", "d").collect()[0]
+    assert abs(out["distance_km"] - 343.5) < 2.0  # Paris-London ≈ 343-344 km
+
+
+def test_geohash_encode(spark):
+    df = spark.createDataFrame([(57.64911, 10.40744)], schema="lat double, lon double")
+    out = GEO.geohash_encode(df, "lat", "lon", precision=11).collect()[0]
+    assert out["geohash"] == "u4pruydqqvj"  # canonical test vector
+    out5 = GEO.geohash_precision_control(
+        GEO.geohash_encode(df, "lat", "lon", precision=11), "geohash", 5
+    ).collect()[0]
+    assert out5["geohash"] == "u4pru"
+
+
+def test_centroid_and_rog(geo_df):
+    cent = {r["uid"]: r for r in GEO.centroid(geo_df, "uid", "lat", "lon").collect()}
+    assert 40.70 < cent[2]["lat_centroid"] < 40.74
+    rog = {r["uid"]: r["rog_km"] for r in GEO.rog_calculation(geo_df, "uid", "lat", "lon").collect()}
+    assert rog[1] > 100  # Paris↔London spread
+    assert rog[2] < 10   # two NYC points
+
+
+def test_point_in_polygon(spark):
+    square = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]
+    df = spark.createDataFrame(
+        [(5.0, 5.0), (15.0, 5.0), (-1.0, 5.0)], schema="lat double, lon double"
+    )
+    out = [r["in_polygon"] for r in GEO.location_in_polygon(df, "lat", "lon", square).collect()]
+    assert out == [True, False, False]
+
+
+def test_cartesian_roundtrip(spark):
+    df = spark.createDataFrame([(45.0, 90.0)], schema="lat double, lon double")
+    r = GEO.geo_format_cartesian(df, "lat", "lon").collect()[0]
+    assert abs(r["loc_x"]) < 1e-9  # cos(45)*cos(90) = 0
+    assert abs(r["loc_y"] - 0.7071067811865476) < 1e-9
+
+
+def test_ts_format_vote(spark):
+    df = spark.createDataFrame(
+        [("2024-01-15", "15/01/2024 10:30:00", "20240115", "not a date", 7),
+         ("2024-02-20", "20/02/2024 11:00:00", "20240220", "nope", 8)],
+        schema="iso string, euro string, compact string, junk string, num int",
+    )
+    fmts = TS.ts_format_vote(df)
+    assert fmts["iso"] == "yyyy-MM-dd"
+    assert fmts["euro"] == "dd/MM/yyyy HH:mm:ss"
+    assert fmts["compact"] == "yyyyMMdd"
+    assert "junk" not in fmts
+    odf, _ = TS.ts_preprocess(df, fmts)
+    assert dict(odf.dtypes)["iso"] == "timestamp"
+    assert odf.where(F.col("iso").isNull()).count() == 0
+
+
+def test_daypart_and_feats(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 6, 8, 0), 1.0),
+         (datetime.datetime(2024, 1, 8, 23, 0), 2.0)],
+        schema="ts timestamp, v double",
+    )
+    out = {str(r["ts"]): r for r in TS.ts_processed_feats(df, "ts").collect()}
+    assert out["2024-01-06 08:00:00"]["ts_daypart"] == "morning"
+    assert out["2024-01-06 08:00:00"]["ts_weekend"] == 1  # Saturday
+    assert out["2024-01-08 23:00:00"]["ts_daypart"] == "night"
+
+
+def test_ts_eligibility(spark):
+    import datetime
+
+    rows = [(datetime.datetime(2024, 1, d, 0, 0),) for d in range(1, 11)]
+    df = spark.createDataFrame(rows, schema="ts timestamp")
+    d = {r["metric"]: r["value"] for r in TS.ts_eligibility_check(df, "ts").collect()}
+    assert d["n_dates"] == 10
+    assert d["gap_mean"] == 1.0
+    assert d["gap_stddev"] == 0.0
+
+
+def test_ts_analyzer(spark):
+    import datetime
+
+    rows = [(datetime.datetime(2024, 1, 1 + i % 3, 6 + i % 12, 0), float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, schema="ts timestamp, v double")
+    out = TS.ts_analyzer(df, "ts", "v")
+    grans = {r["granularity"] for r in out.collect()}
+    assert grans == {"date", "hour", "daypart", "weekend"}
+
+
+def test_kmeans_clusters(geo_df):
+    odf, costs = GEO.geo_cluster_analysis(geo_df, "lat", "lon", max_k=2)
+    assert "cluster" in odf.columns
+    assert len(costs) == 1  # k=2 only
+    clusters = {r["uid"]: set() for r in odf.collect()}
+    for r in odf.collect():
+        clusters[r["uid"]].add(r["cluster"])
+    # NYC points should co-cluster
+    assert len(clusters[2]) == 1
