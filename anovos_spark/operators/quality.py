@@ -47,11 +47,13 @@ def duplicate_detection(
         F.sum("__cnt__").alias("total_rows"),
     )
     r = agg.collect()[0]
+    total = int(r["total_rows"] or 0)
+    uniq = int(r["unique_rows"] or 0)
     stats = spark.createDataFrame(
         [
-            ("rows_count", int(r["total_rows"])),
-            ("unique_rows_count", int(r["unique_rows"])),
-            ("duplicate_rows", int(r["total_rows"]) - int(r["unique_rows"])),
+            ("rows_count", total),
+            ("unique_rows_count", uniq),
+            ("duplicate_rows", total - uniq),
         ],
         schema="metric string, value long",
     )

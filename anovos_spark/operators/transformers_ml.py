@@ -1,0 +1,432 @@
+"""ML-assisted transformers: latent features, model-based imputation,
+monotonic binning, Box-Cox.
+
+Reference parity: transformers.py (monotonic_binning :294-425,
+imputation_sklearn :1677-2019, imputation_matrixFactorization :2022-2257,
+auto_imputation :2260-2521, PCA_latentFeatures :2915-3168,
+boxcox_transformation :3327-3486).  autoencoder_latentFeatures
+(:2524-2912) needs TensorFlow — not in this environment; stubbed.
+
+Scale posture (same as the reference): fits run on bounded seeded samples
+(sklearn-style KNN 10k :1689, boxcox grid on a sample), scoring is
+distributed via Arrow pandas_udf; ALS/PCA use Spark ML (fully distributed).
+The reference's sklearn dependency is replaced with pure-numpy math inside
+the pandas UDF — same algorithm, no extra dependency.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from anovos_spark.core.typing import resolve_columns
+
+
+# --------------------------------------------------------------------------- #
+# PCA latent features
+# --------------------------------------------------------------------------- #
+def pca_latent_features(
+    idf: DataFrame,
+    list_of_cols="all",
+    drop_cols=(),
+    explained_variance_cutoff: float = 0.95,
+    standardize: bool = True,
+    output_mode: str = "append",
+) -> tuple[DataFrame, dict]:
+    """PCA with k = min components reaching the explained-variance cutoff
+    (reference: transformers.py:2915-3168).  Distributed fit via
+    ml.feature.PCA; latent columns extracted with vector_to_array (the
+    reference uses an RDD round-trip, :723-728-style — avoided)."""
+    from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
+    vec = VectorAssembler(inputCols=cols, outputCol="__feat__", handleInvalid="skip")
+    df = vec.transform(idf)
+    feat_col = "__feat__"
+    if standardize:
+        scaler = StandardScaler(
+            inputCol="__feat__", outputCol="__scaled__", withMean=True, withStd=True
+        ).fit(df)
+        df = scaler.transform(df)
+        feat_col = "__scaled__"
+    model = PCA(k=len(cols), inputCol=feat_col, outputCol="__pca__").fit(df)
+    ev = list(model.explainedVariance)
+    cum, k = 0.0, len(cols)
+    for i, v in enumerate(ev):
+        cum += v
+        if cum >= explained_variance_cutoff:
+            k = i + 1
+            break
+    out = model.transform(df)
+    arr = vector_to_array(F.col("__pca__"))
+    keep = list(idf.columns) if output_mode == "append" else []
+    odf = out.select(
+        *keep, *[arr[i].alias(f"latent_{i}") for i in range(k)]
+    )
+    return odf, {"k": k, "explained_variance": ev[:k], "columns": cols}
+
+
+# --------------------------------------------------------------------------- #
+# ALS matrix-factorization imputation
+# --------------------------------------------------------------------------- #
+def imputation_als(
+    idf: DataFrame,
+    id_col: str,
+    list_of_cols="all",
+    drop_cols=(),
+    rank: int = 10,
+    max_iter: int = 20,
+    reg_param: float = 0.01,
+    seed: int = 42,
+    output_mode: str = "replace",
+) -> DataFrame:
+    """Impute missing numeric cells via ALS matrix factorization
+    (reference: transformers.py:2022-2257, ALS params :2186-2194).
+
+    Melt observed cells to (id, attr_idx, value), fit ALS, predict the
+    missing cells, pivot back and coalesce.  Differences vs reference:
+    a user-supplied natural ``id_col`` keys the rows (the reference builds
+    a global row_number over an unpartitioned window — single-task at
+    scale, SURVEY §4), and values are z-scaled per attribute before
+    factorization so one attribute's magnitude can't dominate the loss.
+    """
+    from pyspark.ml.recommendation import ALS
+
+    from anovos_spark.core.utils import melt
+
+    cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
+    cols = [c for c in cols if c != id_col]
+    # per-attribute scaling params (one agg)
+    aggs = []
+    for c in cols:
+        aggs += [F.mean(c).alias(f"{c}__mu"), F.stddev(c).alias(f"{c}__sd")]
+    row = idf.agg(*aggs).collect()[0]
+    scale = {
+        c: (row[f"{c}__mu"] or 0.0, row[f"{c}__sd"] if row[f"{c}__sd"] else 1.0)
+        for c in cols
+    }
+
+    scaled = idf.select(
+        F.col(id_col),
+        *[
+            ((F.col(c) - F.lit(scale[c][0])) / F.lit(scale[c][1])).alias(c)
+            for c in cols
+        ],
+    )
+    long_df = melt(scaled, [id_col], cols, "attribute", "value")
+    attr_idx = {c: i for i, c in enumerate(cols)}
+    idx_expr = F.create_map(
+        *[x for c, i in attr_idx.items() for x in (F.lit(c), F.lit(i))]
+    )
+    long_df = long_df.withColumn("item", idx_expr[F.col("attribute")].cast("int"))
+    observed = long_df.where(F.col("value").isNotNull()).select(
+        F.col(id_col).cast("int").alias("user"), "item", F.col("value").cast("float").alias("rating")
+    )
+    als = ALS(
+        rank=rank,
+        maxIter=max_iter,
+        regParam=reg_param,
+        seed=seed,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    ).fit(observed)
+
+    missing = long_df.where(F.col("value").isNull()).select(
+        F.col(id_col).cast("int").alias("user"), "item"
+    )
+    preds = als.transform(missing)
+    filled = preds.groupBy("user").pivot("item", list(attr_idx.values())).agg(
+        F.first("prediction")
+    )
+    renamed = filled.select(
+        F.col("user").alias("__join_id__"),
+        *[
+            F.col(str(i)).alias(f"__pred_{c}__")
+            for c, i in attr_idx.items()
+            if str(i) in filled.columns
+        ],
+    )
+    joined = idf.join(
+        renamed, idf[id_col].cast("int") == renamed["__join_id__"], "left_outer"
+    )
+    exprs = []
+    for c in idf.columns:
+        if c in cols and f"__pred_{c}__" in joined.columns:
+            mu, sd = scale[c]
+            restored = F.col(f"__pred_{c}__").cast("double") * F.lit(sd) + F.lit(mu)
+            exprs.append(F.coalesce(F.col(c), restored).alias(c))
+        else:
+            exprs.append(F.col(c))
+    return joined.select(*exprs)
+
+
+# --------------------------------------------------------------------------- #
+# KNN imputation (numpy-in-pandas_udf; replaces the reference's sklearn dep)
+# --------------------------------------------------------------------------- #
+def imputation_knn(
+    idf: DataFrame,
+    list_of_cols="all",
+    drop_cols=(),
+    k: int = 5,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """KNN imputation: fit = a bounded seeded sample of complete rows
+    pulled to the driver and broadcast; score = Arrow-batched mapInPandas
+    computing k-nearest (euclidean over observed dims, z-scaled) means
+    (reference: transformers.py:1677-2019, sample 10k :1689; sklearn
+    KNNImputer replaced by the same math in numpy)."""
+    cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
+    total = idf.count()
+    frac = min(1.0, sample_size / total) if total else 1.0
+    sample_pd = (
+        idf.select(cols).dropna().sample(False, frac, seed).limit(sample_size).toPandas()
+    )
+    if sample_pd.empty:
+        raise ValueError("no complete rows to fit KNN imputation")
+    ref = sample_pd[cols].to_numpy(dtype="float64")
+    mu = ref.mean(axis=0)
+    sd = ref.std(axis=0)
+    sd[sd == 0] = 1.0
+    ref_z = (ref - mu) / sd
+
+    spark = idf.sparkSession
+    b_ref = spark.sparkContext.broadcast((ref, ref_z, mu, sd))
+    schema = idf.schema
+    col_idx = {c: i for i, c in enumerate(cols)}
+
+    def score(batches):
+        ref_, ref_z_, mu_, sd_ = b_ref.value
+        for pdf in batches:
+            X = pdf[cols].to_numpy(dtype="float64")
+            nan_mask = np.isnan(X)
+            rows_with_nan = np.where(nan_mask.any(axis=1))[0]
+            if len(rows_with_nan):
+                Xz = (X - mu_) / sd_
+                for r in rows_with_nan:
+                    obs = ~nan_mask[r]
+                    if not obs.any():
+                        X[r, nan_mask[r]] = mu_[nan_mask[r]]
+                        continue
+                    d = np.sqrt(((ref_z_[:, obs] - Xz[r, obs]) ** 2).sum(axis=1))
+                    nn = np.argpartition(d, min(k, len(d) - 1))[:k]
+                    X[r, nan_mask[r]] = ref_[nn][:, nan_mask[r]].mean(axis=0)
+                for c, i in col_idx.items():
+                    pdf[c] = X[:, i]
+            yield pdf
+
+    return idf.mapInPandas(score, schema=schema)
+
+
+# --------------------------------------------------------------------------- #
+# auto imputation bake-off
+# --------------------------------------------------------------------------- #
+def auto_imputation(
+    idf: DataFrame,
+    list_of_cols="all",
+    drop_cols=(),
+    null_pct: float = 0.15,
+    sample_size: int = 20_000,
+    seed: int = 42,
+) -> tuple[str, DataFrame]:
+    """Pick the best imputer by injecting nulls into a clean sample and
+    comparing Σ(RMSE/mean) across methods (reference: transformers.py:
+    2260-2521).  Candidates: MMM-mean, MMM-median, KNN.  Returns
+    (winner_name, scores_df [method, score])."""
+    from anovos_spark.operators.transformers import imputation_MMM
+
+    cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
+    total = idf.count()
+    frac = min(1.0, sample_size / total) if total else 1.0
+    clean = idf.select(cols).dropna().sample(False, frac, seed)
+    clean = clean.withColumn("__rid__", F.monotonically_increasing_id())
+    clean.persist()
+
+    corrupted = clean
+    for i, c in enumerate(cols):
+        # deterministic pseudo-random mask from the row id
+        mask = (F.abs(F.hash(F.col("__rid__"), F.lit(i))) % 100) < int(null_pct * 100)
+        corrupted = corrupted.withColumn(
+            c, F.when(mask, F.lit(None)).otherwise(F.col(c))
+        )
+    corrupted.persist()
+
+    truth_means = {
+        c: r
+        for c, r in zip(
+            cols, clean.agg(*[F.avg(F.abs(F.col(c))).alias(c) for c in cols]).collect()[0]
+        )
+    }
+
+    def rmse_score(imputed: DataFrame) -> float:
+        joined = clean.alias("t").join(imputed.alias("i"), "__rid__")
+        aggs = []
+        for c in cols:
+            aggs.append(
+                F.sqrt(F.avg(F.pow(F.col(f"t.{c}") - F.col(f"i.{c}"), 2))).alias(c)
+            )
+        row = joined.agg(*aggs).collect()[0]
+        return sum(
+            (row[c] or 0.0) / truth_means[c] for c in cols if truth_means[c]
+        )
+
+    candidates = {
+        "mmm_mean": lambda: imputation_MMM(corrupted, cols, method_type="mean")[0],
+        "mmm_median": lambda: imputation_MMM(corrupted, cols, method_type="median")[0],
+        "knn": lambda: imputation_knn(corrupted, cols, sample_size=5000, seed=seed),
+    }
+    scores = {name: rmse_score(fn()) for name, fn in candidates.items()}
+    winner = min(scores, key=scores.get)
+    spark = idf.sparkSession
+    scores_df = spark.createDataFrame(
+        sorted(scores.items()), schema="method string, score double"
+    )
+    clean.unpersist()
+    corrupted.unpersist()
+    return winner, scores_df
+
+
+# --------------------------------------------------------------------------- #
+# monotonic binning
+# --------------------------------------------------------------------------- #
+def monotonic_binning(
+    idf: DataFrame,
+    label_col: str,
+    event_label=1,
+    list_of_cols="all",
+    drop_cols=(),
+    max_bins: int = 20,
+    min_bins: int = 2,
+    output_mode: str = "replace",
+) -> tuple[DataFrame, dict]:
+    """Shrink bin count until the per-bin event rate is monotonic in the
+    bin index (|Spearman| == 1), else fall back to max_bins
+    (reference: transformers.py:294-425 — their toPandas+scipy.spearmanr is
+    replaced by a driver-side rank correlation on ≤max_bins aggregated
+    rows, computed from ONE groupBy per trial)."""
+    from anovos_spark.operators.transformers import binning_apply, binning_fit
+
+    cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
+    cols = [c for c in cols if c != label_col]
+    y = (F.col(label_col) == F.lit(event_label)).cast("double")
+
+    chosen: dict[str, dict] = {}
+    remaining = list(cols)
+    for n_bins in range(max_bins, min_bins - 1, -1):
+        if not remaining:
+            break
+        model = binning_fit(idf, remaining, method_type="equal_frequency", bin_size=n_bins)
+        binned = binning_apply(idf.withColumn("__y__", y), model)
+        # one groupBy per trial for ALL remaining columns via melt
+        from anovos_spark.core.utils import melt
+
+        long_df = melt(
+            binned.select(remaining + ["__y__"]), ["__y__"], remaining, "attribute", "bin"
+        )
+        rates = (
+            long_df.groupBy("attribute", "bin")
+            .agg(F.avg("__y__").alias("rate"))
+            .collect()
+        )
+        by_attr: dict[str, list] = {}
+        for r in rates:
+            by_attr.setdefault(r["attribute"], []).append((r["bin"], r["rate"]))
+        next_remaining = []
+        for c in remaining:
+            pairs = sorted(by_attr.get(c, []))
+            if len(pairs) < 2:
+                next_remaining.append(c)
+                continue
+            vals = [p[1] for p in pairs]
+            rank = pd.Series(vals).rank().to_numpy()
+            ideal = np.arange(1, len(vals) + 1)
+            rho = np.corrcoef(rank, ideal)[0, 1]
+            if abs(rho) == 1.0:
+                chosen[c] = model[c]
+            else:
+                next_remaining.append(c)
+        remaining = next_remaining
+    # fall back to max_bins for columns never monotonic
+    if remaining:
+        fb = binning_fit(idf, remaining, method_type="equal_frequency", bin_size=max_bins)
+        chosen.update(fb)
+    odf = binning_apply(idf, chosen, output_mode)
+    return odf, chosen
+
+
+# --------------------------------------------------------------------------- #
+# Box-Cox
+# --------------------------------------------------------------------------- #
+BOXCOX_LAMBDAS = [0, 1, -1, 0.5, -0.5, 2, -2, 0.25, -0.25, 3, -3, 4, -4, 5, -5]
+
+
+def _ks_normality(x: np.ndarray) -> float:
+    """KS statistic of x against N(mean(x), std(x)) — numpy port of the
+    reference's mllib KolmogorovSmirnovTest (transformers.py:3430-3439)."""
+    x = np.sort(x[np.isfinite(x)])
+    n = len(x)
+    if n < 3:
+        return 1.0
+    mu, sd = x.mean(), x.std(ddof=1)
+    if sd == 0:
+        return 1.0
+    z = (x - mu) / sd
+    cdf = 0.5 * (1 + np.vectorize(math.erf)(z / math.sqrt(2)))
+    d_plus = (np.arange(1, n + 1) / n - cdf).max()
+    d_minus = (cdf - np.arange(0, n) / n).max()
+    return max(d_plus, d_minus)
+
+
+def boxcox_transformation(
+    idf: DataFrame,
+    list_of_cols="all",
+    drop_cols=(),
+    sample_size: int = 10_000,
+    seed: int = 42,
+    output_mode: str = "replace",
+) -> tuple[DataFrame, dict]:
+    """Pick λ from the reference grid minimizing the KS distance to
+    normality on a bounded sample, then apply x^λ (λ≠0) or ln x (λ=0)
+    (reference: transformers.py:3327-3486).  Only strictly-positive columns
+    are transformed (power/log domain)."""
+    cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
+    total = idf.count()
+    frac = min(1.0, sample_size / total) if total else 1.0
+    pdf = idf.select(cols).sample(False, frac, seed).limit(sample_size).toPandas()
+
+    lambdas: dict[str, float] = {}
+    for c in cols:
+        x = pdf[c].to_numpy(dtype="float64")
+        x = x[np.isfinite(x)]
+        if len(x) == 0 or (x <= 0).any():
+            continue  # out of Box-Cox domain
+        best_lmb, best_ks = None, None
+        for lmb in BOXCOX_LAMBDAS:
+            t = np.log(x) if lmb == 0 else np.power(x, lmb)
+            ks = _ks_normality(t)
+            if best_ks is None or ks < best_ks:
+                best_lmb, best_ks = lmb, ks
+        lambdas[c] = best_lmb
+
+    exprs = {}
+    for c, lmb in lambdas.items():
+        exprs[c] = F.log(F.col(c)) if lmb == 0 else F.pow(F.col(c), F.lit(float(lmb)))
+    from anovos_spark.operators.transformers import _out
+
+    return _out(idf, exprs, output_mode, "_boxcox"), lambdas
+
+
+def autoencoder_latent_features(*args, **kwargs):
+    """STUB: the reference's Keras autoencoder (transformers.py:2524-2912)
+    requires TensorFlow, which is not in this environment.  The PCA path
+    (pca_latent_features) provides the linear equivalent."""
+    raise NotImplementedError(
+        "autoencoder_latent_features requires TensorFlow; use pca_latent_features"
+    )

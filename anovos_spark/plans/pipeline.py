@@ -1,0 +1,188 @@
+"""YAML-driven pipeline runner.
+
+Reference parity: main.py + workflow.py:148-871 — sections execute in
+config order against a single evolving DataFrame.  Differences:
+- lineage truncation between mutating stages uses localCheckpoint()
+  instead of write+re-read (workflow.py:64-88) unless the stage asks for a
+  materialized artifact;
+- stats stages register their outputs in a StatsStore instead of loose CSV
+  files (workflow.py:91-145);
+- per-stage wall-time is recorded like the reference's timeit pairs
+  (workflow.py:241-243).
+
+Config shape (yaml):
+
+    input_dataset:
+      read: {file_path: ..., file_type: parquet}
+      select_columns: [a, b, c]          # optional
+      rename_columns: {a: a2}            # optional
+      recast_columns: {b: double}        # optional
+    quality_checker:
+      duplicate_detection: {treatment: true, list_of_cols: all}
+      outlier_detection: {treatment: true, treatment_method: value_replacement}
+    stats_generator:
+      metrics: [global_summary, measures_of_counts, ...]
+    transformers:
+      attribute_binning: {list_of_cols: [x], bin_size: 10}
+      z_standardization: {list_of_cols: all}
+    write_main: {file_path: ..., file_type: parquet, mode: overwrite}
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover
+    yaml = None
+
+from anovos_spark.plans.stats_store import StatsStore
+
+STATS_FNS = {
+    "global_summary": "global_summary",
+    "measures_of_counts": "measures_of_counts",
+    "missing_count": "missing_count",
+    "nonzero_count": "nonzero_count",
+    "measures_of_central_tendency": "measures_of_central_tendency",
+    "unique_count": "unique_count",
+    "measures_of_cardinality": "measures_of_cardinality",
+    "measures_of_dispersion": "measures_of_dispersion",
+    "measures_of_percentiles": "measures_of_percentiles",
+    "measures_of_shape": "measures_of_shape",
+}
+
+QUALITY_FNS = {
+    "duplicate_detection",
+    "null_rows_detection",
+    "null_columns_detection",
+    "outlier_detection",
+    "idness_detection",
+    "biasedness_detection",
+    "invalid_entries_detection",
+}
+
+TRANSFORMER_FNS = {
+    "attribute_binning",
+    "z_standardization",
+    "iqr_standardization",
+    "normalization",
+    "imputation_MMM",
+    "feature_transformation",
+    "expression_parser",
+    "one_hot_encoding",
+}
+
+
+class PipelineResult:
+    def __init__(self):
+        self.df: DataFrame | None = None
+        self.stats = None
+        self.timings: dict[str, float] = {}
+        self.quality_reports: dict[str, DataFrame] = {}
+
+
+def run_pipeline(
+    spark: SparkSession, config: dict | str, stats_store: StatsStore | None = None
+) -> PipelineResult:
+    """Execute a pipeline config (dict or path to YAML)."""
+    if isinstance(config, str):
+        if yaml is None:
+            raise RuntimeError("pyyaml not available; pass a dict config")
+        with open(config) as fh:
+            config = yaml.safe_load(fh)
+
+    from anovos_spark.operators import ingest, quality, stats, transformers
+    from anovos_spark.sources.io import read_dataset, write_dataset
+
+    result = PipelineResult()
+    result.stats = stats_store or StatsStore(spark)
+    df: DataFrame | None = None
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        result.timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # ---- input + ETL -------------------------------------------------- #
+    inp = config.get("input_dataset", {})
+    if inp:
+        rd = inp["read"]
+        df = timed("read", lambda: read_dataset(spark, **rd))
+        if "select_columns" in inp:
+            df = ingest.select_column(df, inp["select_columns"])
+        if "delete_columns" in inp:
+            df = ingest.delete_column(df, inp["delete_columns"])
+        if "rename_columns" in inp:
+            m = inp["rename_columns"]
+            df = ingest.rename_column(df, list(m), list(m.values()))
+        if "recast_columns" in inp:
+            m = inp["recast_columns"]
+            df = ingest.recast_column(df, list(m), list(m.values()))
+
+    # ---- join / concatenate ------------------------------------------- #
+    if "join_dataset" in config:
+        jc = dict(config["join_dataset"])
+        other = read_dataset(spark, **jc.pop("read"))
+        df = timed(
+            "join",
+            lambda: ingest.join_dataset(
+                df,
+                other,
+                join_cols=jc["join_cols"],
+                join_type=jc.get("join_type", "inner"),
+                broadcast_smaller=jc.get("broadcast", False),
+            ),
+        )
+
+    # ---- quality checker (mutating) ----------------------------------- #
+    for name, kwargs in (config.get("quality_checker") or {}).items():
+        if name not in QUALITY_FNS:
+            raise ValueError(f"unknown quality check {name!r}")
+        fn = getattr(quality, name)
+
+        def stage(fn=fn, kwargs=kwargs):
+            return fn(df, **(kwargs or {}))
+
+        odf, qstats = timed(f"quality.{name}", stage)
+        result.quality_reports[name] = qstats
+        df = odf
+    if config.get("quality_checker"):
+        df = df.localCheckpoint(eager=False)
+
+    # ---- stats battery ------------------------------------------------ #
+    sg = config.get("stats_generator") or {}
+    for metric in sg.get("metrics", []):
+        if metric not in STATS_FNS:
+            raise ValueError(f"unknown stats metric {metric!r}")
+        fn = getattr(stats, STATS_FNS[metric])
+        frame = timed(f"stats.{metric}", lambda fn=fn: fn(df))
+        result.stats.put("main", metric, frame, persist=False)
+
+    # ---- transformers (mutating) -------------------------------------- #
+    for name, kwargs in (config.get("transformers") or {}).items():
+        if name not in TRANSFORMER_FNS:
+            raise ValueError(f"unknown transformer {name!r}")
+        fn = getattr(transformers, name)
+
+        def stage(fn=fn, kwargs=kwargs):
+            out = fn(df, **(kwargs or {}))
+            return out[0] if isinstance(out, tuple) else out
+
+        df = timed(f"transform.{name}", stage)
+
+    # ---- output -------------------------------------------------------- #
+    if "write_main" in config:
+        wm = dict(config["write_main"])
+        path = wm.pop("file_path")
+        ftype = wm.pop("file_type", "parquet")
+        timed(
+            "write",
+            lambda: write_dataset(df, path, ftype, file_configs=wm or {"mode": "overwrite"}),
+        )
+
+    result.df = df
+    return result

@@ -634,6 +634,83 @@ def q_daypart(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------- #
+# ML-assisted transformers — no SQL oracle (iterative algorithms); the
+# driver records the weaker rows-only check for these
+# --------------------------------------------------------------------------- #
+def q_pca_latent(spark, sf_dir):
+    from anovos_spark.operators.transformers_ml import pca_latent_features
+
+    li = table(spark, sf_dir, "lineitem")
+    odf, model = pca_latent_features(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        explained_variance_cutoff=0.95,
+    )
+    return spark.createDataFrame(
+        [(model["k"], odf.count())], schema="k int, n_rows long"
+    )
+
+
+def q_knn_imputation(spark, sf_dir):
+    from anovos_spark.operators.transformers_ml import imputation_knn
+
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 13 == 0, F.lit(None)).otherwise(F.col("l_quantity")),
+    )
+    imputed = imputation_knn(li, ["l_quantity", "l_extendedprice", "l_discount"], k=5)
+    return imputed.agg(
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("nulls_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_als_imputation(spark, sf_dir):
+    from anovos_spark.operators.transformers_ml import imputation_als
+
+    od = table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 9 == 0, F.lit(None)).otherwise(F.col("o_totalprice")),
+    )
+    imputed = imputation_als(od, "o_orderkey", ["o_totalprice", "o_custkey"])
+    return imputed.agg(
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("nulls_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_monotonic_binning(spark, sf_dir):
+    from anovos_spark.operators.transformers_ml import monotonic_binning
+
+    od = table(spark, sf_dir, "orders").withColumn(
+        "__label__", (F.col("o_orderstatus") == "F").cast("int")
+    )
+    _, model = monotonic_binning(
+        od, "__label__", 1, ["o_totalprice", "o_custkey"], max_bins=10
+    )
+    rows = sorted((c, m["bin_size"]) for c, m in model.items())
+    return spark.createDataFrame(rows, schema="attribute string, n_bins int")
+
+
+def q_boxcox(spark, sf_dir):
+    from anovos_spark.operators.transformers_ml import boxcox_transformation
+
+    li = table(spark, sf_dir, "lineitem")
+    _, lambdas = boxcox_transformation(li, ["l_extendedprice", "l_quantity"])
+    rows = sorted((c, float(l)) for c, l in lambdas.items())
+    return spark.createDataFrame(rows, schema="attribute string, lambda double")
+
+
+def q_auto_imputation(spark, sf_dir):
+    from anovos_spark.operators.transformers_ml import auto_imputation
+
+    li = table(spark, sf_dir, "lineitem")
+    winner, scores = auto_imputation(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], sample_size=5000
+    )
+    return scores.withColumn("winner", F.lit(winner))
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_summary": q_global_summary,
@@ -686,4 +763,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_format_vote": q_ts_format_vote,
         "ts_eligibility": q_ts_eligibility,
         "ts_daypart": q_daypart,
+        "pca_latent_features": q_pca_latent,
+        "knn_imputation": q_knn_imputation,
+        "als_imputation": q_als_imputation,
+        "monotonic_binning": q_monotonic_binning,
+        "boxcox_transformation": q_boxcox,
+        "auto_imputation": q_auto_imputation,
     }

@@ -1,0 +1,201 @@
+"""Structured Streaming operators.
+
+The reference is batch-only (SURVEY §2.14: no readStream/writeStream
+anywhere) — this module is the charter's net-new streaming capability,
+built directly on Structured Streaming primitives:
+
+- sources: rate (testing), file directory (parquet/csv/json), kafka if the
+  connector jar is on the classpath
+- event-time windowed aggregation with watermarks (late-data policy)
+- streaming deduplication (exact keys within a watermark horizon)
+- sessionization via session_window
+- custom stateful aggregation via applyInPandasWithState
+- sinks: memory (tests), file, foreachBatch (arbitrary batch logic, e.g.
+  writing through the batch operators of this engine)
+
+Scale notes: every aggregation keys state by (key, window) — state is
+partitioned across executors by the shuffle; watermarks bound state size;
+availableNow triggers give batch-like reprocessing with streaming
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_stream(
+    spark: SparkSession,
+    source: str,
+    path: str | None = None,
+    schema=None,
+    options: dict | None = None,
+) -> DataFrame:
+    """Open a streaming source: 'rate' | 'parquet' | 'csv' | 'json' | 'kafka'."""
+    opts = dict(options or {})
+    reader = spark.readStream.format(source)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    if source == "rate":
+        return reader.load()
+    if source == "kafka":
+        return reader.load()
+    if schema is None:
+        raise ValueError("file streams require an explicit schema (no inference)")
+    return reader.schema(schema).load(path)
+
+
+def windowed_aggregation(
+    sdf: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 minute",
+    slide_duration: str | None = None,
+    watermark: str = "2 minutes",
+    group_cols=(),
+    agg_exprs: dict | None = None,
+) -> DataFrame:
+    """Event-time tumbling/sliding window aggregation with a watermark.
+
+    agg_exprs: {output_name: (col, fn)} with fn ∈ count|sum|mean|min|max.
+    Late rows beyond the watermark are dropped (state stays bounded).
+    """
+    fns = {"count": F.count, "sum": F.sum, "mean": F.mean, "min": F.min, "max": F.max}
+    aggs = []
+    for out, (col, fn) in (agg_exprs or {"n": (ts_col, "count")}).items():
+        if fn not in fns:
+            raise ValueError(f"unknown agg fn {fn!r}")
+        aggs.append(fns[fn](col).alias(out))
+    w = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("window"), *list(group_cols))
+        .agg(*aggs)
+    )
+
+
+def streaming_dedup(
+    sdf: DataFrame, key_cols, ts_col: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Drop duplicate events by key within the watermark horizon —
+    the streaming face of exact_dedup.  State per key is evicted once the
+    watermark passes, so memory is bounded by the horizon, not the stream."""
+    from anovos_spark.core.utils import ensure_list
+
+    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ensure_list(key_cols)
+    )
+
+
+def sessionize(
+    sdf: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows per user: events closer than `gap` merge into one
+    session.  [user, session_start, session_end, n_events]."""
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stateful_running_stats(
+    sdf: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+    timeout_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Custom stateful operator: per-key running count/sum/min/max that
+    survives across micro-batches, via applyInPandasWithState.
+
+    Output one row per key per micro-batch: [key, n, total, vmin, vmax].
+    State times out after `timeout_duration` of inactivity (processing
+    time), bounding state for dead keys.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, n long, total double, vmin double, vmax double"
+    state_schema = "n long, total double, vmin double, vmax double"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, vmin, vmax = (
+            state.get if state.exists else (0, 0.0, float("inf"), float("-inf"))
+        )
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            if len(vals):
+                n += len(vals)
+                total += float(vals.sum())
+                vmin = min(vmin, float(vals.min()))
+                vmax = max(vmax, float(vals.max()))
+        state.update((n, total, vmin, vmax))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n": [n], "total": [total], "vmin": [vmin], "vmax": [vmax]}
+        )
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def write_stream(
+    sdf: DataFrame,
+    sink: str,
+    query_name: str | None = None,
+    path: str | None = None,
+    checkpoint: str | None = None,
+    output_mode: str = "append",
+    trigger_available_now: bool = True,
+    foreach_batch_fn=None,
+):
+    """Start a streaming sink: 'memory' | 'parquet' | 'csv' | 'console' |
+    'foreachBatch'.  availableNow=True drains all available input then
+    stops — the batch-reprocessing trigger used by tests and backfills."""
+    writer = sdf.writeStream.outputMode(output_mode)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    if sink == "memory":
+        if not query_name:
+            raise ValueError("memory sink requires query_name")
+        return writer.format("memory").queryName(query_name).start()
+    if sink == "foreachBatch":
+        if foreach_batch_fn is None:
+            raise ValueError("foreachBatch sink requires foreach_batch_fn")
+        return writer.foreachBatch(foreach_batch_fn).start()
+    if not path or not checkpoint:
+        raise ValueError("file sinks require path and checkpoint")
+    return (
+        writer.format(sink)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

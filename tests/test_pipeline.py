@@ -1,0 +1,99 @@
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from anovos_spark.plans.feature_export import add_timestamp_columns, export_feature_defs
+from anovos_spark.plans.pipeline import run_pipeline
+from anovos_spark.plans.report import basic_report
+from anovos_spark.plans.stats_store import StatsStore
+
+
+def test_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "out_parquet")
+    config = {
+        "input_dataset": {
+            "read": {"file_path": f"{sf_dir}/lineitem.parquet", "file_type": "parquet"},
+            "select_columns": [
+                "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+                "l_returnflag",
+            ],
+            "rename_columns": {"l_returnflag": "flag"},
+            "recast_columns": {"l_quantity": "double"},
+        },
+        "quality_checker": {
+            "duplicate_detection": {"treatment": False},
+        },
+        "stats_generator": {"metrics": ["measures_of_counts", "measures_of_dispersion"]},
+        "transformers": {
+            "z_standardization": {"list_of_cols": ["l_extendedprice"]},
+            "feature_transformation": {"list_of_cols": ["l_quantity"], "method_type": "sqrt"},
+        },
+        "write_main": {"file_path": out, "file_type": "parquet", "mode": "overwrite"},
+    }
+    res = run_pipeline(spark, config)
+    assert res.df is not None
+    assert "flag" in res.df.columns
+    assert "quality.duplicate_detection" in res.timings
+    assert res.stats.get("main", "measures_of_counts") is not None
+    written = spark.read.parquet(out)
+    assert written.count() == res.df.count()
+    # z-scaled column has ~0 mean
+    assert abs(written.agg(F.avg("l_extendedprice")).collect()[0][0]) < 1e-6
+
+
+def test_pipeline_yaml_roundtrip(spark, sf_dir, tmp_path):
+    import yaml
+
+    cfg_path = str(tmp_path / "cfg.yaml")
+    cfg = {
+        "input_dataset": {
+            "read": {"file_path": f"{sf_dir}/orders.parquet", "file_type": "parquet"},
+        },
+        "stats_generator": {"metrics": ["global_summary"]},
+    }
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    res = run_pipeline(spark, cfg_path)
+    assert res.df.count() > 0
+    assert res.stats.get("main", "global_summary") is not None
+
+
+def test_stats_store_cache_and_persist(spark, tmp_path):
+    store = StatsStore(spark, str(tmp_path / "stats"))
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return spark.createDataFrame([("a", 1)], "attribute string, v int")
+
+    store.get_or_compute("ds1", "counts", compute)
+    store.get_or_compute("ds1", "counts", compute)
+    assert calls["n"] == 1  # memoized
+    # a fresh store reads the persisted copy instead of recomputing
+    store2 = StatsStore(spark, str(tmp_path / "stats"))
+    df = store2.get_or_compute("ds1", "counts", compute)
+    assert calls["n"] == 1
+    assert df.collect()[0]["attribute"] == "a"
+
+
+def test_basic_report(spark, sf_dir):
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    battery = basic_report(od, label_col="o_orderstatus", event_label="F")
+    assert "global_summary" in battery
+    assert "iv_calculation" in battery
+    assert battery["measures_of_counts"].count() == len(od.columns)
+
+
+def test_feature_export(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2.0, "x")], "uid bigint, score double, seg string")
+    stamped = add_timestamp_columns(df)
+    assert "event_timestamp" in stamped.columns
+    path = export_feature_defs(
+        stamped, "uid", "customer_features", "/data/feat.parquet", str(tmp_path)
+    )
+    src = open(path).read()
+    assert 'Field(name="score", dtype=Float64)' in src
+    assert 'join_keys=["uid"]' in src
+    assert "FeatureView(" in src
+    compile(src, path, "exec")  # generated file is valid python

@@ -1,0 +1,78 @@
+import pytest
+from pyspark.sql import functions as F
+
+from anovos_spark.operators import transformers_ml as TML
+
+
+@pytest.fixture(scope="module")
+def mdf(spark):
+    import random
+
+    random.seed(7)
+    rows = []
+    for i in range(400):
+        a = random.gauss(10, 2)
+        b = 2 * a + random.gauss(0, 0.1)   # correlated with a
+        c = random.random() * 5 + 1         # independent, positive
+        y = 1 if a > 10 else 0
+        rows.append((i, a, b, c, y))
+    return spark.createDataFrame(rows, schema="id int, a double, b double, c double, y int")
+
+
+def test_pca_latent(mdf):
+    odf, model = TML.pca_latent_features(mdf, ["a", "b", "c"], explained_variance_cutoff=0.9)
+    assert model["k"] < 3  # a,b nearly collinear → 2 components suffice
+    assert f"latent_{model['k']-1}" in odf.columns
+    assert odf.count() == 400
+
+
+def test_knn_imputation(spark, mdf):
+    holey = mdf.withColumn("a", F.when(F.col("id") % 7 == 0, None).otherwise(F.col("a")))
+    imputed = TML.imputation_knn(holey, ["a", "b", "c"], k=3, sample_size=300)
+    assert imputed.where(F.col("a").isNull()).count() == 0
+    # imputed a should be close to b/2 thanks to the correlation
+    j = imputed.alias("i").join(mdf.alias("t"), "id").where(F.col("id") % 7 == 0)
+    err = j.agg(F.avg(F.abs(F.col("i.a") - F.col("t.a")))).collect()[0][0]
+    assert err < 1.0  # far better than mean imputation (σ=2)
+
+
+def test_als_imputation(spark, mdf):
+    holey = mdf.withColumn("a", F.when(F.col("id") % 11 == 0, None).otherwise(F.col("a")))
+    imputed = TML.imputation_als(holey, "id", ["a", "b", "c"], rank=4, max_iter=8)
+    assert imputed.where(F.col("a").isNull()).count() == 0
+    assert imputed.count() == 400
+
+
+def test_auto_imputation(mdf):
+    winner, scores = TML.auto_imputation(mdf, ["a", "b", "c"], sample_size=400)
+    d = {r["method"]: r["score"] for r in scores.collect()}
+    assert set(d) == {"mmm_mean", "mmm_median", "knn"}
+    assert winner == min(d, key=d.get)
+    assert d["knn"] < d["mmm_mean"]  # correlation makes knn win
+
+
+def test_monotonic_binning(mdf):
+    odf, model = TML.monotonic_binning(mdf, "y", 1, ["a", "c"], max_bins=8)
+    assert "a" in model and "c" in model
+    # a drives y → monotonic with few bins; binned values in range
+    mx = odf.agg(F.max("a")).collect()[0][0]
+    assert mx <= 20
+
+
+def test_boxcox(spark):
+    import random
+
+    random.seed(3)
+    rows = [(random.lognormvariate(0, 0.6),) for _ in range(500)]
+    df = spark.createDataFrame(rows, schema="x double")
+    skew_before = df.agg(F.skewness("x")).collect()[0][0]
+    odf, lambdas = TML.boxcox_transformation(df, ["x"])
+    assert lambdas["x"] in (0, -0.25, 0.25)  # near-log for lognormal data
+    sk = odf.agg(F.skewness("x")).collect()[0][0]
+    assert abs(sk) < abs(skew_before)
+    assert abs(sk) < 0.5
+
+
+def test_autoencoder_stubbed(mdf):
+    with pytest.raises(NotImplementedError):
+        TML.autoencoder_latent_features(mdf)
