@@ -1040,4 +1040,7 @@ def registry() -> dict[str, str]:
         "ts_format_vote": ts_format_vote_sql(),
         "ts_eligibility": ts_eligibility_sql(),
         "ts_daypart": daypart_sql(),
+        "concatenate_dataset": """
+SELECT count(*)::BIGINT AS n_rows, count(DISTINCT l_orderkey)::BIGINT AS n_orders
+FROM lineitem""",
     }

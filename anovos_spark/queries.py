@@ -711,6 +711,44 @@ def q_auto_imputation(spark, sf_dir):
     return scores.withColumn("winner", F.lit(winner))
 
 
+def q_variable_clustering(spark, sf_dir):
+    """Rows-only check (driver-side eigen decomposition isn't SQL)."""
+    from anovos_spark.operators.varclus import variable_clustering
+
+    li = table(spark, sf_dir, "lineitem")
+    return variable_clustering(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_orderkey"]
+    )
+
+
+def q_data_sample(spark, sf_dir):
+    """Rows-only: Spark's Bernoulli sampler isn't reproducible in DuckDB."""
+    from anovos_spark.operators.ingest import data_sample
+
+    li = table(spark, sf_dir, "lineitem")
+    s = data_sample(li, fraction=0.1, seed=12)
+    strat = data_sample(
+        li, strata_cols=["l_returnflag"], fraction=0.1, method_type="stratified", seed=12
+    )
+    return spark.createDataFrame(
+        [("random", s.count()), ("stratified", strat.count())],
+        schema="method string, n_rows long",
+    )
+
+
+def q_concatenate(spark, sf_dir):
+    from anovos_spark.operators.ingest import concatenate_dataset
+
+    li = table(spark, sf_dir, "lineitem")
+    even = li.where(F.col("l_orderkey") % 2 == 0)
+    odd = li.where(F.col("l_orderkey") % 2 == 1)
+    both = concatenate_dataset(even, odd, method_type="name")
+    return both.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_summary": q_global_summary,
@@ -769,4 +807,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monotonic_binning": q_monotonic_binning,
         "boxcox_transformation": q_boxcox,
         "auto_imputation": q_auto_imputation,
+        "variable_clustering": q_variable_clustering,
+        "data_sample": q_data_sample,
+        "concatenate_dataset": q_concatenate,
     }

@@ -1,0 +1,89 @@
+"""Physical-plan audit: verify the plans we'd want at 100 TB.
+
+Checks, per representative query:
+- parquet scans carry PushedFilters / pruned ReadSchema (column pruning)
+- small dimension joins are BroadcastHashJoin, not SortMergeJoin
+- aggregations show partial_ (map-side) aggregation
+- no CartesianProduct or row-at-a-time PythonUDF in expression-only paths
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def plan_of(df, execute: bool = False) -> str:
+    if execute:
+        # AQE shows WholeStageCodegen spans only in the finalized plan
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import anovos_spark.queries as Q
+
+    failures = []
+
+    def check(name, cond, detail=""):
+        print(("PASS " if cond else "FAIL ") + name + (f"  [{detail}]" if detail and not cond else ""))
+        if not cond:
+            failures.append(name)
+
+    # 1. filter pushdown + column pruning on a filtered projection
+    li = Q.table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-01")
+    q1 = Q.q1_pricing_summary(spark, sf_dir)
+    p = plan_of(q1, execute=True)
+    check("q1: parquet filter pushdown", "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p, p[:400])
+    check("q1: column pruning (no l_orderkey in scan)", "l_orderkey" not in p.split("ReadSchema")[-1])
+    check("q1: partial aggregation", "partial_" in p)
+    check("q1: whole-stage codegen", "WholeStageCodegen" in p or "*(" in p)
+
+    # 2. broadcast join on dims
+    j = Q.q_join_enrich(spark, sf_dir)
+    p = plan_of(j)
+    check("join_enrich: broadcast hash join", "BroadcastHashJoin" in p)
+    check("join_enrich: no cartesian", "CartesianProduct" not in p)
+
+    # 3. stats battery: single aggregation, no python
+    s = Q.q_dispersion(spark, sf_dir)
+    p = plan_of(s)
+    check("dispersion: no python UDF", "BatchEvalPython" not in p and "PythonUDF" not in p)
+    check("dispersion: partial agg", "partial_" in p or "ObjectHashAggregate" in p or "SortAggregate" in p)
+
+    # 4. quality battery expression-only
+    o = Q.q_invalid_entries(spark, sf_dir)
+    p = plan_of(o)
+    check("invalid_entries: no python UDF", "BatchEvalPython" not in p)
+
+    # 5. dedup: candidates via equi-joins (shuffled hash/sort-merge ok), no cartesian
+    d = Q.q_minhash_lsh(spark, sf_dir)
+    p = plan_of(d)
+    check("minhash: no cartesian", "CartesianProduct" not in p)
+
+    # 6. ANN brute force: query side broadcast
+    a = Q.q_ann_cosine(spark, sf_dir)
+    p = plan_of(a)
+    check("ann: broadcast of query side", "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p)
+
+    print(f"\n{'ALL CLEAR' if not failures else f'{len(failures)} audit failures: {failures}'}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
