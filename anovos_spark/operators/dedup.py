@@ -103,6 +103,10 @@ def ngram_jaccard_pairs(
     docs = idf.select(F.col(id_col).alias("id"), grams.alias("grams")).withColumn(
         "n_grams", F.size("grams")
     )
+    # persist the shingled frame: it feeds 4 downstream plans (explode, df,
+    # and both verify sides) — without the cache every plan re-runs AND
+    # re-codegens the large shingling expression
+    docs.persist()
     exploded = docs.select("id", "n_grams", F.explode("grams").alias("g"))
     dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
@@ -111,11 +115,19 @@ def ngram_jaccard_pairs(
         exploded.join(dfreq, "g")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= prefix_len)
-        .select("id", "g")
+        .select("id", "g", "n_grams")
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
+    # size filter (PPJoin): J(A,B) ≥ t requires t·|B| ≤ |A| ≤ |B|/t —
+    # prunes candidates inside the shingle join before the distinct
     candidates = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.n_grams") >= F.lit(threshold) * F.col("b.n_grams"))
+            & (F.col("b.n_grams") >= F.lit(threshold) * F.col("a.n_grams")),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
@@ -215,6 +227,7 @@ def minhash_lsh_pairs(
     docs = idf.select(F.col(id_col).alias("id"), grams.alias("grams")).withColumn(
         "n_grams", F.size("grams")
     )
+    docs.persist()
     da = docs.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"), F.col("n_grams").alias("na"))
     db = docs.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"), F.col("n_grams").alias("nb"))
     return (

@@ -232,6 +232,49 @@ def location_in_polygon(
     )
 
 
+def geo_auto_detection(idf: DataFrame) -> dict[str, list[str]]:
+    """Detect latitude / longitude / geohash candidate columns by name hint
+    + value-range vote (reference: data_ingest/geo_auto_detection.py:177-298
+    ll_gh_cols).  ONE aggregation job for all numeric columns.
+
+    Returns {"lat": [...], "lon": [...], "geohash": [...]}.
+    """
+    from anovos_spark.core.typing import attribute_type_segregation
+
+    num_cols, cat_cols, _ = attribute_type_segregation(idf)
+    aggs = []
+    for c in num_cols:
+        aggs += [
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            (F.count_distinct(c) / F.count(c)).alias(f"{c}__card"),
+        ]
+    gh_re = r"^[0123456789bcdefghjkmnpqrstuvwxyz]{4,12}$"
+    for c in cat_cols:
+        aggs.append(
+            F.avg(F.col(c).rlike(gh_re).cast("double")).alias(f"{c}__gh_rate")
+        )
+    if not aggs:
+        return {"lat": [], "lon": [], "geohash": []}
+    row = idf.agg(*aggs).collect()[0]
+
+    out = {"lat": [], "lon": [], "geohash": []}
+    for c in num_cols:
+        lo, hi, card = row[f"{c}__min"], row[f"{c}__max"], row[f"{c}__card"]
+        if lo is None or card is None or card < 0.01:
+            continue  # constants/ids-with-few-values aren't coordinates
+        name = c.lower()
+        if -90 <= lo and hi <= 90 and ("lat" in name or (-90 <= lo < 0 or hi > 20)):
+            if "lon" not in name and -90 <= lo and hi <= 90:
+                out["lat"].append(c)
+        if -180 <= lo and hi <= 180 and ("lon" in name or "lng" in name or hi > 90 or lo < -90):
+            out["lon"].append(c)
+    for c in cat_cols:
+        if (row[f"{c}__gh_rate"] or 0) >= 0.95:
+            out["geohash"].append(c)
+    return out
+
+
 def geo_cluster_analysis(
     idf: DataFrame,
     lat_col: str,

@@ -59,9 +59,16 @@ def ts_format_vote(
     list_of_cols=None,
     formats: list[str] | None = None,
     success_threshold: float = 0.8,
+    sample_size: int = 10_000,
+    seed: int = 42,
 ) -> dict[str, str]:
     """Detect the datetime format of each candidate column by parse-rate
     vote — ONE aggregation job over all (column, format) pairs.
+
+    The vote runs on a bounded seeded sample: failed parse attempts are
+    exception-driven in the JVM (~10 µs each), so a full scan of
+    N rows × F formats is pathological at scale, and a format decision
+    never needs more than a few thousand examples.
 
     Returns {col: fmt} for columns where some format parses ≥ threshold of
     non-null values ('native' for already-temporal columns).
@@ -69,6 +76,10 @@ def ts_format_vote(
     formats = formats or CANDIDATE_FORMATS
     cols = ensure_list(list_of_cols) if list_of_cols else ts_candidate_columns(idf)
     dtypes = dict(idf.dtypes)
+
+    total = idf.count()
+    if total > sample_size:
+        idf = idf.sample(False, sample_size / total, seed)
 
     result: dict[str, str] = {}
     aggs = []

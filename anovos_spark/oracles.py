@@ -708,14 +708,14 @@ WHERE round(CAST(common AS DOUBLE)/(na + nb - common), 6) >= {threshold}"""
 
 
 def ngram_jaccard_sql() -> str:
-    return _jaccard_pairs_sql(0.4)
+    return _jaccard_pairs_sql(0.7)
 
 
 def minhash_lsh_sql() -> str:
     # LSH candidates ∩ exact-verify == exact pairs when recall is 100%,
     # which holds on this corpus (asserted continuously by the harness —
     # a recall miss shows up as a row-count mismatch)
-    return _jaccard_pairs_sql(0.4)
+    return _jaccard_pairs_sql(0.7)
 
 
 def simhash_sql() -> str:
@@ -988,6 +988,30 @@ SELECT CASE WHEN hour(ts) >= 4 AND hour(ts) < 7 THEN 'early_hours'
 FROM events GROUP BY 1"""
 
 
+def iqr_standardization_sql() -> str:
+    # min/max of (x - q50)/(q75 - q25): monotone transform → exact equality
+    parts = [
+        f"""SELECT '{c}' AS attribute,
+ round((mn - med)/(q3 - q1), 6) AS s_min, round((mx - med)/(q3 - q1), 6) AS s_max
+FROM (SELECT CAST(min({c}) AS DOUBLE) mn, CAST(max({c}) AS DOUBLE) mx,
+             quantile_cont({c}, 0.25) q1, quantile_cont({c}, 0.5) med,
+             quantile_cont({c}, 0.75) q3 FROM lineitem) s
+WHERE q3 - q1 > 0"""
+        for c in LINEITEM_NUM
+    ]
+    return _union(parts)
+
+
+def one_hot_sql() -> str:
+    parts = []
+    for col in ["l_returnflag", "l_linestatus"]:
+        parts.append(
+            f"SELECT '{col}' || '_' || {col} AS dummy, count(*)::BIGINT AS n_ones "
+            f"FROM lineitem WHERE {col} IS NOT NULL GROUP BY 1"
+        )
+    return _union(parts)
+
+
 def registry() -> dict[str, str]:
     return {
         "global_summary": global_summary_sql(),
@@ -1040,6 +1064,8 @@ def registry() -> dict[str, str]:
         "ts_format_vote": ts_format_vote_sql(),
         "ts_eligibility": ts_eligibility_sql(),
         "ts_daypart": daypart_sql(),
+        "iqr_standardization": iqr_standardization_sql(),
+        "one_hot_encoding": one_hot_sql(),
         "concatenate_dataset": """
 SELECT count(*)::BIGINT AS n_rows, count(DISTINCT l_orderkey)::BIGINT AS n_orders
 FROM lineitem""",

@@ -410,7 +410,7 @@ def q_exact_dedup(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     from anovos_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.4)
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.7)
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -419,7 +419,7 @@ def q_minhash_lsh(spark, sf_dir):
     the outputs coincide; a recall miss would surface as a row-count diff."""
     from anovos_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(table(spark, sf_dir, "documents"), threshold=0.4)
+    return minhash_lsh_pairs(table(spark, sf_dir, "documents"), threshold=0.7)
 
 
 def q_simhash(spark, sf_dir):
@@ -749,6 +749,34 @@ def q_concatenate(spark, sf_dir):
     )
 
 
+def q_iqr_standardization(spark, sf_dir):
+    from anovos_spark.operators.stats import _stack_wide_row
+    from anovos_spark.operators.transformers import iqr_standardization
+
+    li = table(spark, sf_dir, "lineitem")
+    odf, model = iqr_standardization(li, LINEITEM_NUM, exact=_exact())
+    aggs = []
+    for c in model:
+        aggs.append(F.round(F.min(c), 6).alias(f"{c}__s_min"))
+        aggs.append(F.round(F.max(c), 6).alias(f"{c}__s_max"))
+    wide = odf.agg(*aggs)
+    return _stack_wide_row(wide, list(model), ["s_min", "s_max"])
+
+
+def q_one_hot(spark, sf_dir):
+    from anovos_spark.operators.transformers import one_hot_encoding
+
+    li = table(spark, sf_dir, "lineitem")
+    odf = one_hot_encoding(li, ["l_returnflag", "l_linestatus"])
+    dummy_cols = [c for c in odf.columns if c not in li.columns]
+    aggs = [F.sum(c).alias(c) for c in sorted(dummy_cols)]
+    wide = odf.agg(*aggs)
+    stack = ", ".join(f"'{c}', cast(`{c}` as long)" for c in sorted(dummy_cols))
+    return wide.select(
+        F.expr(f"stack({len(dummy_cols)}, {stack}) as (dummy, n_ones)")
+    )
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_summary": q_global_summary,
@@ -810,4 +838,6 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variable_clustering": q_variable_clustering,
         "data_sample": q_data_sample,
         "concatenate_dataset": q_concatenate,
+        "iqr_standardization": q_iqr_standardization,
+        "one_hot_encoding": q_one_hot,
     }

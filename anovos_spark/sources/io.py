@@ -48,6 +48,10 @@ def write_dataset(
     uses repartition, mirroring data_ingest.py:108-117.  `partitionBy` in
     file_configs maps to a partitioned layout for partition pruning at read.
     """
+    if file_type.lower() not in _KNOWN_FORMATS:
+        raise ValueError(
+            f"unsupported file_type {file_type!r}; one of {sorted(_KNOWN_FORMATS)}"
+        )
     opts = dict(file_configs or {})
     mode = opts.pop("mode", "error")
     n_parts = opts.pop("repartition", None)

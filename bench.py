@@ -37,7 +37,11 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from anovos_spark.queries import registry
+    from anovos_spark.queries import registry, table
+
+    # warm the session (JVM init, file index, codegen of a trivial scan) so
+    # the first timed query doesn't absorb startup cost
+    table(spark, sf_dir, "lineitem").count()
 
     timings = {}
     for name, fn in registry().items():

@@ -1,0 +1,71 @@
+import pytest
+from pyspark.sql import functions as F
+
+from anovos_spark.operators.geospatial import geo_auto_detection
+from anovos_spark.sources.io import read_dataset, write_dataset
+
+
+@pytest.fixture(scope="module")
+def fdf(spark):
+    return spark.createDataFrame(
+        [(1, 1.5, "a"), (2, 2.5, "b"), (3, None, None)],
+        schema="id int, x double, s string",
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip(spark, fdf, tmp_path, fmt):
+    path = str(tmp_path / f"rt_{fmt}")
+    write_dataset(fdf, path, fmt, file_configs={"mode": "overwrite", "header": "True"})
+    back = read_dataset(spark, path, fmt)
+    assert back.count() == 3
+    if fmt in ("parquet", "orc"):
+        assert dict(back.dtypes) == dict(fdf.dtypes)
+    # csv/json re-infer types; values must still match on the int col
+    assert {r["id"] for r in back.select("id").collect()} == {1, 2, 3}
+
+
+def test_write_repartition_coalesce(spark, fdf, tmp_path):
+    import glob
+
+    path = str(tmp_path / "coalesced")
+    write_dataset(
+        fdf.repartition(8), path, "parquet",
+        file_configs={"mode": "overwrite", "repartition": 1},
+    )
+    files = glob.glob(f"{path}/part-*")
+    assert len(files) == 1  # shrink via coalesce
+
+
+def test_write_partition_by(spark, fdf, tmp_path):
+    import os
+
+    path = str(tmp_path / "partitioned")
+    write_dataset(
+        fdf.where(F.col("s").isNotNull()), path, "parquet",
+        file_configs={"mode": "overwrite", "partitionBy": "s"},
+    )
+    assert os.path.isdir(f"{path}/s=a")
+    # partition pruning applies on read
+    back = read_dataset(spark, path, "parquet").where(F.col("s") == "a")
+    assert back.count() == 1
+
+
+def test_unsupported_format(fdf, tmp_path):
+    with pytest.raises(ValueError):
+        write_dataset(fdf, str(tmp_path / "x"), "xlsx")
+
+
+def test_geo_auto_detection(spark):
+    rows = [
+        (i, 40.0 + i * 0.01, -73.9 - i * 0.01, "u4pruydq", float(i * 1000))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="id int, lat double, pickup_lon double, gh string, amount double"
+    )
+    d = geo_auto_detection(df)
+    assert "lat" in d["lat"]
+    assert "pickup_lon" in d["lon"]
+    assert "gh" in d["geohash"]
+    assert "amount" not in d["lat"] and "amount" not in d["lon"]
