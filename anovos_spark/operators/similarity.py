@@ -75,6 +75,62 @@ def brute_force_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: [id_a, id_b, cos_sim] with
+    id_a < id_b and cos_sim ≥ threshold.
+
+    exact=False (default, scale path): random-hyperplane LSH candidates →
+    exact cosine verify — shuffle O(N·tables).  exact=True: full self-join
+    (O(N²), the oracle-checkable baseline — small corpora only)."""
+    from pyspark.sql import functions as F
+
+    c1 = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    c2 = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        pairs = c1.join(c2, F.col("id_a") < F.col("id_b"))
+    else:
+        dim = len(corpus.select(vec_col).first()[0])
+        planes = {
+            (t, b): _hyperplane(dim, seed, t, b)
+            for t in range(n_tables)
+            for b in range(n_bits)
+        }
+
+        def sketch(df, id_alias, v_alias):
+            rows = []
+            for t in range(n_tables):
+                bits = None
+                for b in range(n_bits):
+                    plane = F.array(*[F.lit(v) for v in planes[(t, b)]])
+                    bit = (_dot(F.col(v_alias), plane) > 0).cast("int")
+                    bits = bit if bits is None else bits * 2 + bit
+                rows.append(F.struct(F.lit(t).alias("t"), bits.alias("bk")))
+            return df.select(
+                id_alias, v_alias, F.explode(F.array(*rows)).alias("tb")
+            ).select(id_alias, v_alias, "tb.t", "tb.bk")
+        sa = sketch(c1, "id_a", "va")
+        sb = sketch(c2, "id_b", "vb")
+        pairs = (
+            sa.join(sb, ["t", "bk"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+            .distinct()
+        )
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+    )
+    return scored.where(F.col("cos_sim") >= threshold)
+
+
 def _hyperplane(dim: int, seed: int, table: int, bit: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from a counter-based
     LCG — reproducible anywhere, no RNG state."""

@@ -1012,6 +1012,57 @@ def one_hot_sql() -> str:
     return _union(parts)
 
 
+def embedding_near_dup_sql() -> str:
+    dot = ("list_sum(list_transform(generate_series(1, len(a.embedding)), "
+           "i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))")
+    na = ("sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+          "i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))))")
+    nb = ("sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)), "
+          "i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({dot}/({na}*{nb}), 6) AS cos_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round({dot}/({na}*{nb}), 6) >= 0.45"""
+
+
+def json_props_sql() -> str:
+    # props is single-key JSON; a regexp extract keeps parity trivial and
+    # engine-agnostic (Spark get_json_object vs DuckDB json extension)
+    return """
+SELECT event_type,
+       count(k)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type,
+             CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INT) AS k
+      FROM events) t
+GROUP BY 1"""
+
+
+def q6_sql() -> str:
+    return """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24"""
+
+
+def q5_sql() -> str:
+    return """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       count(*)::BIGINT AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY 1"""
+
+
 def registry() -> dict[str, str]:
     return {
         "global_summary": global_summary_sql(),
@@ -1066,6 +1117,10 @@ def registry() -> dict[str, str]:
         "ts_daypart": daypart_sql(),
         "iqr_standardization": iqr_standardization_sql(),
         "one_hot_encoding": one_hot_sql(),
+        "embedding_near_dup": embedding_near_dup_sql(),
+        "json_extraction": json_props_sql(),
+        "q6_forecast_revenue": q6_sql(),
+        "q5_local_supplier_volume": q5_sql(),
         "concatenate_dataset": """
 SELECT count(*)::BIGINT AS n_rows, count(DISTINCT l_orderkey)::BIGINT AS n_orders
 FROM lineitem""",

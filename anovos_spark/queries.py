@@ -777,6 +777,70 @@ def q_one_hot(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    from anovos_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.45, exact=True)
+
+
+def q_json_props(spark, sf_dir):
+    """Semi-structured extraction from the events props JSON column."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(k.alias("k"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-style: filtered revenue — pushdown-friendly single scan."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.03, 0.05))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-style: revenue by nation where customer and supplier share
+    the nation — 5-way join with broadcast dims."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    su = table(spark, sf_dir, "supplier")
+    na = table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    j = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .where(cu["c_nationkey"] == su["s_nationkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_summary": q_global_summary,
@@ -840,4 +904,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concatenate_dataset": q_concatenate,
         "iqr_standardization": q_iqr_standardization,
         "one_hot_encoding": q_one_hot,
+        "embedding_near_dup": q_embedding_near_dup,
+        "json_extraction": q_json_props,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
     }

@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for algorithmic invariants the unit
+tests can't sweep: prefix-filter exactness, melt/transpose roundtrip,
+binning bounds, minhash containment."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=3, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=doc_strategy, threshold=st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_filter_equals_bruteforce(spark, texts, threshold):
+    """The PPJoin prefix filter must be EXACT: identical pair set to the
+    brute-force all-pairs jaccard at any threshold."""
+    from anovos_spark.operators.dedup import _shingles, ngram_jaccard_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    # brute force on the driver
+    rows = df.select("doc_id", _shingles(F.col("text"), 3).alias("g")).collect()
+    sets = {r["doc_id"]: set(r["g"]) for r in rows}
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            j = round(inter / union, 6) if union else 0.0
+            if j >= threshold:
+                want[(a, b)] = j
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 5), st.floats(-100, 100), st.floats(-100, 100)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_melt_transpose_consistency(spark, data):
+    """melt produces exactly rows × value-cols entries, values preserved."""
+    from anovos_spark.core.utils import melt
+
+    df = spark.createDataFrame(
+        [(i, round(a, 3), round(b, 3)) for i, (g, a, b) in enumerate(data)],
+        "id int, a double, b double",
+    )
+    long_df = melt(df, ["id"], ["a", "b"], "attr", "val")
+    rows = long_df.collect()
+    assert len(rows) == 2 * df.count()
+    back = {(r["id"], r["attr"]): r["val"] for r in rows}
+    for r in df.collect():
+        assert back[(r["id"], "a")] == r["a"]
+        assert back[(r["id"], "b")] == r["b"]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=2,
+        max_size=50,
+    ).filter(lambda v: max(v) > min(v)),
+    bins=st.integers(2, 12),
+)
+def test_binning_bounds(spark, vals, bins):
+    """equal-range bins are always in [1, bins]; min→1, max→bins."""
+    from anovos_spark.operators.transformers import attribute_binning
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    odf, model = attribute_binning(df, ["x"], bin_size=bins)
+    got = [r["x"] for r in odf.collect()]
+    assert all(1 <= g <= bins for g in got)
+    pairs = {v: g for v, g in zip(vals, got)}
+    assert pairs[min(vals)] == 1
+    assert pairs[max(vals)] == bins
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=doc_strategy)
+def test_minhash_subset_of_exact(spark, texts):
+    """LSH+verify output is always a subset of the exact pair set, and
+    identical docs are always recovered."""
+    from anovos_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    texts = texts + [texts[0]]  # guarantee one identical pair
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    mh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, threshold=0.5).collect()}
+    assert mh <= exact
+    assert (0, len(texts) - 1) in mh  # identical docs collide in every band
