@@ -83,6 +83,34 @@ def join_dataset(
     return pairwise_reduce(_join, list(idfs))
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    join_cols,
+    join_type: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side's key with a random
+    bucket and explode the small side across all buckets, so one hot key
+    spreads over ``salt_buckets`` tasks instead of one straggler.
+
+    Use when AQE's skew-join splitting isn't enough (e.g. a single key
+    holding >> one partition's worth of rows).  The small side is
+    replicated ×salt_buckets — keep it dimension-sized.
+    """
+    join_cols = ensure_list(join_cols)
+    if join_type not in ("inner", "left"):
+        raise ValueError("salted_join supports inner|left")
+    salted_big = big.withColumn(
+        "__salt__", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt__", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_big.join(salted_small, join_cols + ["__salt__"], join_type)
+    return out.drop("__salt__")
+
+
 def data_sample(
     idf: DataFrame,
     strata_cols=None,

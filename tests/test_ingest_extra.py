@@ -1,0 +1,62 @@
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from anovos_spark.operators import datetime_ops as DT
+from anovos_spark.operators.ingest import join_dataset, salted_join
+
+
+def test_salted_join_matches_plain(spark):
+    # one massively hot key + a long tail
+    big = spark.createDataFrame(
+        [(1, i) for i in range(5000)] + [(k, 0) for k in range(2, 50)],
+        schema="k int, v int",
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 50)], "k int, name string")
+    plain = join_dataset(big, dim, join_cols=["k"], join_type="inner")
+    salted = salted_join(big, dim, ["k"], salt_buckets=8)
+    assert salted.count() == plain.count()
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(tuple(r) for r in salted.select(plain.columns).collect())
+    assert a == b
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, 10), (99, 20)], "k int, v int")
+    dim = spark.createDataFrame([(1, "one")], "k int, name string")
+    out = salted_join(big, dim, ["k"], join_type="left")
+    rows = {r["k"]: r["name"] for r in out.collect()}
+    assert rows == {1: "one", 99: None}
+
+
+@pytest.fixture()
+def tzdf(spark):
+    return spark.createDataFrame(
+        [(datetime.datetime(2024, 6, 15, 12, 0, 0),)], schema="ts timestamp"
+    )
+
+
+def test_timezone_conversion(tzdf):
+    out = DT.timezone_conversion(tzdf, ["ts"], "UTC", "America/New_York").collect()[0]
+    assert str(out["ts_tz"]) == "2024-06-15 08:00:00"  # EDT = UTC-4
+
+
+def test_string_to_timestamp_and_back(spark):
+    df = spark.createDataFrame([("15/06/2024 09:30:00",)], schema="s string")
+    out = DT.string_to_timestamp(df, ["s"], "dd/MM/yyyy HH:mm:ss")
+    out = DT.timestamp_to_string(out, ["s_ts"], "yyyy-MM-dd")
+    r = out.collect()[0]
+    assert str(r["s_ts"]) == "2024-06-15 09:30:00"
+    assert r["s_ts_str"] == "2024-06-15"
+
+
+def test_time_diff_and_elapsed(spark):
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 0), datetime.datetime(2024, 1, 2, 6, 0))],
+        schema="a timestamp, b timestamp",
+    )
+    out = DT.time_diff(df, "a", "b", unit="hour").collect()[0]
+    assert out["a_b_diff"] == 30.0
+    el = DT.time_elapsed(df, ["a"], unit="day").collect()[0]
+    assert el["a_elapsed"] > 365  # 2024 is long past
