@@ -205,6 +205,103 @@ def stability_index_computation(
     return _score_stability(all_periods, metric_weightages, threshold)
 
 
+def feature_stability_estimation(
+    attribute_stats: DataFrame,
+    expression: str,
+    metric_weightages: dict | None = None,
+    threshold: float = 1.0,
+) -> DataFrame:
+    """Estimate the stability index of a DERIVED feature g(X1..Xn) from the
+    per-period stats of its input attributes, without recomputing g over
+    the data (reference: stability.py:335-589, which differentiates with
+    sympy — here partial derivatives are numeric central differences, so no
+    extra dependency; same second-order Taylor estimates).
+
+    attribute_stats: [idx, attribute, mean, stddev] — one row per input
+    attribute per period (the shape stability_index_computation produces).
+    expression: python/numpy expression over the attribute names, e.g.
+    ``"log(x) + y**2"``.
+
+    Per period: mean_g ≈ g(µ) + ½·Σ ∂²g/∂xᵢ²·σᵢ²,
+    var_g ≈ Σ (∂g/∂xᵢ)²·σᵢ² (first-order), then the usual CV → SI scoring
+    across periods.  Output: one row [attribute='g', mean_cv, stddev_cv,
+    kurtosis_cv(null), mean_si, stddev_si, kurtosis_si, stability_index,
+    flagged] with kurtosis weight re-assigned to mean (the reference also
+    lacks kurtosis for derived features).
+    """
+    import math as _math
+
+    import numpy as _np
+
+    ns = {
+        k: getattr(_np, k)
+        for k in ("log", "log2", "log10", "exp", "sqrt", "sin", "cos", "tan", "abs")
+    }
+    ns["pi"] = _math.pi
+
+    rows = attribute_stats.collect()
+    periods: dict = {}
+    for r in rows:
+        periods.setdefault(r["idx"], {})[r["attribute"]] = (r["mean"], r["stddev"])
+
+    attrs = sorted({r["attribute"] for r in rows})
+
+    def g(values: dict) -> float:
+        return float(eval(expression, {"__builtins__": {}}, {**ns, **values}))  # noqa: S307
+
+    means_g, sds_g = [], []
+    for _, stats_map in sorted(periods.items()):
+        mu = {a: stats_map[a][0] for a in attrs}
+        var_sum, second_order = 0.0, 0.0
+        for a in attrs:
+            m, sd = stats_map[a]
+            h = max(abs(m) * 1e-5, 1e-8)
+            up = dict(mu)
+            dn = dict(mu)
+            up[a] = m + h
+            dn[a] = m - h
+            d1 = (g(up) - g(dn)) / (2 * h)
+            d2 = (g(up) - 2 * g(mu) + g(dn)) / (h * h)
+            var_sum += (d1 ** 2) * (sd ** 2)
+            second_order += 0.5 * d2 * (sd ** 2)
+        means_g.append(g(mu) + second_order)
+        sds_g.append(_math.sqrt(max(var_sum, 0.0)))
+
+    def cv(vals):
+        m = sum(vals) / len(vals)
+        if len(vals) < 2 or m == 0:
+            return None
+        var = sum((v - m) ** 2 for v in vals) / (len(vals) - 1)
+        return round(_math.sqrt(var) / m, 6)
+
+    mean_cv, sd_cv = cv(means_g), cv(sds_g)
+
+    def score(c):
+        if c is None:
+            return None
+        c = abs(c)
+        return 4.0 if c < 0.03 else 3.0 if c < 0.1 else 2.0 if c < 0.2 else 1.0 if c < 0.5 else 0.0
+
+    w = {"mean": 0.5, "stddev": 0.3, "kurtosis": 0.2, **(metric_weightages or {})}
+    m_si, s_si = score(mean_cv), score(sd_cv)
+    # kurtosis unavailable for derived features → its weight folds into mean
+    si = (
+        round(m_si * (w["mean"] + w["kurtosis"]) + s_si * w["stddev"], 4)
+        if m_si is not None and s_si is not None
+        else None
+    )
+    spark = attribute_stats.sparkSession
+    return spark.createDataFrame(
+        [("g", mean_cv, sd_cv, None, m_si, s_si, None, si,
+          int(si is not None and si < threshold))],
+        schema=(
+            "attribute string, mean_cv double, stddev_cv double, kurtosis_cv double, "
+            "mean_si double, stddev_si double, kurtosis_si double, "
+            "stability_index double, flagged int"
+        ),
+    )
+
+
 def _score_stability(
     long_df: DataFrame, metric_weightages: dict | None, threshold: float
 ) -> DataFrame:

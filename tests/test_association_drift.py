@@ -71,3 +71,22 @@ def test_stability_stable_vs_unstable(spark):
     assert out["s"]["stability_index"] == 4.0
     assert out["u"]["stability_index"] < out["s"]["stability_index"]
     assert out["u"]["flagged"] in (0, 1)
+
+
+def test_feature_stability_estimation(spark):
+    # stable attribute stats across 4 periods → derived feature stable
+    rows = []
+    for i in range(4):
+        rows.append((i, "x", 10.0 + i * 0.01, 2.0))
+        rows.append((i, "y", 5.0, 1.0 + i * 0.001))
+    stats_df = spark.createDataFrame(rows, "idx int, attribute string, mean double, stddev double")
+    out = D.feature_stability_estimation(stats_df, "log(x) + y**2").collect()[0]
+    assert out["stability_index"] == 4.0
+    assert out["flagged"] == 0
+    # unstable means → low index
+    rows2 = [(i, "x", 10.0 * (2 ** i), 2.0) for i in range(4)]
+    rows2 += [(i, "y", 5.0, 1.0) for i in range(4)]
+    stats2 = spark.createDataFrame(rows2, "idx int, attribute string, mean double, stddev double")
+    out2 = D.feature_stability_estimation(stats2, "x + y").collect()[0]
+    assert out2["stability_index"] < out["stability_index"]
+    assert out2["flagged"] in (0, 1)
