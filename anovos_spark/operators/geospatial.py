@@ -185,6 +185,95 @@ def rog_calculation(
     return joined.groupBy(id_col).agg(F.round(F.mean(d), 6).alias("rog_km"))
 
 
+# Approximate country centroids (public-domain geography; ~1-decimal
+# precision is all nearest-centroid assignment needs).  (name, lat, lon).
+COUNTRY_CENTROIDS: list[tuple[str, float, float]] = [
+    ("United States", 39.8, -98.6),
+    ("Canada", 56.1, -106.3),
+    ("Mexico", 23.6, -102.6),
+    ("Brazil", -10.8, -52.9),
+    ("Argentina", -34.0, -64.0),
+    ("Peru", -9.2, -75.0),
+    ("Colombia", 4.6, -74.1),
+    ("United Kingdom", 54.0, -2.0),
+    ("France", 46.6, 2.5),
+    ("Germany", 51.1, 10.4),
+    ("Spain", 40.2, -3.6),
+    ("Italy", 42.8, 12.1),
+    ("Poland", 52.1, 19.4),
+    ("Sweden", 62.8, 16.7),
+    ("Norway", 64.6, 11.5),
+    ("Ukraine", 48.4, 31.2),
+    ("Russia", 61.5, 97.7),
+    ("Turkey", 39.0, 35.2),
+    ("Egypt", 26.6, 29.8),
+    ("Nigeria", 9.6, 8.1),
+    ("Ethiopia", 8.6, 39.6),
+    ("Kenya", 0.5, 37.9),
+    ("South Africa", -29.0, 25.1),
+    ("Algeria", 28.2, 2.6),
+    ("Morocco", 31.9, -6.3),
+    ("Saudi Arabia", 24.1, 44.5),
+    ("Iran", 32.6, 54.3),
+    ("Iraq", 33.0, 43.8),
+    ("India", 22.9, 79.6),
+    ("Pakistan", 29.9, 69.4),
+    ("Bangladesh", 23.8, 90.2),
+    ("China", 36.6, 103.8),
+    ("Japan", 36.6, 138.0),
+    ("South Korea", 36.4, 127.8),
+    ("Vietnam", 16.6, 106.3),
+    ("Thailand", 15.1, 101.0),
+    ("Indonesia", -2.2, 117.3),
+    ("Philippines", 12.9, 122.9),
+    ("Australia", -25.7, 134.5),
+    ("New Zealand", -41.8, 171.5),
+]
+
+
+def reverse_geocoding(
+    idf: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    ref: list[tuple[str, float, float]] | None = None,
+    output_col: str = "country",
+    with_distance: bool = True,
+) -> DataFrame:
+    """Offline reverse geocoding: assign each point the nearest reference
+    centroid (reference: geospatial.py:1335-1411, which runs the offline
+    ``reverse_geocoder`` k-d-tree lib inside a row UDF).
+
+    Spark-first rework: the reference set is small (countries or a
+    user-supplied POI list), so the argmin is a pure Catalyst expression —
+    ``array_min`` over ``array<struct<dist,name>>`` (struct ordering = by
+    distance, name as deterministic tie-break).  Zero shuffle, zero UDF,
+    whole-stage-codegen'd; embarrassingly parallel at 100 TB.  For reference
+    sets too large to inline (>~500 rows), prefer a broadcast crossJoin +
+    ``min_by`` aggregation instead.
+    """
+    rows = list(ref) if ref is not None else COUNTRY_CENTROIDS
+    if len(rows) > 500:
+        raise ValueError(
+            "inline argmin supports <=500 reference points; "
+            "use a broadcast join for larger reference sets"
+        )
+    la, lo = F.col(lat_col), F.col(lon_col)
+    candidates = F.array(
+        *[
+            F.struct(
+                haversine_km(la, lo, F.lit(float(clat)), F.lit(float(clon))).alias("d"),
+                F.lit(str(name)).alias("name"),
+            )
+            for name, clat, clon in rows
+        ]
+    )
+    best = F.array_min(candidates)
+    odf = idf.withColumn(output_col, best["name"])
+    if with_distance:
+        odf = odf.withColumn(f"{output_col}_dist_km", F.round(best["d"], 6))
+    return odf
+
+
 def location_in_polygon(
     idf: DataFrame,
     lat_col: str,

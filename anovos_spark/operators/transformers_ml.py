@@ -4,8 +4,8 @@ monotonic binning, Box-Cox.
 Reference parity: transformers.py (monotonic_binning :294-425,
 imputation_sklearn :1677-2019, imputation_matrixFactorization :2022-2257,
 auto_imputation :2260-2521, PCA_latentFeatures :2915-3168,
-boxcox_transformation :3327-3486).  autoencoder_latentFeatures
-(:2524-2912) needs TensorFlow — not in this environment; stubbed.
+boxcox_transformation :3327-3486, autoencoder_latentFeatures :2524-2912 —
+the Keras autoencoder is re-implemented in pure numpy, same architecture).
 
 Scale posture (same as the reference): fits run on bounded seeded samples
 (sklearn-style KNN 10k :1689, boxcox grid on a sample), scoring is
@@ -447,10 +447,108 @@ def boxcox_transformation(
     return _out(idf, exprs, output_mode, "_boxcox"), lambdas
 
 
-def autoencoder_latent_features(*args, **kwargs):
-    """STUB: the reference's Keras autoencoder (transformers.py:2524-2912)
-    requires TensorFlow, which is not in this environment.  The PCA path
-    (pca_latent_features) provides the linear equivalent."""
-    raise NotImplementedError(
-        "autoencoder_latent_features requires TensorFlow; use pca_latent_features"
+def autoencoder_latent_features(
+    idf: DataFrame,
+    list_of_cols="all",
+    drop_cols=(),
+    reduction_params: float = 0.5,
+    sample_size: int = 500_000,
+    epochs: int = 100,
+    batch_size: int = 256,
+    learning_rate: float = 1e-2,
+    seed: int = 42,
+    output_mode: str = "append",
+) -> tuple[DataFrame, dict]:
+    """Nonlinear latent features from a single-bottleneck MLP autoencoder.
+
+    The reference (transformers.py:2524-2912) fits a Keras encoder/decoder on
+    a <=500k driver sample and scores distributed via pandas_udf.  TensorFlow
+    isn't in this environment, so the same architecture is re-implemented in
+    pure numpy: encoder ``tanh(X·W1+b1)`` to a bottleneck of
+    ``ceil(reduction_params*d)`` units (or exactly ``reduction_params`` if it
+    is an int >= 1), linear decoder, MSE loss, Adam.  Inputs are standardized
+    with sample moments; nulls fill to the (standardized) mean.
+
+    Scale posture — identical to the reference: the FIT is a bounded seeded
+    driver sample (transformers.py:2532); the SCORE is distributed via an
+    Arrow pandas_udf whose tiny weight matrices ride along in the closure
+    (auto-broadcast), so scoring is a single no-shuffle map over the data.
+    """
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
+    d = len(cols)
+    k = int(reduction_params) if reduction_params >= 1 else max(1, math.ceil(d * reduction_params))
+
+    total = idf.count()
+    frac = min(1.0, sample_size / max(total, 1))
+    pdf = (
+        idf.select(cols).dropna().sample(False, frac, seed).limit(sample_size).toPandas()
     )
+    X = pdf.to_numpy(dtype=np.float64)
+    mu, sd = X.mean(axis=0), X.std(axis=0)
+    sd[sd == 0] = 1.0
+    X = (X - mu) / sd
+
+    rng = np.random.default_rng(seed)
+    W1 = rng.normal(0, math.sqrt(1.0 / d), (d, k))
+    b1 = np.zeros(k)
+    W2 = rng.normal(0, math.sqrt(1.0 / k), (k, d))
+    b2 = np.zeros(d)
+    params = [W1, b1, W2, b2]
+    m_t = [np.zeros_like(p) for p in params]
+    v_t = [np.zeros_like(p) for p in params]
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+    step = 0
+    n = X.shape[0]
+    for _ in range(epochs):
+        perm = rng.permutation(n)
+        for start in range(0, n, batch_size):
+            xb = X[perm[start : start + batch_size]]
+            if len(xb) == 0:
+                continue
+            h = np.tanh(xb @ params[0] + params[1])
+            out = h @ params[2] + params[3]
+            err = (out - xb) / len(xb)  # d(MSE/2)/d(out)
+            g_W2 = h.T @ err
+            g_b2 = err.sum(axis=0)
+            dh = (err @ params[2].T) * (1 - h * h)
+            g_W1 = xb.T @ dh
+            g_b1 = dh.sum(axis=0)
+            step += 1
+            for i, g in enumerate((g_W1, g_b1, g_W2, g_b2)):
+                m_t[i] = beta1 * m_t[i] + (1 - beta1) * g
+                v_t[i] = beta2 * v_t[i] + (1 - beta2) * g * g
+                mhat = m_t[i] / (1 - beta1**step)
+                vhat = v_t[i] / (1 - beta2**step)
+                params[i] -= learning_rate * mhat / (np.sqrt(vhat) + eps)
+
+    h_full = np.tanh(X @ params[0] + params[1])
+    recon = h_full @ params[2] + params[3]
+    train_mse = float(((recon - X) ** 2).mean())
+
+    W1f, b1f = params[0], params[1]
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def encode(*series: pd.Series) -> pd.Series:
+        xm = np.column_stack([s.to_numpy(dtype=np.float64) for s in series])
+        xm = (xm - mu) / sd
+        xm = np.nan_to_num(xm, nan=0.0, posinf=0.0, neginf=0.0)
+        z = np.tanh(xm @ W1f + b1f)
+        return pd.Series(list(z))
+
+    lat = encode(*[F.col(c) for c in cols])
+    keep = list(idf.columns) if output_mode == "append" else []
+    odf = idf.select(*keep, *[lat[i].alias(f"latent_{i}") for i in range(k)])
+    model = {
+        "columns": cols,
+        "k": k,
+        "train_mse": train_mse,
+        "W1": params[0].tolist(),
+        "b1": params[1].tolist(),
+        "W2": params[2].tolist(),
+        "b2": params[3].tolist(),
+        "mu": mu.tolist(),
+        "sd": sd.tolist(),
+    }
+    return odf, model

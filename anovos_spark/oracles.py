@@ -872,6 +872,27 @@ SELECT c_nationkey, count(*)::BIGINT AS n,
 FROM {_COORDS} pts GROUP BY 1"""
 
 
+def reverse_geocoding_sql() -> str:
+    from anovos_spark.operators.geospatial import COUNTRY_CENTROIDS
+
+    vals = ", ".join(
+        f"('{name}', {lat!r}, {lon!r})" for name, lat, lon in COUNTRY_CENTROIDS
+    )
+    d = _hav("pts.lat", "pts.lon", "ref.rlat", "ref.rlon")
+    return f"""
+WITH ref(name, rlat, rlon) AS (VALUES {vals}),
+cand AS (
+  SELECT pts.c_custkey, ref.name, round({d}, 6) AS d,
+         row_number() OVER (PARTITION BY pts.c_custkey
+                            ORDER BY {d} ASC, ref.name ASC) AS rn
+  FROM {_COORDS} pts CROSS JOIN ref
+)
+SELECT name AS country, count(*)::BIGINT AS n,
+       round(avg(d), 6) AS avg_dist_km,
+       round(min(d), 6) AS min_dist_km
+FROM cand WHERE rn = 1 GROUP BY 1"""
+
+
 def geohash_sql() -> str:
     # precision 6 → 30 bits: lon gets 15 (even global bits), lat gets 15
     lon_bits, lat_bits = 15, 15
@@ -1110,6 +1131,7 @@ def registry() -> dict[str, str]:
         "join_enrich": join_enrich_sql(),
         "q3_shipping_priority": q3_sql(),
         "geo_distance": geo_distance_sql(),
+        "reverse_geocoding": reverse_geocoding_sql(),
         "geohash_encode": geohash_sql(),
         "geo_centroid_rog": centroid_rog_sql(),
         "ts_format_vote": ts_format_vote_sql(),

@@ -602,6 +602,35 @@ def q_centroid_rog(spark, sf_dir):
     )
 
 
+def q_reverse_geocoding(spark, sf_dir):
+    from anovos_spark.operators.geospatial import reverse_geocoding
+
+    df = reverse_geocoding(_cust_coords(spark, sf_dir), "lat", "lon")
+    return df.groupBy("country").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("country_dist_km"), 6).alias("avg_dist_km"),
+        F.round(F.min("country_dist_km"), 6).alias("min_dist_km"),
+    )
+
+
+def q_autoencoder_latent(spark, sf_dir):
+    from anovos_spark.operators.transformers_ml import autoencoder_latent_features
+
+    li = table(spark, sf_dir, "lineitem")
+    odf, model = autoencoder_latent_features(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        reduction_params=2,
+        sample_size=5000,
+        epochs=15,
+        seed=42,
+    )
+    return spark.createDataFrame(
+        [(model["k"], odf.count(), int(model["train_mse"] < 1.0))],
+        schema="k int, n_rows long, converged int",
+    )
+
+
 def q_ts_format_vote(spark, sf_dir):
     from anovos_spark.operators.timeseries import ts_format_vote
 
@@ -890,6 +919,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance": q_geo_distance,
         "geohash_encode": q_geohash,
         "geo_centroid_rog": q_centroid_rog,
+        "reverse_geocoding": q_reverse_geocoding,
+        "autoencoder_latent": q_autoencoder_latent,
         "ts_format_vote": q_ts_format_vote,
         "ts_eligibility": q_ts_eligibility,
         "ts_daypart": q_daypart,

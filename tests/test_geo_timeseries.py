@@ -42,6 +42,21 @@ def test_centroid_and_rog(geo_df):
     assert rog[2] < 10   # two NYC points
 
 
+def test_reverse_geocoding(spark):
+    df = spark.createDataFrame(
+        [(48.85, 2.35), (40.71, -74.0), (35.68, 139.69), (-33.87, 151.21)],
+        schema="lat double, lon double",
+    )
+    out = [r["country"] for r in GEO.reverse_geocoding(df, "lat", "lon").collect()]
+    assert out == ["France", "United States", "Japan", "Australia"]
+    # custom reference set + deterministic tie-break by name
+    ref = [("A", 0.0, 0.0), ("B", 0.0, 0.0), ("C", 50.0, 50.0)]
+    df2 = spark.createDataFrame([(1.0, 1.0)], schema="lat double, lon double")
+    r = GEO.reverse_geocoding(df2, "lat", "lon", ref=ref).collect()[0]
+    assert r["country"] == "A"
+    assert r["country_dist_km"] > 0
+
+
 def test_point_in_polygon(spark):
     square = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]
     df = spark.createDataFrame(

@@ -73,6 +73,28 @@ def test_boxcox(spark):
     assert abs(sk) < 0.5
 
 
-def test_autoencoder_stubbed(mdf):
-    with pytest.raises(NotImplementedError):
-        TML.autoencoder_latent_features(mdf)
+def test_autoencoder_latent_features(spark):
+    import random
+
+    random.seed(7)
+    # 4 columns on a 2-D manifold: (u, v, u+v, u-v) → 2 latent units suffice
+    rows = []
+    for _ in range(800):
+        u, v = random.gauss(0, 1), random.gauss(0, 1)
+        rows.append((u, v, u + v + random.gauss(0, 0.01), u - v + random.gauss(0, 0.01)))
+    df = spark.createDataFrame(rows, schema="a double, b double, c double, d double")
+    odf, model = TML.autoencoder_latent_features(
+        df, reduction_params=2, sample_size=800, epochs=60, batch_size=128, seed=1
+    )
+    assert model["k"] == 2
+    # standardized inputs have variance 1; a 2-unit bottleneck on a 2-D
+    # manifold must reconstruct far below that
+    assert model["train_mse"] < 0.25
+    assert odf.columns == ["a", "b", "c", "d", "latent_0", "latent_1"]
+    row = odf.limit(5).collect()[0]
+    assert -1.0 <= row["latent_0"] <= 1.0  # tanh range
+    # deterministic given the seed
+    _, model2 = TML.autoencoder_latent_features(
+        df, reduction_params=2, sample_size=800, epochs=60, batch_size=128, seed=1
+    )
+    assert model2["train_mse"] == model["train_mse"]
