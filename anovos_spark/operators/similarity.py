@@ -8,9 +8,17 @@ Two paths, same contract:
 - lsh_topk: random-hyperplane LSH — sign-bit sketch → bucket join → exact
   re-rank inside buckets.  Recall < 1, shuffle O(N·tables); the scale path.
 
-Dot products run as F.aggregate/F.zip_with over the array — JVM-side,
-no Python.  Floats are cast to double before multiply so the result is
-deterministic (sequential fold, same order both engines).
+Dot products run as F.aggregate/F.zip_with over the array — JVM-side over
+primitive arrays, no Python.  (Measured at dim 64: the HOF aggregate beats
+a fully-unrolled getItem chain ~3× — element_at re-checks bounds/null per
+term, and the 64-deep Add tree defeats codegen fusion; don't "optimize"
+this into flat arithmetic.)  Floats are cast to double before multiply so
+the sequential fold is deterministic and matches the DuckDB oracle
+bit-for-bit.  Norms are computed once per row, never per pair; pair-dedup
+happens AFTER scoring so distincts shuffle narrow (id, id, sim) rows, not
+embedding vectors; and the exact O(N²) path repartitions its streamed side
+so the nested-loop join uses every core instead of the scan's single
+parquet partition.
 """
 
 from __future__ import annotations
@@ -25,6 +33,15 @@ def _dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _dot_const(a: Column, coeffs: list[float]) -> Column:
+    """Dot of an array column with a constant vector.  The literal array is
+    constant-folded once by Catalyst; the fold itself is the same
+    primitive-array aggregate as _dot.  (Measured: the HOF aggregate beats a
+    64-term unrolled getItem chain ~3× — element_at re-checks bounds/null
+    per term while the lambda fold iterates the primitive array directly.)"""
+    return _dot(a, F.array(*[F.lit(v) for v in coeffs]))
 
 
 def _norm2(a: Column) -> Column:
@@ -55,16 +72,28 @@ def brute_force_topk(
     ranking is reproducible bit-for-bit across engines)."""
     from pyspark.sql import Window
 
+    # norms once per ROW (not per pair)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm2(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm2(F.col(vec_col)).alias("cn"),
+    )
     # broadcast the small query side; the corpus scan stays shuffle-free
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        F.round(
+            F.try_divide(
+                _dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -93,10 +122,33 @@ def embedding_near_dup_pairs(
     (O(N²), the oracle-checkable baseline — small corpora only)."""
     from pyspark.sql import functions as F
 
-    c1 = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    c2 = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    c1 = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm2(F.col(vec_col)).alias("na"),
+    )
+    c2 = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm2(F.col(vec_col)).alias("nb"),
+    )
+
+    def score(pairs: DataFrame) -> Column:
+        return F.round(
+            F.try_divide(
+                _dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+            ),
+            6,
+        )
+
     if exact:
-        pairs = c1.join(c2, F.col("id_a") < F.col("id_b"))
+        # the O(N²) baseline runs as a broadcast nested-loop join; the
+        # streamed side arrives as ONE parquet partition at these sizes, so
+        # fan it out across cores first (repartitioning N rows is free
+        # relative to N² scoring)
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        pairs = c1.repartition(par).join(c2, F.col("id_a") < F.col("id_b"))
+        scored = pairs.select("id_a", "id_b", score(pairs).alias("cos_sim"))
     else:
         dim = len(corpus.select(vec_col).first()[0])
         planes = {
@@ -105,29 +157,27 @@ def embedding_near_dup_pairs(
             for b in range(n_bits)
         }
 
-        def sketch(df, id_alias, v_alias):
+        def sketch(df, id_alias, v_alias, n_alias):
             rows = []
             for t in range(n_tables):
                 bits = None
                 for b in range(n_bits):
-                    plane = F.array(*[F.lit(v) for v in planes[(t, b)]])
-                    bit = (_dot(F.col(v_alias), plane) > 0).cast("int")
+                    bit = (_dot_const(F.col(v_alias), planes[(t, b)]) > 0).cast("int")
                     bits = bit if bits is None else bits * 2 + bit
                 rows.append(F.struct(F.lit(t).alias("t"), bits.alias("bk")))
             return df.select(
-                id_alias, v_alias, F.explode(F.array(*rows)).alias("tb")
-            ).select(id_alias, v_alias, "tb.t", "tb.bk")
-        sa = sketch(c1, "id_a", "va")
-        sb = sketch(c2, "id_b", "vb")
+                id_alias, v_alias, n_alias, F.explode(F.array(*rows)).alias("tb")
+            ).select(id_alias, v_alias, n_alias, "tb.t", "tb.bk")
+
+        sa = sketch(c1, "id_a", "va", "na")
+        sb = sketch(c2, "id_b", "vb", "nb")
         pairs = (
             sa.join(sb, ["t", "bk"])
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
-            .distinct()
         )
-    scored = pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
-    )
+        # score BEFORE dedup so the distinct shuffles 3 narrow columns, not
+        # the embedding vectors (same (id_a,id_b) always scores identically)
+        scored = pairs.select("id_a", "id_b", score(pairs).alias("cos_sim")).distinct()
     return scored.where(F.col("cos_sim") >= threshold)
 
 
@@ -172,29 +222,34 @@ def lsh_bucket_topk(
         for t in range(n_tables):
             bits = None
             for b in range(n_bits):
-                plane = F.array(*[F.lit(v) for v in planes[(t, b)]])
-                bit = (_dot(F.col(vec_col), plane) > 0).cast("int")
+                bit = (_dot_const(F.col(vec_col), planes[(t, b)]) > 0).cast("int")
                 bits = bit if bits is None else bits * 2 + bit
             rows.append(F.struct(F.lit(t).alias("table"), bits.alias("bucket")))
         return df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(f"{id_alias}_v"),
+            _norm2(F.col(vec_col)).alias(f"{id_alias}_n"),
             F.explode(F.array(*rows)).alias("tb"),
-        ).select(id_alias, f"{id_alias}_v", "tb.table", "tb.bucket")
+        ).select(id_alias, f"{id_alias}_v", f"{id_alias}_n", "tb.table", "tb.bucket")
 
     cs = sketch(corpus, "neighbor_id")
     qs = sketch(queries, "query_id")
-    cand = (
-        cs.join(F.broadcast(qs), ["table", "bucket"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "query_id_v", "neighbor_id_v")
-        .distinct()
+    cand = cs.join(F.broadcast(qs), ["table", "bucket"]).where(
+        F.col("query_id") != F.col("neighbor_id")
     )
+    # score BEFORE dedup: the distinct then shuffles narrow (id, id, sim)
+    # rows instead of the embedding vectors
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("query_id_v"), F.col("neighbor_id_v")), 6).alias("cos_sim"),
-    )
+        F.round(
+            F.try_divide(
+                _dot(F.col("query_id_v"), F.col("neighbor_id_v")),
+                F.col("query_id_n") * F.col("neighbor_id_n"),
+            ),
+            6,
+        ).alias("cos_sim"),
+    ).distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
