@@ -35,6 +35,17 @@ def _norm(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), _WS, " ")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to all cores before compute-heavy per-row work
+    (shingling/hashing): a document corpus that arrives as one parquet
+    row-group would otherwise pin the whole explode stage to one task.
+    No-op at real scale where the scan already has >= cores partitions."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _shingles(col: Column, n: int, mode: str = "word") -> Column:
     """Distinct n-gram shingle set of normalized text — one expression,
     no UDF.
@@ -100,9 +111,9 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     grams = _shingles(F.col(text_col), n)
-    docs = idf.select(F.col(id_col).alias("id"), grams.alias("grams")).withColumn(
-        "n_grams", F.size("grams")
-    )
+    docs = _spread(idf).select(
+        F.col(id_col).alias("id"), grams.alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
     # persist the shingled frame: it feeds 4 downstream plans (explode, df,
     # and both verify sides) — without the cache every plan re-runs AND
     # re-codegens the large shingling expression
@@ -163,7 +174,7 @@ def minhash_signatures(
     minimum per permutation.  One explode + one groupBy; signature is an
     array<long> of length num_hashes."""
     grams = _shingles(F.col(text_col), n)
-    exploded = idf.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+    exploded = _spread(idf).select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
     x = _hash32(F.col("g"))
     mins = [
         F.min((x * F.lit(2 * i + 1) + F.lit(i * 12582917)) % _P).alias(f"h{i}")
@@ -224,9 +235,9 @@ def minhash_lsh_pairs(
     # exact verification on CANDIDATES ONLY (array_intersect per pair) —
     # cost O(|candidates|), never the all-pairs join
     grams = _shingles(F.col(text_col), n)
-    docs = idf.select(F.col(id_col).alias("id"), grams.alias("grams")).withColumn(
-        "n_grams", F.size("grams")
-    )
+    docs = _spread(idf).select(
+        F.col(id_col).alias("id"), grams.alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
     docs.persist()
     da = docs.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"), F.col("n_grams").alias("na"))
     db = docs.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"), F.col("n_grams").alias("nb"))
@@ -254,7 +265,7 @@ def simhash_signatures(
     from anovos_spark.operators.text import tokens
 
     toks = tokens(F.lower(F.col(text_col)))
-    exploded = idf.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+    exploded = _spread(idf).select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
     h = _hash32(F.col("t"))
     votes = [
         F.sum(

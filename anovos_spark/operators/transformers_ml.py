@@ -244,7 +244,14 @@ def imputation_knn(
     import operator as pyop
 
     has_null = functools.reduce(pyop.or_, [F.col(c).isNull() for c in cols])
-    dirty = idf.where(has_null).mapInPandas(score, schema=schema)
+    dirty = idf.where(has_null)
+    # fan the (few-%) dirty rows across all cores before Arrow scoring —
+    # the filter inherits the scan's partitioning, which for a single
+    # parquet file caps the python workers at a handful of tasks
+    par = spark.sparkContext.defaultParallelism
+    if dirty.rdd.getNumPartitions() < par:
+        dirty = dirty.repartition(par)
+    dirty = dirty.mapInPandas(score, schema=schema)
     clean = idf.where(~has_null)
     return clean.unionByName(dirty)
 
@@ -332,55 +339,105 @@ def monotonic_binning(
 ) -> tuple[DataFrame, dict]:
     """Shrink bin count until the per-bin event rate is monotonic in the
     bin index (|Spearman| == 1), else fall back to max_bins
-    (reference: transformers.py:294-425 — their toPandas+scipy.spearmanr is
-    replaced by a driver-side rank correlation on ≤max_bins aggregated
-    rows, computed from ONE groupBy per trial)."""
-    from anovos_spark.operators.transformers import binning_apply, binning_fit
+    (reference: transformers.py:294-425 — their per-trial toPandas +
+    scipy.spearmanr loop is replaced by TWO total Spark jobs: one exact
+    percentile agg over the union grid {i/n}, one melt+groupBy over fine
+    buckets whose (count, Σy) lets the driver evaluate every (column, n)
+    candidate by merging buckets — all 19 trials, zero extra jobs)."""
+    from fractions import Fraction
+
+    from anovos_spark.core.utils import melt
+    from anovos_spark.operators.transformers import binning_apply
 
     cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
     cols = [c for c in cols if c != label_col]
     y = (F.col(label_col) == F.lit(event_label)).cast("double")
 
-    chosen: dict[str, dict] = {}
-    remaining = list(cols)
-    for n_bins in range(max_bins, min_bins - 1, -1):
-        if not remaining:
-            break
-        model = binning_fit(idf, remaining, method_type="equal_frequency", bin_size=n_bins)
-        binned = binning_apply(idf.withColumn("__y__", y), model)
-        # one groupBy per trial for ALL remaining columns via melt
-        from anovos_spark.core.utils import melt
+    # ---- job 1: ONE exact-percentile agg over the union fraction grid.
+    # Every candidate bin count n needs quantiles {i/n}; their union over
+    # n ∈ [min_bins, max_bins] is ~200 fractions, so all 19 trial fits
+    # collapse into a single aggregation (the iterative version re-fit
+    # quantiles once per trial → 19 sequential jobs).
+    fracs = sorted(
+        {Fraction(i, n) for n in range(min_bins, max_bins + 1) for i in range(1, n)}
+    )
+    frac_vals = [float(f) for f in fracs]
+    arr = "array(" + ", ".join(repr(v) for v in frac_vals) + ")"
+    aggs = [F.expr(f"percentile(`{c}`, {arr})").alias(c) for c in cols]
+    qrow = idf.agg(*aggs).collect()[0]
+    quantiles = {c: list(qrow[c] or []) for c in cols}  # frac index → value
 
+    usable = [c for c in cols if len(quantiles[c]) == len(fracs)]
+
+    # ---- job 2: ONE melt + groupBy over FINE buckets.  Fine cutoffs =
+    # all grid quantile values, so every candidate n's bins are exact
+    # merges of fine buckets; per-bucket (count, Σy) lets the driver
+    # evaluate every (column, n) pair with zero further Spark jobs.
+    fine_model = {
+        c: {"method": "equal_frequency", "bin_size": len(fracs) + 1,
+            "cutoffs": quantiles[c]}
+        for c in usable
+    }
+    chosen: dict[str, dict] = {}
+    if usable:
+        binned = binning_apply(idf.withColumn("__y__", y), fine_model)
         long_df = melt(
-            binned.select(remaining + ["__y__"]), ["__y__"], remaining, "attribute", "bin"
+            binned.select(usable + ["__y__"]), ["__y__"], usable, "attribute", "bin"
         )
-        rates = (
-            long_df.groupBy("attribute", "bin")
-            .agg(F.avg("__y__").alias("rate"))
+        stats = (
+            long_df.dropna(subset=["bin"])
+            .groupBy("attribute", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("__y__").alias("sy"))
             .collect()
         )
-        by_attr: dict[str, list] = {}
-        for r in rates:
-            by_attr.setdefault(r["attribute"], []).append((r["bin"], r["rate"]))
-        next_remaining = []
-        for c in remaining:
-            pairs = sorted(by_attr.get(c, []))
-            if len(pairs) < 2:
-                next_remaining.append(c)
+        buckets: dict[str, dict[int, tuple[int, float]]] = {}
+        for r in stats:
+            buckets.setdefault(r["attribute"], {})[int(r["bin"])] = (r["cnt"], r["sy"])
+
+        frac_index = {f: i for i, f in enumerate(fracs)}
+        for c in usable:
+            fine = buckets.get(c, {})
+            if not fine:
                 continue
-            vals = [p[1] for p in pairs]
-            rank = pd.Series(vals).rank().to_numpy()
-            ideal = np.arange(1, len(vals) + 1)
-            rho = np.corrcoef(rank, ideal)[0, 1]
-            if abs(rho) == 1.0:
-                chosen[c] = model[c]
-            else:
-                next_remaining.append(c)
-        remaining = next_remaining
+            cuts_all = quantiles[c]
+            for n_bins in range(max_bins, min_bins - 1, -1):
+                cand_vals = [cuts_all[frac_index[Fraction(i, n_bins)]] for i in range(1, n_bins)]
+                # rows in fine bucket b satisfy x > exactly (b-1) fine
+                # cutoffs; x > v  ⟺  b-1 ≥ #{fine cutoffs ≤ v}
+                c_le = [sum(1 for fc in cuts_all if fc <= v) for v in cand_vals]
+                merged: dict[int, tuple[int, float]] = {}
+                for b, (cnt, sy) in fine.items():
+                    cand_bin = 1 + sum(1 for t in c_le if (b - 1) >= t)
+                    pc, ps = merged.get(cand_bin, (0, 0.0))
+                    merged[cand_bin] = (pc + cnt, ps + sy)
+                if len(merged) < 2:
+                    continue
+                rates = [merged[b][1] / merged[b][0] for b in sorted(merged)]
+                rank = pd.Series(rates).rank().to_numpy()
+                ideal = np.arange(1, len(rates) + 1)
+                rho = np.corrcoef(rank, ideal)[0, 1]
+                if abs(rho) == 1.0:
+                    chosen[c] = {
+                        "method": "equal_frequency",
+                        "bin_size": n_bins,
+                        "cutoffs": cand_vals,
+                    }
+                    break
     # fall back to max_bins for columns never monotonic
-    if remaining:
-        fb = binning_fit(idf, remaining, method_type="equal_frequency", bin_size=max_bins)
-        chosen.update(fb)
+    for c in cols:
+        if c not in chosen:
+            cuts = quantiles.get(c, [])
+            frac_index = {f: i for i, f in enumerate(fracs)}
+            cand = (
+                [cuts[frac_index[Fraction(i, max_bins)]] for i in range(1, max_bins)]
+                if len(cuts) == len(fracs)
+                else []
+            )
+            chosen[c] = {
+                "method": "equal_frequency",
+                "bin_size": max_bins,
+                "cutoffs": cand,
+            }
     odf = binning_apply(idf, chosen, output_mode)
     return odf, chosen
 
