@@ -254,3 +254,82 @@ def lsh_bucket_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the corpus into
+    ``n_centroids`` cells, then each query exactly re-ranks only the vectors
+    in its ``n_probe`` nearest cells.
+
+    [query_id, neighbor_id, cos_sim, rank] — same contract as
+    brute_force_topk / lsh_bucket_topk; recall < 1 when a true neighbor
+    lives outside the probed cells.
+
+    Scale shape: the KMeans fit is Spark ML (distributed); cell assignment
+    is one projection; centroids are tiny and ride into the query-side
+    probe expression as literals (reverse_geocoding-style top-n over an
+    array of structs — no shuffle); the candidate join is an equi-join on
+    cell id, so shuffle volume is O(N + Q·n_probe·cell_size) — never the
+    O(Q·N) of brute force."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    corp = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm2(F.col(vec_col)).alias("cn"),
+        array_to_vector(F.col(vec_col)).alias("__v__"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__v__", predictionCol="cell")
+    model = km.fit(corp)
+    corp_cells = model.transform(corp).select("neighbor_id", "cv", "cn", "cell")
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def probe_cells(vc):
+        # squared L2 distance to each centroid; ||c||² folded to a literal
+        cands = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(float(sum(x * x for x in cen)))
+                        - 2.0 * _dot_const(vc, cen)
+                    ).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, cen in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.array_sort(cands), 1, min(n_probe, len(centroids)))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm2(F.col(vec_col)).alias("qn"),
+        F.explode(probe_cells(F.col(vec_col)).getField("cell")).alias("cell"),
+    )
+    cand = corp_cells.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.try_divide(_dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1084,6 +1084,52 @@ WHERE c_nationkey = s_nationkey
 GROUP BY 1"""
 
 
+def q10_sql() -> str:
+    return """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       round(first(c_acctbal), 2) AS c_acctbal
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20"""
+
+
+def q14_sql() -> str:
+    rev = (
+        "CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2)))"
+    )
+    return f"""
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN {rev}
+                                   ELSE 0::DECIMAL(12,2) END) AS DOUBLE)
+             / CAST(sum({rev}) AS DOUBLE), 6) AS promo_revenue_pct,
+       count(*)::BIGINT AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'"""
+
+
+def q18_sql() -> str:
+    return """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey"""
+
+
 def registry() -> dict[str, str]:
     return {
         "global_summary": global_summary_sql(),
@@ -1143,6 +1189,9 @@ def registry() -> dict[str, str]:
         "json_extraction": json_props_sql(),
         "q6_forecast_revenue": q6_sql(),
         "q5_local_supplier_volume": q5_sql(),
+        "q10_returned_items": q10_sql(),
+        "q14_promo_revenue": q14_sql(),
+        "q18_large_volume_customer": q18_sql(),
         "concatenate_dataset": """
 SELECT count(*)::BIGINT AS n_rows, count(DISTINCT l_orderkey)::BIGINT AS n_orders
 FROM lineitem""",

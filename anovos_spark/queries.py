@@ -437,6 +437,25 @@ def q_ann_cosine(spark, sf_dir):
     return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN vs brute-force truth: reports neighbor recall@5 — rows-only
+    (KMeans cell boundaries aren't SQL-expressible)."""
+    from anovos_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    truth = brute_force_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id"
+    )
+    hits = truth.join(approx, ["query_id", "neighbor_id"]).count()
+    total = truth.count()
+    return spark.createDataFrame(
+        [(hits, total, round(hits / max(total, 1), 4))],
+        schema="hits long, total long, recall double",
+    )
+
+
 def q_media_metadata(spark, sf_dir):
     from anovos_spark.operators.multimodal import media_metadata
 
@@ -870,6 +889,86 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10-style: revenue lost to returned items per customer, top 20.
+    Fact-to-fact join shuffles on the order key; customer/nation dims
+    broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    j = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(od, li["l_orderkey"] == od["o_orderkey"])
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01"))
+        )
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.round(F.first("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-style: promo revenue share in a month — conditional agg
+    over a broadcast part join."""
+    li = table(spark, sf_dir, "lineitem")
+    pa = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    j = li.where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    ).join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+    promo = F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(12,2)")))
+    total = F.sum(rev)
+    return j.agg(
+        F.round(F.lit(100.0) * promo.cast("double") / total.cast("double"), 6).alias(
+            "promo_revenue_pct"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18-style: orders whose total quantity exceeds a threshold —
+    self-aggregation on the fact table then joins back (the groupBy and the
+    join share the l_orderkey/o_orderkey shuffle key)."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    j = (
+        big.join(od, big["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+    )
+    return j.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round("total_qty", 2).alias("total_qty"),
+    )
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_summary": q_global_summary,
@@ -909,6 +1008,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_simhash_signatures": q_simhash,
         "ann_cosine_topk": q_ann_cosine,
+        "ivf_topk_recall": q_ivf_topk,
         "media_metadata": q_media_metadata,
         "time_units_extraction": q_time_units,
         "aggregator": q_aggregator,
@@ -939,4 +1039,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extraction": q_json_props,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_volume_customer": q18_large_volume_customer,
     }

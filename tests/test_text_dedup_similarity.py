@@ -92,6 +92,35 @@ def test_lsh_topk_contains_close_neighbor(spark):
     assert 0 in neigh  # the nearly-parallel vector lands in a shared bucket
 
 
+def test_ivf_topk(spark):
+    import random
+
+    random.seed(5)
+    # 3 well-separated clusters of 20 vectors each
+    centers = [[5.0, 0.0, 0.0, 0.0], [0.0, 5.0, 0.0, 0.0], [0.0, 0.0, 5.0, 0.0]]
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, [x + random.gauss(0, 0.2) for x in c]))
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    qs = emb.where(F.col("vec_id") < 3)
+    out = SIM.ivf_topk(emb, qs, k=5, n_centroids=3, n_probe=1)
+    rows_out = out.collect()
+    assert {r["query_id"] for r in rows_out} == {0, 1, 2}
+    for r in rows_out:
+        # with 1 probe on clean clusters, all neighbors share the query's
+        # cluster (ids ≡ query mod 3) and similarity is high
+        assert r["neighbor_id"] % 3 == r["query_id"] % 3
+        assert r["cos_sim"] > 0.9
+        assert 1 <= r["rank"] <= 5
+    # probing all cells = exact brute-force result
+    exact = SIM.brute_force_topk(emb, qs, k=5)
+    full = SIM.ivf_topk(emb, qs, k=5, n_centroids=3, n_probe=3)
+    assert sorted((r["query_id"], r["neighbor_id"]) for r in full.collect()) == sorted(
+        (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+    )
+
+
 def test_media_metadata(docs, spark):
     bin_df = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
     out = {r["id"]: r for r in MM.media_metadata(bin_df, "blob", "doc_id").collect()}
