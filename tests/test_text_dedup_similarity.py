@@ -92,6 +92,31 @@ def test_lsh_topk_contains_close_neighbor(spark):
     assert 0 in neigh  # the nearly-parallel vector lands in a shared bucket
 
 
+def test_decode_and_features_and_resize(docs, spark):
+    bin_df = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    dec = {r["id"]: r for r in MM.decode_images(bin_df, "blob", "doc_id").collect()}
+    assert dec[1]["decoded"] == 1 and dec[1]["fake"] == 1
+    assert 64 <= dec[1]["width"] <= 255 and dec[1]["mode"] == "RGB"
+    # deterministic: same blob → same fake dimensions
+    again = {r["id"]: r for r in MM.decode_images(bin_df, "blob", "doc_id").collect()}
+    assert again[1]["width"] == dec[1]["width"]
+
+    feats = {r["id"]: r["features"] for r in MM.byte_histogram_features(bin_df, "blob", "doc_id").collect()}
+    v = feats[1]
+    assert len(v) == 16
+    assert abs(sum(v) - 1.0) < 1e-3  # normalized
+    assert all(x >= 0 for x in v)
+    # ascii text concentrates in bins 6-7 (0x60-0x7f lowercase letters)
+    assert v[6] + v[7] > 0.5
+
+    rs = MM.resize_images(bin_df, "blob", "doc_id", 32, 32).collect()[0]
+    assert rs["width"] == 32 and rs["height"] == 32 and rs["fake"] == 1
+
+    rp = MM.size_bucket_repartition(bin_df, "blob", target_bytes_per_partition=64)
+    assert rp.count() == bin_df.count()
+    assert rp.rdd.getNumPartitions() >= 1
+
+
 def test_ivf_topk(spark):
     import random
 
