@@ -156,3 +156,33 @@ def document_fingerprint(
     whitespace-collapsed text — the exact-dedup key. [id, fingerprint]"""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
     return idf.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+# GPT-2-style pre-tokenizer, simplified to the RE2-safe subset (no
+# lookahead) so Spark's Java regex and the DuckDB oracle's RE2 agree:
+# contractions | space-prefixed letter runs | space-prefixed digit runs |
+# space-prefixed punctuation runs | whitespace runs.
+BPE_ISH_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+def token_count(
+    idf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "whitespace",
+) -> DataFrame:
+    """Token counts per document → [id, n_tokens].
+
+    mode='whitespace': split-on-\\s+ count (the cheap LLM-data heuristic).
+    mode='bpe_ish': matches of a GPT-2-style pre-tokenizer regex over the
+    lowercased text — tracks real BPE token counts within a few % on
+    natural text, at scan speed (one regexp_count expression, no UDF, no
+    vocab file)."""
+    t = F.col(text_col)
+    if mode == "whitespace":
+        n = F.size(tokens(t))
+    elif mode == "bpe_ish":
+        n = F.regexp_count(F.lower(t), F.lit(BPE_ISH_RE))
+    else:
+        raise ValueError("mode must be whitespace|bpe_ish")
+    return idf.select(F.col(id_col).alias("id"), n.cast("long").alias("n_tokens"))

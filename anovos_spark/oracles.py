@@ -652,6 +652,23 @@ SELECT doc_id, n_tokens, stop_ratio AS stopword_ratio,
 FROM g"""
 
 
+def token_counting_sql() -> str:
+    from anovos_spark.operators.text import BPE_ISH_RE
+
+    pat = BPE_ISH_RE.replace("\\", "\\\\").replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS ws_tokens,
+         len(regexp_extract_all(lower(text), '{pat}')) AS bpe_tokens
+  FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(ws_tokens)::BIGINT AS total_ws_tokens,
+       sum(bpe_tokens)::BIGINT AS total_bpe_tokens,
+       round(avg(bpe_tokens), 6) AS avg_bpe_tokens
+FROM t GROUP BY 1"""
+
+
 def language_id_sql() -> str:
     from anovos_spark.operators.text import LANG_PROFILES
 
@@ -1164,6 +1181,7 @@ def registry() -> dict[str, str]:
         "text_statistics": text_statistics_sql(),
         "text_quality_score": quality_score_sql(),
         "language_id": language_id_sql(),
+        "token_counting": token_counting_sql(),
         "dedup_exact": exact_dedup_sql(),
         "dedup_ngram_jaccard": ngram_jaccard_sql(),
         "dedup_minhash_lsh": minhash_lsh_sql(),

@@ -456,6 +456,23 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_token_counting(spark, sf_dir):
+    from anovos_spark.operators.text import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    ws = token_count(docs, mode="whitespace").withColumnRenamed("n_tokens", "ws_tokens")
+    bpe = token_count(docs, mode="bpe_ish").withColumnRenamed("n_tokens", "bpe_tokens")
+    j = ws.join(bpe, "id").join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.round(F.avg("bpe_tokens"), 6).alias("avg_bpe_tokens"),
+    )
+
+
 def q_media_metadata(spark, sf_dir):
     from anovos_spark.operators.multimodal import media_metadata
 
@@ -1019,6 +1036,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_statistics": q_text_statistics,
         "text_quality_score": q_quality_score,
         "language_id": q_language_id,
+        "token_counting": q_token_counting,
         "dedup_exact": q_exact_dedup,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_lsh": q_minhash_lsh,

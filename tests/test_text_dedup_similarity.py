@@ -92,6 +92,22 @@ def test_lsh_topk_contains_close_neighbor(spark):
     assert 0 in neigh  # the nearly-parallel vector lands in a shared bucket
 
 
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello world, it's 42 degrees!"), (2, "   "), (3, "one")],
+        schema="doc_id long, text string",
+    )
+    ws = {r["id"]: r["n_tokens"] for r in TX.token_count(df, mode="whitespace").collect()}
+    assert ws == {1: 5, 2: 0, 3: 1}
+    bpe = {r["id"]: r["n_tokens"] for r in TX.token_count(df, mode="bpe_ish").collect()}
+    # hello | world | , | it | 's | 42 | degrees | ! → 8 pieces
+    assert bpe[1] == 8
+    assert bpe[2] == 1  # one whitespace run
+    assert bpe[3] == 1
+    with pytest.raises(ValueError):
+        TX.token_count(df, mode="nope")
+
+
 def test_decode_and_features_and_resize(docs, spark):
     bin_df = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
     dec = {r["id"]: r for r in MM.decode_images(bin_df, "blob", "doc_id").collect()}
