@@ -68,3 +68,35 @@ def write_dataset(
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         writer = writer.partitionBy(*cols)
     writer.save(file_path)
+
+
+def write_bucketed_table(
+    idf: DataFrame,
+    table_name: str,
+    bucket_cols,
+    n_buckets: int,
+    sort_cols=None,
+    path: str | None = None,
+    file_type: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (optionally sorted) table — the co-located-join
+    layout for fact tables that are repeatedly joined/aggregated on the
+    same key.
+
+    Both sides of a join bucketed on the join key with the same bucket
+    count are read back WITHOUT a shuffle (and without a sort when sorted
+    by the key): the scan's bucketing metadata satisfies the join's
+    distribution requirement.  At 100 TB this converts every recurring
+    fact-fact join from a full network shuffle into a local merge.
+    Bucketing metadata lives in the catalog, so this writes via
+    ``saveAsTable`` (``path`` makes it an external table)."""
+    b_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = idf.write.format(file_type.lower()).mode(mode)
+    if path:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(int(n_buckets), *b_cols)
+    if sort_cols:
+        s_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*s_cols)
+    writer.saveAsTable(table_name)

@@ -69,3 +69,30 @@ def test_geo_auto_detection(spark):
     assert "pickup_lon" in d["lon"]
     assert "gh" in d["geohash"]
     assert "amount" not in d["lat"] and "amount" not in d["lon"]
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    from anovos_spark.sources.io import write_bucketed_table
+
+    a = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("w", F.col("id") + 7)
+    write_bucketed_table(a, "t_bkt_a", "id", 4, sort_cols="id",
+                         path=str(tmp_path / "a"))
+    write_bucketed_table(b, "t_bkt_b", "id", 4, sort_cols="id",
+                         path=str(tmp_path / "b"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ta, tb = spark.table("t_bkt_a"), spark.table("t_bkt_b")
+        j = ta.join(tb, "id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located bucketed join: the sort-merge join reads both scans
+        # directly — no exchange anywhere in the plan
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == 1000
+        row = j.where(F.col("id") == 10).collect()[0]
+        assert row["v"] == 20 and row["w"] == 17
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
