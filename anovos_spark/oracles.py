@@ -1101,6 +1101,17 @@ WHERE c_nationkey = s_nationkey
 GROUP BY 1"""
 
 
+def rollup_revenue_sql() -> str:
+    return """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
 def q10_sql() -> str:
     return """
 SELECT c_custkey, c_name, n_name,
@@ -1208,6 +1219,7 @@ def registry() -> dict[str, str]:
         "q6_forecast_revenue": q6_sql(),
         "q5_local_supplier_volume": q5_sql(),
         "q10_returned_items": q10_sql(),
+        "rollup_revenue": rollup_revenue_sql(),
         "q14_promo_revenue": q14_sql(),
         "q18_large_volume_customer": q18_sql(),
         "concatenate_dataset": """

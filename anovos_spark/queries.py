@@ -922,6 +922,29 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Hierarchical totals via ROLLUP (flag → status → grand total) — a
+    grouping-sets capability the reference lacks; one shuffle, partial aggs
+    reused across grouping levels by Spark's Expand operator."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10-style: revenue lost to returned items per customer, top 20.
     Fact-to-fact join shuffles on the order key; customer/nation dims
@@ -1075,6 +1098,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q10_returned_items": q10_returned_items,
+        "rollup_revenue": q_rollup_revenue,
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_volume_customer": q18_large_volume_customer,
     }
