@@ -174,6 +174,30 @@ def run_pipeline(
 
         df = timed(f"transform.{name}", stage)
 
+    # ---- association evaluator (analytical, non-mutating) -------------- #
+    assoc_fns = {"correlation_matrix", "iv_calculation", "ig_calculation"}
+    for name, kwargs in (config.get("association_evaluator") or {}).items():
+        if name not in assoc_fns:
+            raise ValueError(f"unknown association evaluator {name!r}")
+        from anovos_spark.operators import association
+
+        fn = getattr(association, name)
+        frame = timed(
+            f"association.{name}", lambda fn=fn, kwargs=kwargs: fn(df, **(kwargs or {}))
+        )
+        result.stats.put("main", name, frame, persist=False)
+
+    # ---- drift vs a baseline dataset (analytical) ----------------------- #
+    if "drift_detector" in config:
+        from anovos_spark.operators.drift import drift_statistics
+
+        dc = dict(config["drift_detector"])
+        # the baseline dataset is the SOURCE (bins fit there); the
+        # pipeline's current frame is the TARGET being checked for drift
+        base = read_dataset(spark, **dc.pop("baseline_read"))
+        frame = timed("drift.statistics", lambda: drift_statistics(df, base, **dc))
+        result.stats.put("main", "drift_statistics", frame, persist=False)
+
     # ---- output -------------------------------------------------------- #
     if "write_main" in config:
         wm = dict(config["write_main"])

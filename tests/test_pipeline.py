@@ -59,6 +59,25 @@ def test_pipeline_yaml_roundtrip(spark, sf_dir, tmp_path):
     assert res.stats.get("main", "global_summary") is not None
 
 
+def test_pipeline_example_yaml(spark, tmp_path):
+    """The checked-in examples/pipeline.yaml runs end to end, exercising
+    quality treatment, stats, association, drift, transformers, write."""
+    import yaml
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "examples", "pipeline.yaml")) as fh:
+        cfg = yaml.safe_load(fh)
+    cfg["write_main"]["file_path"] = str(tmp_path / "out")
+    # keep the test quick: the sf0.001 tables
+    cfg["input_dataset"]["read"]["file_path"] = "/root/testdata/sf0.001/lineitem.parquet"
+    res = run_pipeline(spark, cfg)
+    assert res.df.count() > 0
+    assert res.stats.get("main", "correlation_matrix") is not None
+    drift = res.stats.get("main", "drift_statistics")
+    assert {r["attribute"] for r in drift.collect()} == {"l_quantity", "l_extendedprice"}
+    assert "drift.statistics" in res.timings and "association.correlation_matrix" in res.timings
+    assert spark.read.parquet(cfg["write_main"]["file_path"]).count() == res.df.count()
+
+
 def test_stats_store_cache_and_persist(spark, tmp_path):
     store = StatsStore(spark, str(tmp_path / "stats"))
     calls = {"n": 0}
