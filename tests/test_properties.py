@@ -103,3 +103,52 @@ def test_minhash_subset_of_exact(spark, texts):
     mh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, threshold=0.5).collect()}
     assert mh <= exact
     assert (0, len(texts) - 1) in mh  # identical docs collide in every band
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-85, max_value=85, allow_nan=False),
+            st.floats(min_value=-179, max_value=179, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_reverse_geocoding_is_argmin(spark, pts):
+    """The zero-shuffle argmin expression must agree with a driver-side
+    exhaustive nearest-centroid search (haversine, name tiebreak)."""
+    import math
+
+    from anovos_spark.operators.geospatial import COUNTRY_CENTROIDS, reverse_geocoding
+
+    def hav(la1, lo1, la2, lo2):
+        dla, dlo = math.radians(la2 - la1) / 2, math.radians(lo2 - lo1) / 2
+        a = math.sin(dla) ** 2 + math.cos(math.radians(la1)) * math.cos(
+            math.radians(la2)
+        ) * math.sin(dlo) ** 2
+        return 2 * 6371.0088 * math.asin(min(1.0, math.sqrt(a)))
+
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts)], "i long, lat double, lon double"
+    )
+    got = {r["i"]: r["country"] for r in reverse_geocoding(df, "lat", "lon").collect()}
+    for i, (la, lo) in enumerate(pts):
+        want = min(COUNTRY_CENTROIDS, key=lambda c: (hav(la, lo, c[1], c[2]), c[0]))[0]
+        assert got[i] == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=doc_strategy)
+def test_token_count_invariants(spark, texts):
+    """whitespace tokens == split count; bpe_ish >= whitespace (the
+    pre-tokenizer only ever splits further, plus whitespace runs)."""
+    from anovos_spark.operators.text import token_count
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    ws = {r["id"]: r["n_tokens"] for r in token_count(df, mode="whitespace").collect()}
+    bpe = {r["id"]: r["n_tokens"] for r in token_count(df, mode="bpe_ish").collect()}
+    for i, t in enumerate(texts):
+        assert ws[i] == len(t.split())
+        assert bpe[i] >= ws[i]
