@@ -227,3 +227,74 @@ def ts_analyzer(
             .withColumn("granularity", F.lit(alias))
         )
     return union_by_name(frames).select("granularity", "key", "n_rows", "value_mean")
+
+
+def seasonal_decompose(
+    idf: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    grain: str = "day",
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the per-grain mean
+    series: observed = trend + seasonal + resid (reference: ts_analyzer.py
+    runs statsmodels.seasonal_decompose on small aggregates — same
+    algorithm re-implemented: centered moving-average trend, by-phase
+    seasonal means, both driver-side numpy on the aggregated series).
+
+    The DATA-SIZED work (grain aggregation) is one distributed groupBy;
+    only the tiny per-grain series (#days/#hours rows) reaches the driver.
+    Returns [idx, grain_key, observed, trend, seasonal, resid] ordered by
+    time; trend/resid are null in the half-window edges, like statsmodels.
+    """
+    import numpy as np
+
+    truncs = {"day": "dd", "hour": "hour", "week": "week", "month": "mon"}
+    if grain not in truncs:
+        raise ValueError(f"grain must be one of {sorted(truncs)}")
+    series = (
+        idf.groupBy(F.date_trunc(truncs[grain], F.col(ts_col)).alias("k"))
+        .agg(F.mean(value_col).alias("v"))
+        .orderBy("k")
+        .collect()
+    )
+    if len(series) < 2 * period:
+        raise ValueError(f"need >= 2 periods of data ({2*period} {grain}s), got {len(series)}")
+    obs = np.array([r["v"] for r in series], dtype=float)
+    n = len(obs)
+    half = period // 2
+    trend = np.full(n, np.nan)
+    if period % 2 == 0:
+        # centered MA with half-weights at both ends (statsmodels convention)
+        w = np.ones(period + 1)
+        w[0] = w[-1] = 0.5
+        w /= period
+        for i in range(half, n - half):
+            trend[i] = float(np.dot(obs[i - half : i + half + 1], w))
+    else:
+        for i in range(half, n - half):
+            trend[i] = float(obs[i - half : i + half + 1].mean())
+    detrended = obs - trend
+    seasonal_means = np.array(
+        [np.nanmean(detrended[p::period]) for p in range(period)]
+    )
+    seasonal_means -= seasonal_means.mean()  # center so Σ seasonal = 0
+    seasonal = np.array([seasonal_means[i % period] for i in range(n)])
+    resid = obs - trend - seasonal
+    spark = idf.sparkSession
+    rows = [
+        (
+            i,
+            str(series[i]["k"]),
+            round(float(obs[i]), 6),
+            None if np.isnan(trend[i]) else round(float(trend[i]), 6),
+            round(float(seasonal[i]), 6),
+            None if np.isnan(resid[i]) else round(float(resid[i]), 6),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="idx int, grain_key string, observed double, trend double, "
+        "seasonal double, resid double",
+    )

@@ -654,6 +654,15 @@ def q_centroid_rog(spark, sf_dir):
     )
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    """Weekly seasonal decomposition of daily event value means — rows-only
+    (centered-MA trend isn't practical to mirror in one SQL)."""
+    from anovos_spark.operators.timeseries import seasonal_decompose
+
+    ev = table(spark, sf_dir, "events")
+    return seasonal_decompose(ev, "ts", "value", period=7)
+
+
 def q_reverse_geocoding(spark, sf_dir):
     from anovos_spark.operators.geospatial import reverse_geocoding
 
@@ -1082,6 +1091,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_format_vote": q_ts_format_vote,
         "ts_eligibility": q_ts_eligibility,
         "ts_daypart": q_daypart,
+        "seasonal_decompose": q_seasonal_decompose,
         "pca_latent_features": q_pca_latent,
         "knn_imputation": q_knn_imputation,
         "als_imputation": q_als_imputation,

@@ -133,3 +133,30 @@ def test_kmeans_clusters(geo_df):
         clusters[r["uid"]].add(r["cluster"])
     # NYC points should co-cluster
     assert len(clusters[2]) == 1
+
+
+def test_seasonal_decompose(spark):
+    import datetime as dt
+    import math
+
+    # 8 weeks of daily data: linear trend + weekly (period 7) seasonality
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(56):
+        for _ in range(3):  # 3 observations per day -> exercises the agg
+            season = 5.0 * math.sin(2 * math.pi * (d % 7) / 7)
+            rows.append((base + dt.timedelta(days=d), 100.0 + 0.5 * d + season))
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = TS.seasonal_decompose(df, "ts", "v", period=7).collect()
+    assert len(out) == 56
+    mid = [r for r in out if r["trend"] is not None]
+    # trend recovers the 0.5/day slope away from the edges
+    slope = (mid[-1]["trend"] - mid[0]["trend"]) / (mid[-1]["idx"] - mid[0]["idx"])
+    assert abs(slope - 0.5) < 0.05
+    # seasonal component is centered and repeats with period 7
+    assert abs(sum(r["seasonal"] for r in out[:7])) < 1e-6
+    assert abs(out[0]["seasonal"] - out[7]["seasonal"]) < 1e-9
+    # residuals are tiny for a noiseless series
+    assert max(abs(r["resid"]) for r in out if r["resid"] is not None) < 0.3
+    with pytest.raises(ValueError):
+        TS.seasonal_decompose(df.limit(10), "ts", "v", period=7)
