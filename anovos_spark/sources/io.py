@@ -32,7 +32,17 @@ def read_dataset(
     if file_type == "csv":
         opts.setdefault("header", "True")
         opts.setdefault("inferSchema", "True")
-    return spark.read.format(file_type).options(**opts).load(file_path)
+    try:
+        return spark.read.format(file_type).options(**opts).load(file_path)
+    except Exception as e:
+        if file_type in ("avro", "delta") and "Failed to find data source" in str(e):
+            raise RuntimeError(
+                f"{file_type} requires its external Spark package on the session "
+                f"classpath (e.g. --packages org.apache.spark:spark-avro_2.13:<spark-version> "
+                f"or io.delta:delta-spark); the reference pins spark-avro the same way "
+                f"(shared/spark.py:12-23)"
+            ) from e
+        raise
 
 
 def write_dataset(
