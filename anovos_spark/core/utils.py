@@ -75,3 +75,22 @@ def union_by_name(dfs: list[DataFrame]) -> DataFrame:
     """Balanced multi-frame unionByName (replaces the reference's
     sc.union([df.rdd ...]) pattern, stats_generator.py:403-414)."""
     return pairwise_reduce(lambda a, b: a.unionByName(b, allowMissingColumns=False), dfs)
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism when
+    the plan arrives with FEWER partitions than cores.
+
+    Why: a table small enough to sit in one parquet row group scans as ONE
+    task, so a wide aggregation (30 corr pairs, a full stats battery, exact
+    percentiles) runs single-core no matter how many executors exist; a
+    narrow ~10 MB shuffle buys back full parallelism.  At real scale the
+    scan already has >= cores partitions and this is an exact no-op — so it
+    is safe to leave in 100 TB paths (it never ADDS a shuffle there).  Use
+    it only in front of compute-heavy per-row or per-partition work; a
+    plain count/sum is cheaper than the shuffle it would add at small SF.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

@@ -34,7 +34,9 @@ def correlation_matrix(
     aggs = [
         F.round(F.corr(a, b), 6).alias(f"{a}|{b}") for a, b in pairs
     ]
-    row = idf.agg(*aggs).collect()[0] if aggs else {}
+    from anovos_spark.core.utils import fan_out
+
+    row = fan_out(idf.select(*cols)).agg(*aggs).collect()[0] if aggs else {}
     data = [(c, c, 1.0) for c in cols]
     for a, b in pairs:
         v = row[f"{a}|{b}"]

@@ -181,7 +181,8 @@ def outlier_fit(
             fit_df = idf.sample(False, sample_size / total, seed)
 
     fn = "percentile" if exact else "percentile_approx"
-    pts = f"array({cfg['pctile_lower']}, {cfg['pctile_upper']}, 0.25, 0.75)"
+    acc = "" if exact else ", 100"
+    pts = f"array({cfg['pctile_lower']}, {cfg['pctile_upper']}, 0.25, 0.75){acc}"
     aggs = []
     for c in cols:
         aggs += [

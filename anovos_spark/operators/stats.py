@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from anovos_spark.core.typing import discrete_columns, resolve_columns
-from anovos_spark.core.utils import melt
+from anovos_spark.core.utils import fan_out, melt
 
 
 def _stack_wide_row(
@@ -118,7 +118,7 @@ def mode_computation(idf: DataFrame, list_of_cols="all", drop_cols=()) -> DataFr
     stats_generator.py:358 — divergence documented).
     """
     cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="discrete")
-    long_df = melt(idf.select(cols), [], cols, "attribute", "value")
+    long_df = melt(fan_out(idf.select(cols)), [], cols, "attribute", "value")
     counts = (
         long_df.where(F.col("value").isNotNull())
         .groupBy("attribute", "value")
@@ -146,7 +146,9 @@ def unique_count(
         ).alias(f"{c}__unique_values")
         for c in cols
     ]
-    return _stack_wide_row(idf.agg(*aggs), cols, ["unique_values"], {"unique_values": "long"})
+    return _stack_wide_row(
+        fan_out(idf.select(*cols)).agg(*aggs), cols, ["unique_values"], {"unique_values": "long"}
+    )
 
 
 def measures_of_cardinality(
@@ -160,7 +162,7 @@ def measures_of_cardinality(
         cnt = F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(F.col(c))
         aggs.append(cnt.alias(f"{c}__unique_values"))
         aggs.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
-    wide = idf.agg(*aggs)
+    wide = fan_out(idf.select(*cols)).agg(*aggs)
     for c in cols:
         wide = wide.withColumn(
             f"{c}__IDness",
@@ -234,7 +236,7 @@ def measures_of_central_tendency(
         aggs.append(F.round(median_fn(c), 6).alias(f"{c}__median"))
     for c in disc_cols:
         aggs.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
-    wide = idf.agg(*aggs)
+    wide = fan_out(idf.select(*dict.fromkeys(num_cols + disc_cols))).agg(*aggs)
 
     parts = []
     if num_cols:
@@ -266,9 +268,10 @@ def measures_of_dispersion(
     # ONE quantile sketch per column (array of probabilities), not one per
     # (column, quantile) — sketch maintenance is the dominant cost
     fn = "percentile" if exact else "percentile_approx"
+    acc = "" if exact else ", 100"
     aggs = []
     for c in cols:
-        aggs.append(F.expr(f"{fn}(`{c}`, array(0.25, 0.75))").alias(f"{c}__qs"))
+        aggs.append(F.expr(f"{fn}(`{c}`, array(0.25, 0.75){acc})").alias(f"{c}__qs"))
         if exact:
             # decimal-exact s1/s2 → partition-order-independent variance:
             # var = (s2 − s1²/n)/(n−1) evaluated in double, byte-identical
@@ -290,7 +293,7 @@ def measures_of_dispersion(
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
         ]
-    wide = idf.agg(*aggs)
+    wide = fan_out(idf.select(*cols)).agg(*aggs)
     for c in cols:
         if exact:
             var = (F.col(f"{c}__s2") - F.col(f"{c}__s1") * F.col(f"{c}__s1") / F.col(f"{c}__n")) / (
@@ -331,8 +334,9 @@ def measures_of_percentiles(
         aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
         aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
         fn = "percentile" if exact else "percentile_approx"
-        aggs.append(F.expr(f"{fn}(`{c}`, {pcts})").alias(f"{c}__pcts"))
-    wide = idf.agg(*aggs)
+        acc = "" if exact else ", 100"
+        aggs.append(F.expr(f"{fn}(`{c}`, {pcts}{acc})").alias(f"{c}__pcts"))
+    wide = fan_out(idf.select(*cols)).agg(*aggs)
     for c in cols:
         for i, name in enumerate(_PCT_NAMES):
             if name == "min":
@@ -355,4 +359,6 @@ def measures_of_shape(idf: DataFrame, list_of_cols="all", drop_cols=()) -> DataF
     for c in cols:
         aggs.append(F.round(F.skewness(c), 6).alias(f"{c}__skewness"))
         aggs.append(F.round(F.kurtosis(c), 6).alias(f"{c}__kurtosis"))
-    return _stack_wide_row(idf.agg(*aggs), cols, ["skewness", "kurtosis"])
+    return _stack_wide_row(
+        fan_out(idf.select(*cols)).agg(*aggs), cols, ["skewness", "kurtosis"]
+    )

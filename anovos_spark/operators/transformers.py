@@ -72,8 +72,9 @@ def binning_fit(
         pts = [i / bin_size for i in range(1, bin_size)]
         arr = "array(" + ", ".join(str(p) for p in pts) + ")"
         fn = "percentile" if exact else "percentile_approx"
+        acc = "" if exact else ", 100"
         for c in cols:
-            aggs.append(F.expr(f"{fn}(`{c}`, {arr})").alias(f"{c}__cut"))
+            aggs.append(F.expr(f"{fn}(`{c}`, {arr}{acc})").alias(f"{c}__cut"))
     else:
         raise ValueError("method_type must be equal_range|equal_frequency")
     row = idf.agg(*aggs).collect()[0]
@@ -310,8 +311,9 @@ def iqr_standardization(
     (reference: transformers.py:1102-1230)."""
     cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
     fn = "percentile" if exact else "percentile_approx"
+    acc = "" if exact else ", 100"
     aggs = [
-        F.expr(f"{fn}(`{c}`, array(0.25, 0.5, 0.75))").alias(f"{c}__q") for c in cols
+        F.expr(f"{fn}(`{c}`, array(0.25, 0.5, 0.75){acc})").alias(f"{c}__q") for c in cols
     ]
     row = idf.agg(*aggs).collect()[0]
     model = {}
@@ -376,7 +378,8 @@ def imputation_mmm_fit(
             aggs = [F.mean(c).alias(f"{c}__v") for c in num_cols]
         elif method_type == "median":
             fn = "percentile" if exact else "percentile_approx"
-            aggs = [F.expr(f"{fn}(`{c}`, 0.5)").alias(f"{c}__v") for c in num_cols]
+            acc = "" if exact else ", 100"
+            aggs = [F.expr(f"{fn}(`{c}`, 0.5{acc})").alias(f"{c}__v") for c in num_cols]
         else:
             raise ValueError("method_type must be mean|median")
         row = idf.agg(*aggs).collect()[0]
