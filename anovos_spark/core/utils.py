@@ -87,10 +87,23 @@ def fan_out(df: DataFrame) -> DataFrame:
     narrow ~10 MB shuffle buys back full parallelism.  At real scale the
     scan already has >= cores partitions and this is an exact no-op — so it
     is safe to leave in 100 TB paths (it never ADDS a shuffle there).  Use
-    it only in front of compute-heavy per-row or per-partition work; a
-    plain count/sum is cheaper than the shuffle it would add at small SF.
+    it only in front of compute-heavy per-row or per-partition work (exact
+    percentiles, exact distincts, wide co-moment batteries): the probe is
+    free but the extra exchange costs ~1 s of first-run codegen, which a
+    cheap sketch-based aggregation never earns back.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        # Catalyst's logical size estimate: no RDD conversion, no job.
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        max_pb = int(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            .rstrip("b")
+        )
+        est_partitions = max(1, size // max_pb)
+    except Exception:
+        est_partitions = df.rdd.getNumPartitions()
+    if est_partitions < par:
         return df.repartition(par)
     return df

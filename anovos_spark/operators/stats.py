@@ -118,7 +118,7 @@ def mode_computation(idf: DataFrame, list_of_cols="all", drop_cols=()) -> DataFr
     stats_generator.py:358 — divergence documented).
     """
     cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="discrete")
-    long_df = melt(fan_out(idf.select(cols)), [], cols, "attribute", "value")
+    long_df = melt(idf.select(cols), [], cols, "attribute", "value")
     counts = (
         long_df.where(F.col("value").isNotNull())
         .groupBy("attribute", "value")
@@ -146,9 +146,8 @@ def unique_count(
         ).alias(f"{c}__unique_values")
         for c in cols
     ]
-    return _stack_wide_row(
-        fan_out(idf.select(*cols)).agg(*aggs), cols, ["unique_values"], {"unique_values": "long"}
-    )
+    src = fan_out(idf.select(*cols)) if exact else idf.select(*cols)
+    return _stack_wide_row(src.agg(*aggs), cols, ["unique_values"], {"unique_values": "long"})
 
 
 def measures_of_cardinality(
@@ -162,7 +161,7 @@ def measures_of_cardinality(
         cnt = F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(F.col(c))
         aggs.append(cnt.alias(f"{c}__unique_values"))
         aggs.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
-    wide = fan_out(idf.select(*cols)).agg(*aggs)
+    wide = (fan_out(idf.select(*cols)) if exact else idf.select(*cols)).agg(*aggs)
     for c in cols:
         wide = wide.withColumn(
             f"{c}__IDness",
@@ -236,7 +235,8 @@ def measures_of_central_tendency(
         aggs.append(F.round(median_fn(c), 6).alias(f"{c}__median"))
     for c in disc_cols:
         aggs.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
-    wide = fan_out(idf.select(*dict.fromkeys(num_cols + disc_cols))).agg(*aggs)
+    src = idf.select(*dict.fromkeys(num_cols + disc_cols))
+    wide = (fan_out(src) if exact else src).agg(*aggs)
 
     parts = []
     if num_cols:
@@ -293,7 +293,7 @@ def measures_of_dispersion(
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
         ]
-    wide = fan_out(idf.select(*cols)).agg(*aggs)
+    wide = (fan_out(idf.select(*cols)) if exact else idf.select(*cols)).agg(*aggs)
     for c in cols:
         if exact:
             var = (F.col(f"{c}__s2") - F.col(f"{c}__s1") * F.col(f"{c}__s1") / F.col(f"{c}__n")) / (
@@ -336,7 +336,7 @@ def measures_of_percentiles(
         fn = "percentile" if exact else "percentile_approx"
         acc = "" if exact else ", 100"
         aggs.append(F.expr(f"{fn}(`{c}`, {pcts}{acc})").alias(f"{c}__pcts"))
-    wide = fan_out(idf.select(*cols)).agg(*aggs)
+    wide = (fan_out(idf.select(*cols)) if exact else idf.select(*cols)).agg(*aggs)
     for c in cols:
         for i, name in enumerate(_PCT_NAMES):
             if name == "min":
@@ -359,6 +359,4 @@ def measures_of_shape(idf: DataFrame, list_of_cols="all", drop_cols=()) -> DataF
     for c in cols:
         aggs.append(F.round(F.skewness(c), 6).alias(f"{c}__skewness"))
         aggs.append(F.round(F.kurtosis(c), 6).alias(f"{c}__kurtosis"))
-    return _stack_wide_row(
-        fan_out(idf.select(*cols)).agg(*aggs), cols, ["skewness", "kurtosis"]
-    )
+    return _stack_wide_row(idf.agg(*aggs), cols, ["skewness", "kurtosis"])
