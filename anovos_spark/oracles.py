@@ -1101,6 +1101,17 @@ WHERE c_nationkey = s_nationkey
 GROUP BY 1"""
 
 
+def sql_window_topk_sql() -> str:
+    return """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) t
+WHERE rn <= 2"""
+
+
 def rollup_revenue_sql() -> str:
     return """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -1220,6 +1231,7 @@ def registry() -> dict[str, str]:
         "q5_local_supplier_volume": q5_sql(),
         "q10_returned_items": q10_sql(),
         "rollup_revenue": rollup_revenue_sql(),
+        "sql_window_topk": sql_window_topk_sql(),
         "q14_promo_revenue": q14_sql(),
         "q18_large_volume_customer": q18_sql(),
         "concatenate_dataset": """

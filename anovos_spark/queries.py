@@ -931,6 +931,26 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_sql_window_topk(spark, sf_dir):
+    """Raw spark.sql surface: per-customer top-2 orders by value via a
+    window function — the engine is SQL-first, so any ANSI query runs
+    as-is; partitioned window, never a global sort."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+                 ) AS rn
+          FROM orders_v)
+        WHERE rn <= 2
+        """
+    )
+
+
 def q_rollup_revenue(spark, sf_dir):
     """Hierarchical totals via ROLLUP (flag → status → grand total) — a
     grouping-sets capability the reference lacks; one shuffle, partial aggs
@@ -1109,6 +1129,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q10_returned_items": q10_returned_items,
         "rollup_revenue": q_rollup_revenue,
+        "sql_window_topk": q_sql_window_topk,
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_volume_customer": q18_large_volume_customer,
     }
