@@ -80,6 +80,28 @@ def main():
     p = plan_of(a)
     check("ann: broadcast of query side", "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p)
 
+    # 7. reverse geocoding: pure projection — zero shuffle, zero UDF
+    from anovos_spark.operators.geospatial import reverse_geocoding
+
+    cu = Q.table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 170 - 85.0).alias("lat"),
+        (F.col("c_custkey") % 360 - 180.0).alias("lon"),
+    )
+    p = plan_of(reverse_geocoding(cu, "lat", "lon"))
+    check("reverse_geocoding: no shuffle", "Exchange" not in p)
+    check("reverse_geocoding: no python UDF", "BatchEvalPython" not in p)
+
+    # 8. rollup: single Expand-based aggregation (grouping sets share scan)
+    p = plan_of(Q.q_rollup_revenue(spark, sf_dir))
+    check("rollup: expand operator", "Expand" in p)
+    check("rollup: partial agg", "partial_" in p)
+
+    # 9. sql window top-k: partitioned window, no global single-partition sort
+    p = plan_of(Q.q_sql_window_topk(spark, sf_dir))
+    check("sql_window: hash-partitioned window", "hashpartitioning(o_custkey" in p)
+    check("sql_window: no singlePartition exchange", "SinglePartition" not in p)
+
     print(f"\n{'ALL CLEAR' if not failures else f'{len(failures)} audit failures: {failures}'}")
     spark.stop()
     sys.exit(1 if failures else 0)
