@@ -1,0 +1,124 @@
+"""Feature recommender — attribute-to-feature-corpus semantic matching.
+
+Reference parity: feature_recommender/feature_mapper.py:35-655 matches user
+attribute names to a curated feature corpus by sentence-transformer
+embedding cosine (driver-side pandas).  That model dependency isn't
+portable, so the same contract is served by TF-IDF cosine over word +
+character-trigram tokens — dependency-free and fully distributed:
+
+- the corpus (small) tokenizes and broadcasts;
+- attributes tokenize the same way;
+- cosine is a SPARSE dot product computed as a token equi-join + sum of
+  weight products — no dense vectors, no UDFs, scales to millions of
+  attributes because the shuffle key is the token, never the pair.
+
+The built-in corpus is a small ORIGINAL set of generic feature
+descriptions; callers pass their own curated corpus_df for real use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# (feature_name, industry, usecase, description) — original content
+DEFAULT_CORPUS: list[tuple[str, str, str, str]] = [
+    ("customer_income_level", "finance", "credit scoring", "annual income level of the customer"),
+    ("customer_age", "finance", "credit scoring", "age of the customer in years"),
+    ("account_balance", "finance", "credit scoring", "current account balance amount"),
+    ("transaction_amount", "finance", "fraud detection", "monetary amount of the transaction"),
+    ("transaction_count_30d", "finance", "fraud detection", "number of transactions in the last thirty days"),
+    ("days_since_last_login", "tech", "churn prediction", "days elapsed since the last user login"),
+    ("session_duration_avg", "tech", "engagement", "average user session duration in seconds"),
+    ("page_views_per_session", "tech", "engagement", "count of page views per user session"),
+    ("cart_abandonment_rate", "retail", "conversion", "rate of shopping carts abandoned before purchase"),
+    ("order_total_price", "retail", "sales forecasting", "total price of the customer order"),
+    ("order_item_quantity", "retail", "sales forecasting", "quantity of items in the order"),
+    ("product_discount_pct", "retail", "pricing", "discount percentage applied to the product"),
+    ("shipping_duration_days", "retail", "logistics", "days between order and delivery"),
+    ("call_duration_minutes", "telecom", "churn prediction", "duration of customer calls in minutes"),
+    ("data_usage_gb", "telecom", "plan recommendation", "gigabytes of mobile data used per month"),
+    ("claim_amount", "insurance", "claims", "monetary amount of the insurance claim"),
+    ("policy_tenure_years", "insurance", "retention", "years the policy has been active"),
+    ("patient_visit_count", "healthcare", "utilization", "number of patient visits in the period"),
+    ("supplier_lead_time", "manufacturing", "supply chain", "lead time from supplier order to receipt"),
+    ("tax_rate_pct", "finance", "billing", "tax rate percentage applied to the line item"),
+]
+
+
+def _tokenized(df: DataFrame, col: Column, keep: list[str]) -> DataFrame:
+    """[*keep, token] — word tokens + character trigrams of an attribute
+    name / description, staged through intermediate columns (a single
+    nested HOF expression trips the analyzer's lateral-alias check)."""
+    norm = F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " ")
+    step = df.select(
+        *keep, F.filter(F.split(F.trim(norm), " "), lambda t: t != "").alias("__w__")
+    ).withColumn("__sq__", F.concat_ws("", F.col("__w__")))
+    idxs = F.sequence(F.lit(1), F.greatest(F.length("__sq__") - 2, F.lit(1)))
+    grams = F.filter(
+        F.transform(idxs, lambda i: F.col("__sq__").substr(i, F.lit(3))),
+        lambda g: F.length(g) == 3,
+    )
+    return step.select(
+        *keep,
+        F.explode(F.array_distinct(F.concat(F.col("__w__"), grams))).alias("token"),
+    )
+
+
+def feature_recommender_match(
+    attr_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    attr_col: str = "attribute",
+    top_k: int = 2,
+    min_score: float = 0.05,
+) -> DataFrame:
+    """[attribute, feature_name, industry, usecase, score, rank] — top-k
+    corpus features per attribute by TF-IDF cosine."""
+    spark = attr_df.sparkSession
+    if corpus_df is None:
+        corpus_df = spark.createDataFrame(
+            DEFAULT_CORPUS,
+            schema="feature_name string, industry string, usecase string, description string",
+        )
+    n_features = corpus_df.count()
+
+    corpus_tok = _tokenized(
+        corpus_df,
+        F.concat_ws(" ", "feature_name", "description"),
+        ["feature_name", "industry", "usecase"],
+    )
+    # idf from the corpus: ln(1 + N/df) — tiny frame, stays broadcastable
+    idf = corpus_tok.groupBy("token").agg(
+        F.log(F.lit(1.0) + F.lit(float(n_features)) / F.count_distinct("feature_name")).alias("idf")
+    )
+    cw = (
+        corpus_tok.join(F.broadcast(idf), "token")
+        .withColumn("w", F.col("idf"))
+    )
+    cnorm = cw.groupBy("feature_name").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cn"))
+    corpus_weighted = cw.join(F.broadcast(cnorm), "feature_name")
+
+    attrs = _tokenized(
+        attr_df.select(F.col(attr_col).alias("attribute")),
+        F.col("attribute"),
+        ["attribute"],
+    )
+    aw = attrs.join(F.broadcast(idf), "token").withColumn("w2", F.col("idf"))
+    anorm = aw.groupBy("attribute").agg(F.sqrt(F.sum(F.col("w2") * F.col("w2"))).alias("an"))
+    attr_weighted = aw.join(F.broadcast(anorm), "attribute")
+
+    # sparse dot product: equi-join on token, sum the weight products
+    scored = (
+        attr_weighted.join(F.broadcast(corpus_weighted), "token")
+        .groupBy("attribute", "feature_name", "industry", "usecase")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("w2")) / (F.first("an") * F.first("cn")), 6
+            ).alias("score")
+        )
+        .where(F.col("score") >= min_score)
+    )
+    w = Window.partitionBy("attribute").orderBy(
+        F.col("score").desc(), F.col("feature_name").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= top_k)

@@ -931,6 +931,18 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_feature_recommender(spark, sf_dir):
+    """TF-IDF attribute→feature-corpus matching over the star schema's
+    column names — rows-only (token-level TF-IDF in SQL isn't practical)."""
+    from anovos_spark.operators.featrec import feature_recommender_match
+
+    cols = []
+    for t in ("lineitem", "orders", "customer"):
+        cols += table(spark, sf_dir, t).columns
+    attrs = spark.createDataFrame([(c,) for c in sorted(set(cols))], "attribute string")
+    return feature_recommender_match(attrs, top_k=1)
+
+
 def q_sql_window_topk(spark, sf_dir):
     """Raw spark.sql surface: per-customer top-2 orders by value via a
     window function — the engine is SQL-first, so any ANSI query runs
@@ -1130,6 +1142,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "rollup_revenue": q_rollup_revenue,
         "sql_window_topk": q_sql_window_topk,
+        "feature_recommender": q_feature_recommender,
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_volume_customer": q18_large_volume_customer,
     }

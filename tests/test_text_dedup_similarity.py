@@ -182,3 +182,28 @@ def test_frame_sample_plan(spark):
     rows = out.collect()
     assert len(rows) == 3  # 200000 // 65536 = 3 samples
     assert {r["byte_offset"] for r in rows} == {0, 65536, 131072}
+
+
+def test_feature_recommender_match(spark):
+    from anovos_spark.operators.featrec import feature_recommender_match
+
+    attrs = spark.createDataFrame(
+        [("cust_income",), ("acct_balance",), ("order_price_total",), ("zzz_qqq",)],
+        schema="attribute string",
+    )
+    out = feature_recommender_match(attrs).collect()
+    best = {r["attribute"]: r["feature_name"] for r in out if r["rank"] == 1}
+    assert best["cust_income"] == "customer_income_level"
+    assert best["acct_balance"] == "account_balance"
+    assert best["order_price_total"] == "order_total_price"
+    assert "zzz_qqq" not in best  # no token overlap → below min_score
+    assert all(0 < r["score"] <= 1.0 for r in out)
+    # custom corpus path
+    corpus = spark.createDataFrame(
+        [("velocity_kmh", "auto", "telemetry", "vehicle speed in km per hour")],
+        schema="feature_name string, industry string, usecase string, description string",
+    )
+    r = feature_recommender_match(
+        spark.createDataFrame([("vehicle_speed",)], "attribute string"), corpus
+    ).collect()
+    assert r and r[0]["feature_name"] == "velocity_kmh"
