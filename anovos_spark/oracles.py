@@ -1101,6 +1101,15 @@ WHERE c_nationkey = s_nationkey
 GROUP BY 1"""
 
 
+def streaming_window_sql() -> str:
+    # finite stream + complete mode ⇒ identical to the batch hourly rollup
+    return """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM events GROUP BY 1, 2"""
+
+
 def sql_window_topk_sql() -> str:
     return """
 SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
@@ -1232,6 +1241,7 @@ def registry() -> dict[str, str]:
         "q10_returned_items": q10_sql(),
         "rollup_revenue": rollup_revenue_sql(),
         "sql_window_topk": sql_window_topk_sql(),
+        "streaming_window_agg": streaming_window_sql(),
         "q14_promo_revenue": q14_sql(),
         "q18_large_volume_customer": q18_sql(),
         "concatenate_dataset": """

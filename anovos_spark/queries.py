@@ -931,6 +931,51 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_streaming_window(spark, sf_dir):
+    """Structured Streaming in the judged registry: hourly tumbling-window
+    aggregation of the events stream (watermarked), run to completion with
+    an availableNow trigger into a memory sink.  A finite stream's windowed
+    aggregate equals the batch result, so this IS oracle-checkable."""
+    import uuid
+
+    from anovos_spark.streaming.ops import read_stream, windowed_aggregation
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file streams take a DIRECTORY; glob-filter to the events table
+    sdf = read_stream(
+        spark,
+        "parquet",
+        sf_dir,
+        schema=raw_schema,
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_aggregation(
+        sdf,
+        "ts",
+        window_duration="1 hour",
+        watermark="1 hour",
+        group_cols=["event_type"],
+        agg_exprs={"n_events": ("event_type", "count"), "value_sum": ("value", "sum")},
+    )
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("value_sum", 6).alias("value_sum"),
+    )
+
+
 def q_feature_recommender(spark, sf_dir):
     """TF-IDF attribute→feature-corpus matching over the star schema's
     column names — rows-only (token-level TF-IDF in SQL isn't practical)."""
@@ -1143,6 +1188,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "sql_window_topk": q_sql_window_topk,
         "feature_recommender": q_feature_recommender,
+        "streaming_window_agg": q_streaming_window,
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_volume_customer": q18_large_volume_customer,
     }
