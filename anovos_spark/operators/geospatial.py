@@ -93,6 +93,48 @@ def geo_format_radian(idf: DataFrame, list_of_cols) -> DataFrame:
     )
 
 
+def geo_format_dms(idf: DataFrame, list_of_cols) -> DataFrame:
+    """Decimal degrees → DMS components ``{c}_sign/{c}_deg/{c}_min/{c}_sec``
+    (sign its own column — an integer degree part can't represent −0° for
+    coordinates in (−1, 0); reference: geospatial.py:39-188 converts dd↔dms
+    via row UDFs — pure expressions here)."""
+    from anovos_spark.core.utils import ensure_list
+
+    out = [F.col(c) for c in idf.columns]
+    for c in ensure_list(list_of_cols):
+        a = F.abs(F.col(c))
+        d = F.floor(a)
+        m = F.floor((a - d) * 60)
+        s = F.round((a - d - m / 60) * 3600, 6)
+        out += [
+            F.when(F.col(c) < 0, -1).otherwise(1).cast("int").alias(f"{c}_sign"),
+            d.cast("int").alias(f"{c}_deg"),
+            m.cast("int").alias(f"{c}_min"),
+            s.alias(f"{c}_sec"),
+        ]
+    return idf.select(*out)
+
+
+def geo_format_dd(
+    idf: DataFrame,
+    deg_col: str,
+    min_col: str,
+    sec_col: str,
+    result_col: str,
+    sign_col: str | None = None,
+) -> DataFrame:
+    """DMS components → decimal degrees (inverse of geo_format_dms).
+    Without ``sign_col`` the sign is taken from the degree part."""
+    d, m, s = F.col(deg_col), F.col(min_col), F.col(sec_col)
+    sign = (
+        F.col(sign_col).cast("double")
+        if sign_col
+        else F.when(d < 0, -1.0).otherwise(1.0)
+    )
+    dd = sign * (F.abs(d) + m / 60.0 + s / 3600.0)
+    return idf.withColumn(result_col, F.round(dd, 9))
+
+
 def geohash_encode(
     idf: DataFrame,
     lat_col: str,

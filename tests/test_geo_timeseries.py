@@ -160,3 +160,17 @@ def test_seasonal_decompose(spark):
     assert max(abs(r["resid"]) for r in out if r["resid"] is not None) < 0.3
     with pytest.raises(ValueError):
         TS.seasonal_decompose(df.limit(10), "ts", "v", period=7)
+
+
+def test_dms_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(48.8566,), (-73.9352,), (0.0,), (-0.5,)], schema="x double"
+    )
+    dms = GEO.geo_format_dms(df, ["x"])
+    row = {r["x"]: r for r in dms.collect()}
+    assert row[48.8566]["x_deg"] == 48 and row[48.8566]["x_min"] == 51
+    assert row[-73.9352]["x_sign"] == -1 and row[-73.9352]["x_deg"] == 73
+    assert row[-0.5]["x_sign"] == -1 and row[-0.5]["x_deg"] == 0 and row[-0.5]["x_min"] == 30
+    back = GEO.geo_format_dd(dms, "x_deg", "x_min", "x_sec", "x_dd", sign_col="x_sign").collect()
+    for r in back:
+        assert abs(r["x_dd"] - r["x"]) < 1e-6  # exact roundtrip incl. (-1, 0)
