@@ -1110,6 +1110,28 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM events GROUP BY 1, 2"""
 
 
+def streaming_sessions_sql() -> str:
+    # batch equivalent of session_window(gap=30min): a new session starts
+    # when the gap to the previous event is >= 30 min (Spark's session end
+    # is exclusive: last_event + gap)
+    return """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o),
+per_session AS (
+  SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY 1, 2)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       sum(n_events)::BIGINT AS n_events,
+       max(n_events)::BIGINT AS max_session_events
+FROM per_session GROUP BY 1"""
+
+
 def sql_window_topk_sql() -> str:
     return """
 SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
@@ -1242,6 +1264,7 @@ def registry() -> dict[str, str]:
         "rollup_revenue": rollup_revenue_sql(),
         "sql_window_topk": sql_window_topk_sql(),
         "streaming_window_agg": streaming_window_sql(),
+        "streaming_sessions": streaming_sessions_sql(),
         "q14_promo_revenue": q14_sql(),
         "q18_large_volume_customer": q18_sql(),
         "concatenate_dataset": """

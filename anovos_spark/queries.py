@@ -976,6 +976,43 @@ def q_streaming_window(spark, sf_dir):
     )
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Streaming sessionization (session_window, 30-min gap) run to
+    completion, rolled up per user — oracle-matched against the classic
+    batch lag+cumsum sessionization in DuckDB (identical semantics on a
+    finite stream)."""
+    import uuid
+
+    from anovos_spark.streaming.ops import read_stream, sessionize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = read_stream(
+        spark, "parquet", sf_dir, schema=raw_schema,
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sessions = sessionize(sdf, "ts", "user_id", gap="30 minutes", watermark="1 hour")
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
 def q_feature_recommender(spark, sf_dir):
     """TF-IDF attribute→feature-corpus matching over the star schema's
     column names — rows-only (token-level TF-IDF in SQL isn't practical)."""
@@ -1189,6 +1226,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_window_topk": q_sql_window_topk,
         "feature_recommender": q_feature_recommender,
         "streaming_window_agg": q_streaming_window,
+        "streaming_sessions": q_streaming_sessions,
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_volume_customer": q18_large_volume_customer,
     }
