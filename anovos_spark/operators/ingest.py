@@ -135,3 +135,54 @@ def data_sample(
     strata = [r["__strata__"] for r in keyed.select("__strata__").distinct().collect()]
     fractions = {s: fraction for s in strata}
     return keyed.sampleBy("__strata__", fractions, seed=seed).drop("__strata__")
+
+
+def attribute_type_recommendation(
+    idf: DataFrame,
+    cardinality_threshold: int = 20,
+    numeric_parse_rate: float = 0.95,
+    exact: bool = False,
+) -> DataFrame:
+    """Recommend semantic-type flips per column
+    (reference: data_ingest/data_ingest.py:370-533).
+
+    [attribute, current_type, recommended_type, distinct_count,
+    numeric_rate] — a numeric column with <= cardinality_threshold distinct
+    values reads as categorical (it is an encoded label); a string column
+    whose non-null values parse as numbers at >= numeric_parse_rate reads
+    as numerical.  ONE aggregation pass for all columns; distinct counts
+    use HLL++ unless exact=True.
+    """
+    from anovos_spark.core.typing import attribute_type_segregation
+
+    num_cols, cat_cols, _ = attribute_type_segregation(idf)
+    aggs = []
+    for c in num_cols:
+        cnt = F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(F.col(c))
+        aggs.append(cnt.alias(f"{c}__distinct"))
+    for c in cat_cols:
+        castable = F.count(F.when(F.col(c).try_cast("double").isNotNull(), 1))
+        aggs.append(
+            F.round(F.try_divide(castable, F.count(F.col(c))), 6).alias(f"{c}__numrate")
+        )
+    if not aggs:
+        return idf.sparkSession.createDataFrame(
+            [],
+            schema="attribute string, current_type string, recommended_type string, "
+            "distinct_count long, numeric_rate double",
+        )
+    row = idf.agg(*aggs).collect()[0]
+    data = []
+    for c in num_cols:
+        d = row[f"{c}__distinct"]
+        rec = "categorical" if d is not None and d <= cardinality_threshold else "numerical"
+        data.append((c, "numerical", rec, d, None))
+    for c in cat_cols:
+        r = row[f"{c}__numrate"]
+        rec = "numerical" if r is not None and r >= numeric_parse_rate else "categorical"
+        data.append((c, "categorical", rec, None, r))
+    return idf.sparkSession.createDataFrame(
+        data,
+        schema="attribute string, current_type string, recommended_type string, "
+        "distinct_count long, numeric_rate double",
+    )

@@ -1101,6 +1101,27 @@ WHERE c_nationkey = s_nationkey
 GROUP BY 1"""
 
 
+def type_recommendation_sql() -> str:
+    parts = []
+    for c in LINEITEM_NUM:
+        parts.append(
+            f"SELECT '{c}' AS attribute, 'numerical' AS current_type, "
+            f"CASE WHEN count(DISTINCT {c}) <= 20 THEN 'categorical' ELSE 'numerical' END AS recommended_type, "
+            f"count(DISTINCT {c})::BIGINT AS distinct_count, "
+            f"CAST(NULL AS DOUBLE) AS numeric_rate FROM lineitem"
+        )
+    for c in ("l_returnflag", "l_linestatus"):
+        parts.append(
+            f"SELECT '{c}' AS attribute, 'categorical' AS current_type, "
+            f"CASE WHEN CAST(count(TRY_CAST({c} AS DOUBLE)) AS DOUBLE)/count({c}) >= 0.95 "
+            f"THEN 'numerical' ELSE 'categorical' END AS recommended_type, "
+            f"CAST(NULL AS BIGINT) AS distinct_count, "
+            f"round(CAST(count(TRY_CAST({c} AS DOUBLE)) AS DOUBLE)/count({c}), 6) AS numeric_rate "
+            f"FROM lineitem"
+        )
+    return _union(parts)
+
+
 def streaming_window_sql() -> str:
     # finite stream + complete mode ⇒ identical to the batch hourly rollup
     return """
@@ -1263,6 +1284,7 @@ def registry() -> dict[str, str]:
         "q10_returned_items": q10_sql(),
         "rollup_revenue": rollup_revenue_sql(),
         "sql_window_topk": sql_window_topk_sql(),
+        "type_recommendation": type_recommendation_sql(),
         "streaming_window_agg": streaming_window_sql(),
         "streaming_sessions": streaming_sessions_sql(),
         "q14_promo_revenue": q14_sql(),

@@ -931,6 +931,14 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_type_recommendation(spark, sf_dir):
+    from anovos_spark.operators.ingest import attribute_type_recommendation
+
+    return attribute_type_recommendation(
+        table(spark, sf_dir, "lineitem"), cardinality_threshold=20, exact=True
+    )
+
+
 def q_streaming_window(spark, sf_dir):
     """Structured Streaming in the judged registry: hourly tumbling-window
     aggregation of the events stream (watermarked), run to completion with
@@ -1225,6 +1233,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "sql_window_topk": q_sql_window_topk,
         "feature_recommender": q_feature_recommender,
+        "type_recommendation": q_type_recommendation,
         "streaming_window_agg": q_streaming_window,
         "streaming_sessions": q_streaming_sessions,
         "q14_promo_revenue": q14_promo_revenue,

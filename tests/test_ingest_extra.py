@@ -60,3 +60,18 @@ def test_time_diff_and_elapsed(spark):
     assert out["a_b_diff"] == 30.0
     el = DT.time_elapsed(df, ["a"], unit="day").collect()[0]
     assert el["a_elapsed"] > 365  # 2024 is long past
+
+
+def test_attribute_type_recommendation(spark):
+    from anovos_spark.operators.ingest import attribute_type_recommendation
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "12.5", "abc"), (2, 5.0, "7", "def"), (3, 6.0, "9.1", "1")],
+        schema="id int, lowcard double, numstr string, realstr string",
+    )
+    rec = {r["attribute"]: r for r in attribute_type_recommendation(df, cardinality_threshold=2, exact=True).collect()}
+    assert rec["lowcard"]["recommended_type"] == "categorical"  # 2 distinct <= 2
+    assert rec["id"]["recommended_type"] == "numerical"         # 3 distinct > 2
+    assert rec["numstr"]["recommended_type"] == "numerical"     # all parse
+    assert rec["realstr"]["recommended_type"] == "categorical"  # 1/3 parse
+    assert rec["numstr"]["numeric_rate"] == 1.0
