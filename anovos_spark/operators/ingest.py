@@ -171,7 +171,13 @@ def attribute_type_recommendation(
             schema="attribute string, current_type string, recommended_type string, "
             "distinct_count long, numeric_rate double",
         )
-    row = idf.agg(*aggs).collect()[0]
+    from anovos_spark.core.utils import fan_out
+
+    # heavy in both modes (exact: 8-way Expand for multi-distinct; approx:
+    # 8 HLL sketches) and partition-order independent in both (HLL register
+    # maxes merge commutatively) — fan out unconditionally
+    src = fan_out(idf.select(*dict.fromkeys(num_cols + cat_cols)))
+    row = src.agg(*aggs).collect()[0]
     data = []
     for c in num_cols:
         d = row[f"{c}__distinct"]

