@@ -39,11 +39,11 @@ def _spread(df: DataFrame) -> DataFrame:
     """Fan a narrow scan out to all cores before compute-heavy per-row work
     (shingling/hashing): a document corpus that arrives as one parquet
     row-group would otherwise pin the whole explode stage to one task.
-    No-op at real scale where the scan already has >= cores partitions."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    No-op at real scale where the scan already has >= cores partitions.
+    Uses the Catalyst size estimate (fan_out) — no RDD conversion/job."""
+    from anovos_spark.core.utils import fan_out
+
+    return fan_out(df)
 
 
 def _shingles(col: Column, n: int, mode: str = "word") -> Column:
@@ -93,6 +93,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.4,
+    eager: bool = True,
 ) -> DataFrame:
     """EXACT near-duplicate pairs by character-n-gram Jaccard ≥ threshold,
     via prefix filtering (PPJoin-style).
@@ -154,7 +155,25 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return verified.select("id_a", "id_b", "jaccard")
+    out = verified.select("id_a", "id_b", "jaccard")
+    return _finish(out, docs, eager)
+
+
+def _finish(result: DataFrame, cached: DataFrame, eager: bool) -> DataFrame:
+    """Release the shingle cache without losing its benefit.
+
+    eager=True (default): materialize the (small) pair result via
+    localCheckpoint — one computation, lineage truncated — then unpersist
+    the large cached shingle frame so repeated calls in a long-lived
+    session don't accrete executor storage.  The checkpointed result's
+    blocks are released by the ContextCleaner when the returned frame is
+    garbage-collected.  eager=False returns the fully lazy plan and leaves
+    the cache alive (caller manages unpersist)."""
+    if not eager:
+        return result
+    out = result.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
 
 
 def _hash32(col: Column) -> Column:
@@ -194,6 +213,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.4,
+    eager: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs + exact Jaccard verification.
 
@@ -241,7 +261,7 @@ def minhash_lsh_pairs(
     docs.persist()
     da = docs.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"), F.col("n_grams").alias("na"))
     db = docs.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"), F.col("n_grams").alias("nb"))
-    return (
+    out = (
         candidates.join(da, "id_a")
         .join(db, "id_b")
         .withColumn("common", F.size(F.array_intersect("ga", "gb")))
@@ -252,6 +272,7 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _finish(out, docs, eager)
 
 
 def simhash_signatures(
@@ -289,22 +310,43 @@ def simhash_pairs(
     max_distance: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_distance.
-    [id_a, id_b, hamming].  Candidate pruning at scale would band the
-    signature (any exact quarter-match); here pairs share at least one
-    16-bit half to bound the join."""
+    [id_a, id_b, hamming].
+
+    Candidate generation bands the signature into max_distance+1 disjoint
+    bit segments; by pigeonhole, any pair within hamming max_distance
+    agrees EXACTLY on at least one segment, so joining on
+    (band_id, segment_value) has 100% recall — and it is a plain
+    hash-partitionable equi-join (the earlier OR-of-halves predicate
+    planned a BroadcastNestedLoopJoin, O(N²) comparisons, and with
+    max_distance>=2 could also split the differing bits across both
+    halves and silently drop true pairs).  Shuffle volume is
+    O(N·(max_distance+1)); verification is exact bit_count on the XOR."""
     sig = simhash_signatures(idf, text_col, id_col, bits)
-    half = bits // 2
-    keyed = sig.select(
+    n_bands = max_distance + 1
+    width = -(-bits // n_bands)  # ceil
+    band_rows = sig.select(
         "id",
         "simhash",
-        (F.col("simhash") % F.lit(2**half)).alias("lo"),
-        F.shiftright(F.col("simhash"), half).alias("hi"),
-    )
-    a, b = keyed.alias("a"), keyed.alias("b")
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("seg"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "simhash", F.col("bs.band").alias("band"), F.col("bs.seg").alias("seg"))
+    a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
         a.join(
             b,
-            ((F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi")))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.seg") == F.col("b.seg"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
@@ -314,6 +356,7 @@ def simhash_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
+        .where(F.col("hamming") <= max_distance)
         .distinct()
     )
-    return cand.where(F.col("hamming") <= max_distance)
+    return cand

@@ -48,7 +48,16 @@ def drift_statistics(
     """
     from anovos_spark.operators.transformers import binning_apply, binning_fit
 
-    methods = ["PSI", "JSD", "HD", "KS"] if method_type == "all" else list(method_type)
+    _ALL = ["PSI", "JSD", "HD", "KS"]
+    if method_type == "all":
+        methods = _ALL
+    elif isinstance(method_type, str):
+        methods = [method_type]
+    else:
+        methods = list(method_type)
+    bad = [m for m in methods if m not in _ALL]
+    if bad:
+        raise ValueError(f"method_type entries {bad} not in {_ALL}")
     cols = resolve_columns(idf_source, list_of_cols, drop_cols, restrict_to="numerical")
     cat_cols = resolve_columns(idf_source, list_of_cols, drop_cols, restrict_to="categorical")
 

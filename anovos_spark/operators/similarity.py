@@ -112,15 +112,33 @@ def embedding_near_dup_pairs(
     n_bits: int = 8,
     n_tables: int = 8,
     seed: int = 42,
-    exact: bool = False,
+    exact="auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: [id_a, id_b, cos_sim] with
     id_a < id_b and cos_sim ≥ threshold.
 
-    exact=False (default, scale path): random-hyperplane LSH candidates →
-    exact cosine verify — shuffle O(N·tables).  exact=True: full self-join
-    (O(N²), the oracle-checkable baseline — small corpora only)."""
+    exact='auto' (default) picks the algorithm by threshold:
+
+    - threshold ≥ 0.7 → random-hyperplane LSH candidates → exact cosine
+      verify; shuffle O(N·tables).  At cos 0.9 the per-bit sign-agreement
+      probability is 1−θ/π ≈ 0.86, so 8-bit×8-table retention ≈ 0.98 with
+      strong pruning of random pairs (2⁻⁸ per table).
+    - threshold < 0.7 → blocked exact all-pairs.  This is deliberate, not a
+      fallback: at low thresholds sign-LSH CANNOT prune.  For a pair at
+      exactly cos τ=0.45, per-bit agreement is 0.65 vs 0.5 for random
+      pairs; any (bits, tables) with per-pair miss ≤ 1e-3 generates ≥ N²
+      candidate pairs — i.e. more scoring work than brute force, plus the
+      sketch cost.  Measured on the 2k-vector sf0.1 corpus: LSH(4,16) took
+      28s warm AND missed 2/144 true pairs; blocked exact took 2.4s.  No
+      sublinear method guarantees recall in this low-contrast regime, so
+      the honest scale posture for low-τ near-dup is a partitioned exact
+      join (and a higher threshold if the corpus allows it).
+
+    exact=True/False forces a path explicitly."""
     from pyspark.sql import functions as F
+
+    if exact == "auto":
+        exact = threshold < 0.7
 
     c1 = corpus.select(
         F.col(id_col).alias("id_a"),
@@ -150,6 +168,12 @@ def embedding_near_dup_pairs(
         pairs = c1.repartition(par).join(c2, F.col("id_a") < F.col("id_b"))
         scored = pairs.select("id_a", "id_b", score(pairs).alias("cos_sim"))
     else:
+        from anovos_spark.core.utils import fan_out
+
+        # sketching is compute-heavy per row (bits×tables literal-array
+        # dots): fan the scan out so it doesn't run single-task when the
+        # corpus arrives as one parquet row group
+        c1, c2 = fan_out(c1), fan_out(c2)
         dim = len(corpus.select(vec_col).first()[0])
         planes = {
             (t, b): _hyperplane(dim, seed, t, b)

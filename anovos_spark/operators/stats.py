@@ -219,11 +219,17 @@ def measures_of_central_tendency(
     # exact mode: mean from a decimal-exact sum — the result is independent of
     # partition/summation order, so it hash-matches the DuckDB oracle at any
     # parallelism (double sums differ in the last ulps per partitioning).
+    # decimal(38,6): per-value rounding identical to decimal(18,6) (same scale)
+    # so oracle-compatible, but representable domain extends to |x| < 1e32 —
+    # a decimal(18,6) cast silently nulls values >= 1e12 out of the sum.
+    # Domain limit (documented): scale-6 truncation; sub-1e-6 fractions lose
+    # precision relative to a double sum.
     mean_fn = (
         (
-            lambda c: F.expr(
-                f"cast(sum(cast(`{c}` as decimal(18,6))) as double)"
-            )
+            lambda c: F.when(
+                F.max(F.abs(F.col(c))) < F.lit(1e31),
+                F.expr(f"cast(try_sum(try_cast(`{c}` as decimal(38,6))) as double)"),
+            ).otherwise(F.sum(F.col(c).cast("double")))
             / F.count(F.col(c))
         )
         if exact
@@ -276,12 +282,21 @@ def measures_of_dispersion(
             # decimal-exact s1/s2 → partition-order-independent variance:
             # var = (s2 − s1²/n)/(n−1) evaluated in double, byte-identical
             # to the oracle's same expression over the same exact sums.
+            # s1 cast widened to decimal(38,6) (same scale-6 rounding, domain
+            # to 1e32).  s2 must square, so it stays decimal(18,6) — values
+            # with |x| >= 1e12 would null out of it silently; the variance
+            # expression below therefore falls back to plain double sums
+            # whenever min/max (computed in this same pass) leave the safe
+            # domain.  Double-sum path loses bit-exact order independence but
+            # is numerically correct; the decimal path is the default.
             aggs += [
-                F.expr(f"cast(sum(cast(`{c}` as decimal(18,6))) as double)").alias(f"{c}__s1"),
+                F.expr(f"cast(try_sum(try_cast(`{c}` as decimal(38,6))) as double)").alias(f"{c}__s1"),
                 F.expr(
-                    f"cast(sum(cast(`{c}` as decimal(18,6)) * cast(`{c}` as decimal(18,6))) as double)"
+                    f"cast(try_sum(try_cast(`{c}` as decimal(18,6)) * try_cast(`{c}` as decimal(18,6))) as double)"
                 ).alias(f"{c}__s2"),
                 F.count(F.col(c)).cast("double").alias(f"{c}__n"),
+                F.sum(F.col(c).cast("double")).alias(f"{c}__s1d"),
+                F.sum(F.col(c).cast("double") * F.col(c).cast("double")).alias(f"{c}__s2d"),
             ]
         else:
             aggs += [
@@ -296,11 +311,14 @@ def measures_of_dispersion(
     wide = (fan_out(idf.select(*cols)) if exact else idf.select(*cols)).agg(*aggs)
     for c in cols:
         if exact:
-            var = (F.col(f"{c}__s2") - F.col(f"{c}__s1") * F.col(f"{c}__s1") / F.col(f"{c}__n")) / (
-                F.col(f"{c}__n") - 1
+            safe = (F.abs(F.col(f"{c}__min")) < F.lit(1e12)) & (
+                F.abs(F.col(f"{c}__max")) < F.lit(1e12)
             )
+            s1 = F.when(safe, F.col(f"{c}__s1")).otherwise(F.col(f"{c}__s1d"))
+            s2 = F.when(safe, F.col(f"{c}__s2")).otherwise(F.col(f"{c}__s2d"))
+            var = (s2 - s1 * s1 / F.col(f"{c}__n")) / (F.col(f"{c}__n") - 1)
             sd = F.sqrt(var)
-            mean = F.col(f"{c}__s1") / F.col(f"{c}__n")
+            mean = s1 / F.col(f"{c}__n")
         else:
             var = F.col(f"{c}__var_")
             sd = F.col(f"{c}__sd_")

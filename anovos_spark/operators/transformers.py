@@ -181,13 +181,19 @@ def label_encoding_fit(
     else:
         raise ValueError("index_order must be frequencyDesc|alphabetAsc|alphabetDesc")
     w = Window.partitionBy("attribute").orderBy(*order)
-    mapping = counts.withColumn("index", F.row_number().over(w) - 1)
+    # Apply the cardinality threshold IN the plan (count of distinct values per
+    # attribute via an unordered window) so an ID-like column never ships its
+    # mappings to the driver — the threshold exists to prevent exactly that.
+    w_card = Window.partitionBy("attribute")
+    mapping = (
+        counts.withColumn("n_distinct", F.count(F.lit(1)).over(w_card))
+        .where(F.col("n_distinct") <= F.lit(cardinality_threshold))
+        .withColumn("index", F.row_number().over(w) - 1)
+    )
     model: dict[str, dict] = {}
     for r in mapping.collect():
         model.setdefault(r["attribute"], {})[r["value"]] = r["index"]
-    return {
-        c: v for c, v in model.items() if len(v) <= cardinality_threshold
-    }
+    return model
 
 
 def label_encoding_apply(

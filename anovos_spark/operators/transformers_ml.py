@@ -101,11 +101,24 @@ def imputation_als(
 
     cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
     cols = [c for c in cols if c != id_col]
-    # per-attribute scaling params (one agg)
-    aggs = []
+    # per-attribute scaling params + id range check (one agg).  Spark ALS
+    # requires int32 user ids; a silent cast would corrupt 64-bit keys
+    # (TPC-H orderkeys overflow int32 around sf 700), so refuse loudly —
+    # a global long→int remap would itself be a full shuffle + join at
+    # 100 TB, which the caller should opt into by supplying an int-range id.
+    aggs = [F.min(id_col).alias("__id_min"), F.max(id_col).alias("__id_max")]
     for c in cols:
         aggs += [F.mean(c).alias(f"{c}__mu"), F.stddev(c).alias(f"{c}__sd")]
     row = idf.agg(*aggs).collect()[0]
+    if row["__id_min"] is not None and (
+        int(row["__id_min"]) < -(2**31) or int(row["__id_max"]) >= 2**31
+    ):
+        raise ValueError(
+            f"imputation_als: id_col '{id_col}' range "
+            f"[{row['__id_min']}, {row['__id_max']}] exceeds int32 (Spark ALS "
+            "requirement). Provide an int-range id (e.g. a pre-assigned "
+            "surrogate key) instead of relying on a lossy cast."
+        )
     scale = {
         c: (row[f"{c}__mu"] or 0.0, row[f"{c}__sd"] if row[f"{c}__sd"] else 1.0)
         for c in cols
@@ -127,6 +140,14 @@ def imputation_als(
     observed = long_df.where(F.col("value").isNotNull()).select(
         F.col(id_col).cast("int").alias("user"), "item", F.col("value").cast("float").alias("rating")
     )
+    # ALS iterates 20×; without a checkpoint dir its internal RDD lineage
+    # (and the serialized task graph) deepens every iteration — in long
+    # sessions that has produced StackOverflowError during task
+    # deserialization.  checkpointInterval=10 (ALS default) truncates it,
+    # but only if a checkpoint dir exists.
+    sc = idf.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir("/tmp/anovos_spark_checkpoints")
     als = ALS(
         rank=rank,
         maxIter=max_iter,
@@ -252,9 +273,10 @@ def imputation_knn(
     # fan the (few-%) dirty rows across all cores before Arrow scoring —
     # the filter inherits the scan's partitioning, which for a single
     # parquet file caps the python workers at a handful of tasks
-    par = spark.sparkContext.defaultParallelism
-    if dirty.rdd.getNumPartitions() < par:
-        dirty = dirty.repartition(par)
+    # (fan_out probes the Catalyst size estimate — no RDD conversion job)
+    from anovos_spark.core.utils import fan_out
+
+    dirty = fan_out(dirty)
     dirty = dirty.mapInPandas(score, schema=schema)
     clean = idf.where(~has_null)
     return clean.unionByName(dirty)

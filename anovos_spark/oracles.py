@@ -752,6 +752,29 @@ votes AS (SELECT id, {votes} FROM hashed GROUP BY id)
 SELECT id, ({sim})::BIGINT AS simhash FROM votes"""
 
 
+def simhash_pairs_sql() -> str:
+    """Brute-force all-pairs hamming over the same md5-vote signatures —
+    the exact truth the banded equi-join path must reproduce."""
+    h = _HEX2INT.format(h="substr(md5(t), 1, 8)")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)
+    )
+    sim = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST(power(2, {i}) AS BIGINT) ELSE 0 END"
+        for i in range(32)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id AS id, unnest({_TOKS}) AS t FROM documents),
+hashed AS (SELECT id, {h} AS h FROM tok),
+votes AS (SELECT id, {votes} FROM hashed GROUP BY id),
+sig AS (SELECT id, ({sim})::BIGINT AS simhash FROM votes)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+
 def ann_cosine_sql() -> str:
     dot = (
         "list_sum(list_transform(generate_series(1, len(qv)), "
@@ -776,6 +799,65 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
               ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
   FROM scored) t
 WHERE rank <= 5"""
+
+
+def ann_lsh_sql(n_bits: int = 8, n_tables: int = 4, k: int = 5, dim: int = 64) -> str:
+    """Faithful SQL mirror of lsh_bucket_topk: the SAME deterministic
+    hyperplanes (similarity._hyperplane, counter-based LCG) are inlined as
+    literal lists, the same sign-bit bucket construction, bucket equi-join,
+    exact cosine re-rank, and tie-break.  Because the algorithm is
+    deterministic, the oracle verifies implementation fidelity of the LSH
+    path itself — independent of its recall vs brute force."""
+    from anovos_spark.operators.similarity import _hyperplane
+
+    def dot(vcol: str, coeffs: list[float]) -> str:
+        lit = "[" + ", ".join(repr(c) for c in coeffs) + "]"
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({vcol}[i] AS DOUBLE) * ({lit})[i]))"
+        )
+
+    def bucket(vcol: str, t: int) -> str:
+        terms = [
+            f"CASE WHEN {dot(vcol, _hyperplane(dim, 42, t, b))} > 0 "
+            f"THEN {2 ** (n_bits - 1 - b)} ELSE 0 END"
+            for b in range(n_bits)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    def sketch_cte(src: str, idc: str, vc: str) -> str:
+        sels = [
+            f"SELECT {idc}, {vc}, {t} AS t, {bucket(vc, t)} AS bucket FROM {src}"
+            for t in range(n_tables)
+        ]
+        return " UNION ALL ".join(sels)
+
+    dotqc = (
+        "list_sum(list_transform(generate_series(1, len(qv)), "
+        "i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))"
+    )
+    nq = (
+        "sqrt(list_sum(list_transform(generate_series(1, len(qv)), "
+        "i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))"
+    )
+    nc = (
+        "sqrt(list_sum(list_transform(generate_series(1, len(cv)), "
+        "i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+qs AS ({sketch_cte("q", "query_id", "qv")}),
+cs AS ({sketch_cte("c", "neighbor_id", "cv")}),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id, round({dotqc}/({nq}*{nc}), 6) AS cos_sim
+  FROM qs JOIN cs USING (t, bucket)
+  WHERE query_id != neighbor_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM cand) t
+WHERE rank <= {k}"""
 
 
 def media_metadata_sql() -> str:
@@ -1260,7 +1342,9 @@ def registry() -> dict[str, str]:
         "dedup_ngram_jaccard": ngram_jaccard_sql(),
         "dedup_minhash_lsh": minhash_lsh_sql(),
         "dedup_simhash_signatures": simhash_sql(),
+        "dedup_simhash_pairs": simhash_pairs_sql(),
         "ann_cosine_topk": ann_cosine_sql(),
+        "ann_lsh_topk": ann_lsh_sql(),
         "media_metadata": media_metadata_sql(),
         "time_units_extraction": time_units_sql(),
         "aggregator": aggregator_sql(),

@@ -430,11 +430,31 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """Banded-segment candidate generation (pigeonhole: hamming<=k implies
+    an exact match on one of k+1 disjoint segments) verified against the
+    brute-force all-pairs hamming SQL oracle — recall is exact by
+    construction, so the outputs coincide on any corpus."""
+    from anovos_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(table(spark, sf_dir, "documents"), max_distance=3)
+
+
 def q_ann_cosine(spark, sf_dir):
     from anovos_spark.operators.similarity import brute_force_topk
 
     emb = table(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH bucket top-k vs a faithful SQL mirror (same deterministic
+    hyperplanes inlined as literals) — verifies the LSH implementation
+    itself bit-for-bit, independent of recall vs brute force."""
+    from anovos_spark.operators.similarity import lsh_bucket_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -868,10 +888,16 @@ def q_one_hot(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """threshold 0.45 → exact='auto' resolves to the blocked exact join.
+    Deliberate (measured, see embedding_near_dup_pairs docstring): at this
+    low threshold every LSH parameterization with recall margin generates
+    ≥ N² candidates — LSH(4,16) at sf0.1 was 28s warm AND missed 2/144
+    pairs vs 2.4s exact.  The LSH scale path engages for threshold ≥ 0.7
+    and is oracle-verified separately (ann_lsh_topk)."""
     from anovos_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.45, exact=True)
+    return embedding_near_dup_pairs(emb, threshold=0.45)
 
 
 def q_json_props(spark, sf_dir):
@@ -1198,7 +1224,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_simhash_signatures": q_simhash,
+        "dedup_simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine,
+        "ann_lsh_topk": q_ann_lsh,
         "ivf_topk_recall": q_ivf_topk,
         "media_metadata": q_media_metadata,
         "media_byte_histogram": q_media_features,

@@ -53,6 +53,16 @@ def test_drift_identical_frames(spark):
         assert r["flagged"] == 0
 
 
+def test_drift_single_method_string(spark):
+    """method_type='PSI' (the reference API default call style) must select
+    the one metric — not split the string into characters."""
+    df = spark.range(100).select((F.col("id") % 10).cast("double").alias("v"))
+    out = D.drift_statistics(df, df, ["v"], method_type="PSI")
+    assert "PSI" in out.columns and "JSD" not in out.columns
+    with pytest.raises(ValueError):
+        D.drift_statistics(df, df, ["v"], method_type="BOGUS").collect()
+
+
 def test_drift_shifted(spark):
     a = spark.range(2000).select((F.col("id") % 100).cast("double").alias("v"))
     b = spark.range(2000).select(((F.col("id") % 100) + 50).cast("double").alias("v"))

@@ -78,6 +78,17 @@ def test_dispersion(small_df):
     assert d["x"]["variance"] == pytest.approx(430.0, abs=1e-2)
 
 
+def test_dispersion_huge_values_fall_back_to_double(spark):
+    """|x| >= 1e12 leaves the decimal(18,6) square's domain: the guarded
+    double-sum fallback must produce the right variance instead of the
+    silent-null corruption of an unguarded decimal cast."""
+    data = [(float(2e12),), (float(3e12),), (float(4e12),)]
+    df = spark.createDataFrame(data, schema="x double")
+    d = _as_dict(stats.measures_of_dispersion(df))
+    assert d["x"]["variance"] == pytest.approx(1e24, rel=1e-6)
+    assert d["x"]["stddev"] == pytest.approx(1e12, rel=1e-6)
+
+
 def test_percentiles(small_df):
     d = _as_dict(stats.measures_of_percentiles(small_df))
     assert d["x"]["pct_min"] == 0.0

@@ -70,6 +70,32 @@ def test_simhash(docs):
     assert ham(1, 2) < ham(1, 4)  # near-dup closer than unrelated doc
 
 
+def test_simhash_pairs_equals_brute_force(docs):
+    """Banded candidate generation must reproduce exact all-pairs hamming
+    (pigeonhole recall guarantee), including distances that split across
+    signature halves — the old 2-half scheme dropped those."""
+    for k in (1, 3, 6):
+        sigs = {r["id"]: r["simhash"] for r in DD.simhash_signatures(docs).collect()}
+        ids = sorted(sigs)
+        brute = {
+            (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= k
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in DD.simhash_pairs(docs, max_distance=k).collect()
+        }
+        assert got == brute
+
+
+def test_simhash_pairs_plan_has_no_nested_loop(docs):
+    plan = DD.simhash_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_brute_force_topk(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),

@@ -47,6 +47,18 @@ def test_label_encoding_unseen(spark, tdf):
     assert odf.collect()[0]["cat"] == -1
 
 
+def test_label_encoding_cardinality_filtered_in_plan(spark):
+    """An ID-like column above the threshold is dropped BEFORE collect —
+    its mappings never reach the driver (the threshold's whole purpose)."""
+    df = spark.range(200).select(
+        F.concat(F.lit("id_"), F.col("id").cast("string")).alias("big"),
+        (F.col("id") % 3).cast("string").alias("small"),
+    )
+    model = T.label_encoding_fit(df, ["big", "small"], cardinality_threshold=50)
+    assert "big" not in model
+    assert set(model["small"]) == {"0", "1", "2"}
+
+
 def test_one_hot(tdf):
     odf = T.one_hot_encoding(tdf, ["cat"])
     assert {"cat_a", "cat_b", "cat_c"} <= set(odf.columns)
