@@ -97,6 +97,33 @@ def timestamp_to_string(
     )
 
 
+def dateformat_conversion(
+    idf: DataFrame,
+    list_of_cols,
+    input_format: str = "yyyy-MM-dd HH:mm:ss",
+    output_format: str = "yyyy-MM-dd",
+    output_mode: str = "replace",
+) -> DataFrame:
+    """Re-render date/time strings from one format to another in a single
+    expression (reference: datetime.py:480-548 dateformat_conversion —
+    their parse+strftime UDF pair becomes date_format(to_timestamp(c))).
+
+    output_mode='replace' rewrites the column in place; 'append' adds
+    ``{col}_fmt``."""
+    cols = ensure_list(list_of_cols)
+    exprs = {
+        (c if output_mode == "replace" else f"{c}_fmt"): F.date_format(
+            F.to_timestamp(F.col(c).cast("string"), input_format), output_format
+        )
+        for c in cols
+    }
+    if output_mode == "replace":
+        return idf.select(
+            *[exprs[c] .alias(c) if c in exprs else F.col(c) for c in idf.columns]
+        )
+    return _append(idf, exprs)
+
+
 def time_units_extraction(idf: DataFrame, list_of_cols, units="all") -> DataFrame:
     """Extract hour/minute/.../year component columns
     (reference: datetime.py:550-621, getattr(F, unit) :614-616)."""

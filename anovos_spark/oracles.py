@@ -1347,6 +1347,9 @@ def registry() -> dict[str, str]:
         "ann_lsh_topk": ann_lsh_sql(),
         "media_metadata": media_metadata_sql(),
         "time_units_extraction": time_units_sql(),
+        "dateformat_conversion": """
+SELECT strftime(o_orderdate, '%d/%m/%Y') AS d, count(*)::BIGINT AS n_rows
+FROM orders GROUP BY 1""",
         "aggregator": aggregator_sql(),
         "window_aggregator": window_aggregator_sql(),
         "lagged_ts": lagged_ts_sql(),

@@ -726,6 +726,16 @@ def q_ts_format_vote(spark, sf_dir):
     return spark.createDataFrame(rows, schema="attribute string, fmt string")
 
 
+def q_dateformat_conversion(spark, sf_dir):
+    from anovos_spark.operators.datetime_ops import dateformat_conversion
+
+    od = table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d")
+    )
+    conv = dateformat_conversion(od, ["d"], "yyyy-MM-dd", "dd/MM/yyyy")
+    return conv.groupBy("d").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
 def q_ts_eligibility(spark, sf_dir):
     from anovos_spark.operators.timeseries import ts_eligibility_check
 
@@ -1186,6 +1196,57 @@ def q18_large_volume_customer(spark, sf_dir):
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry iteration order is deliberate: oracle-backed queries first
+    (cheapest first, by measured sf0.01 cost), rows-only entries last — so
+    a time-capped correctness run covers the maximum number of
+    hash-checked queries before any cap hits (round-1 driver run recorded
+    only 50/80)."""
+    base = _registry_entries()
+    from anovos_spark.oracles import registry as oracle_registry
+
+    with_oracle = set(oracle_registry())
+    order = sorted(
+        base,
+        key=lambda k: (k not in with_oracle, _APPROX_COST.get(k, 5.0)),
+    )
+    return {k: base[k] for k in order}
+
+
+# measured sf0.01 bench seconds (round 2); used only to order the
+# correctness run cheap-first — stale values degrade gracefully
+_APPROX_COST = {
+    "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
+    "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
+    "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
+    "time_units_extraction": 0.4, "aggregator": 0.4, "rollup_revenue": 0.4,
+    "feature_transformation": 0.4, "q1_pricing_summary": 0.4, "sql_window_topk": 0.4,
+    "imputation_mmm": 0.4, "media_metadata": 0.4, "token_counting": 0.5,
+    "dedup_exact": 0.5, "join_enrich": 0.5, "attribute_binning_eqfreq": 0.6,
+    "geohash_encode": 0.6, "idness_detection": 0.6, "q3_shipping_priority": 0.6,
+    "media_byte_histogram": 0.6, "seasonal_decompose": 0.6, "target_encoding": 0.7,
+    "null_rows_detection": 0.7, "geo_centroid_rog": 0.7, "autoencoder_latent": 0.7,
+    "ig_calculation": 0.7, "q10_returned_items": 0.7, "iv_calculation": 0.7,
+    "q5_local_supplier_volume": 0.7, "attribute_binning_eqrange": 0.7,
+    "one_hot_encoding": 0.8, "iqr_standardization": 0.8, "embedding_near_dup": 0.8,
+    "ts_eligibility": 0.8, "normalization": 0.8, "data_sample": 0.9,
+    "label_encoding": 0.9, "stability_index": 0.9, "shape": 0.9, "ann_cosine_topk": 0.9,
+    "duplicate_detection": 0.9, "nonzero_count": 0.9, "boxcox_transformation": 0.9,
+    "language_id": 0.9, "outlier_categories": 0.8, "z_standardization": 1.2,
+    "dedup_simhash_signatures": 1.3, "type_recommendation": 1.3, "q14_promo_revenue": 1.4,
+    "variable_clustering": 1.4, "outlier_detection": 1.6, "reverse_geocoding": 1.7,
+    "cardinality": 1.9, "biasedness_detection": 1.9, "drift_statistics": 2.0,
+    "q18_large_volume_customer": 2.1, "correlation_matrix": 2.2, "global_summary": 2.3,
+    "dedup_simhash_pairs": 2.2, "ts_format_vote": 2.3, "dispersion": 2.4,
+    "percentiles": 2.4, "monotonic_binning": 2.6, "pca_latent_features": 2.7,
+    "measures_of_counts": 2.7, "dedup_minhash_lsh": 2.8, "central_tendency": 2.8,
+    "dedup_ngram_jaccard": 3.1, "feature_recommender": 3.3, "knn_imputation": 4.9,
+    "ivf_topk_recall": 5.0, "als_imputation": 5.1, "auto_imputation": 5.7,
+    "ann_lsh_topk": 5.7, "streaming_sessions": 7.0, "streaming_window_agg": 7.2,
+    "invalid_entries_detection": 8.7,
+}
+
+
+def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_summary": q_global_summary,
         "measures_of_counts": q_counts,
@@ -1231,6 +1292,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "media_byte_histogram": q_media_features,
         "time_units_extraction": q_time_units,
+        "dateformat_conversion": q_dateformat_conversion,
         "aggregator": q_aggregator,
         "window_aggregator": q_window_aggregator,
         "lagged_ts": q_lagged_ts,
