@@ -283,6 +283,88 @@ def imputation_knn(
 
 
 # --------------------------------------------------------------------------- #
+# regression (iterative) imputation
+# --------------------------------------------------------------------------- #
+def imputation_regression(
+    idf: DataFrame,
+    list_of_cols="all",
+    drop_cols=(),
+    sample_size: int = 10_000,
+    ridge: float = 1e-6,
+    seed: int = 42,
+) -> DataFrame:
+    """Regression imputation: fill each missing cell with its conditional
+    mean given the row's observed columns (reference: transformers.py:
+    1677-2019 imputation_sklearn(method_type='regression') — sklearn's
+    IterativeImputer round-robin-regresses each column on the others until
+    convergence; for linear regressors that fixed point IS the Gaussian
+    conditional mean  μ_M + Σ_MO·Σ_OO⁻¹·(x_O − μ_O), which we compute
+    directly from a (μ, Σ) fit, so scoring needs no iteration).
+
+    Scale shape: fit = one bounded seeded sample of complete rows to the
+    driver (reference samples 10k too, :1689) → (μ, Σ) broadcast; score =
+    Arrow-batched mapInPandas over ONLY the rows containing nulls, one
+    small Σ_OO solve per distinct null-pattern per batch (patterns ≤ 2^cols
+    but in practice a handful), everything else a matmul.  The clean-row
+    majority never crosses the Arrow boundary."""
+    cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
+    total = idf.count()
+    frac = min(1.0, sample_size / total) if total else 1.0
+    sample_pd = (
+        idf.select(cols).dropna().sample(False, frac, seed).limit(sample_size).toPandas()
+    )
+    if len(sample_pd) < len(cols) + 2:
+        raise ValueError("not enough complete rows to fit regression imputation")
+    ref = sample_pd[cols].to_numpy(dtype="float64")
+    mu = ref.mean(axis=0)
+    cov = np.cov(ref, rowvar=False)
+    cov = np.atleast_2d(cov) + ridge * np.eye(len(cols))
+
+    spark = idf.sparkSession
+    b_fit = spark.sparkContext.broadcast((mu, cov))
+    schema = idf.schema
+    col_idx = {c: i for i, c in enumerate(cols)}
+
+    def score(batches):
+        mu_, cov_ = b_fit.value
+        for pdf in batches:
+            X = pdf[cols].to_numpy(dtype="float64")
+            nan_mask = np.isnan(X)
+            any_nan = nan_mask.any(axis=1)
+            if any_nan.any():
+                patterns = {}
+                for r in np.where(any_nan)[0]:
+                    patterns.setdefault(nan_mask[r].tobytes(), []).append(r)
+                for pat, rows in patterns.items():
+                    miss = np.frombuffer(pat, dtype=bool)
+                    obs = ~miss
+                    rows = np.asarray(rows)
+                    if not obs.any():
+                        X[np.ix_(rows, np.where(miss)[0])] = mu_[miss]
+                        continue
+                    # conditional mean: μ_M + Σ_MO Σ_OO⁻¹ (x_O − μ_O)
+                    s_oo = cov_[np.ix_(obs, obs)]
+                    s_mo = cov_[np.ix_(miss, obs)]
+                    beta = np.linalg.solve(s_oo, s_mo.T)  # (|O|, |M|)
+                    dev = X[np.ix_(rows, np.where(obs)[0])] - mu_[obs]
+                    fill = mu_[miss] + dev @ beta
+                    X[np.ix_(rows, np.where(miss)[0])] = fill
+                for c, i in col_idx.items():
+                    pdf[c] = X[:, i]
+            yield pdf
+
+    import functools
+    import operator as pyop
+
+    from anovos_spark.core.utils import fan_out
+
+    has_null = functools.reduce(pyop.or_, [F.col(c).isNull() for c in cols])
+    dirty = fan_out(idf.where(has_null)).mapInPandas(score, schema=schema)
+    clean = idf.where(~has_null)
+    return clean.unionByName(dirty)
+
+
+# --------------------------------------------------------------------------- #
 # auto imputation bake-off
 # --------------------------------------------------------------------------- #
 def auto_imputation(
@@ -295,15 +377,27 @@ def auto_imputation(
 ) -> tuple[str, DataFrame]:
     """Pick the best imputer by injecting nulls into a clean sample and
     comparing Σ(RMSE/mean) across methods (reference: transformers.py:
-    2260-2521).  Candidates: MMM-mean, MMM-median, KNN.  Returns
-    (winner_name, scores_df [method, score])."""
+    2260-2521 runs the same bake-off over its full method set).
+    Candidates: MMM-mean, MMM-median, KNN, regression, ALS — the
+    reference's five families.  Returns (winner_name, scores_df
+    [method, score])."""
+    from pyspark.sql import Window
+
     from anovos_spark.operators.transformers import imputation_MMM
 
     cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
     total = idf.count()
     frac = min(1.0, sample_size / total) if total else 1.0
     clean = idf.select(cols).dropna().sample(False, frac, seed)
-    clean = clean.withColumn("__rid__", F.monotonically_increasing_id())
+    # int-range contiguous row id: ALS requires int32 ids, so the raw
+    # monotonically_increasing_id (partition<<33 | row) won't do.  The
+    # global row_number window is single-task but runs on the bounded
+    # ≤sample_size bake-off sample only — never the full frame.
+    clean = clean.withColumn("__mid__", F.monotonically_increasing_id())
+    clean = clean.withColumn(
+        "__rid__",
+        F.row_number().over(Window.orderBy("__mid__")).cast("int"),
+    ).drop("__mid__")
     clean.persist()
 
     corrupted = clean
@@ -338,6 +432,12 @@ def auto_imputation(
         "mmm_mean": lambda: imputation_MMM(corrupted, cols, method_type="mean")[0],
         "mmm_median": lambda: imputation_MMM(corrupted, cols, method_type="median")[0],
         "knn": lambda: imputation_knn(corrupted, cols, sample_size=5000, seed=seed),
+        "regression": lambda: imputation_regression(
+            corrupted, cols, sample_size=5000, seed=seed
+        ),
+        "als": lambda: imputation_als(
+            corrupted, "__rid__", cols, max_iter=10, seed=seed
+        ),
     }
     scores = {name: rmse_score(fn()) for name, fn in candidates.items()}
     winner = min(scores, key=scores.get)

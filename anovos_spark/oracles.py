@@ -1343,6 +1343,24 @@ def registry() -> dict[str, str]:
         "dedup_minhash_lsh": minhash_lsh_sql(),
         "dedup_simhash_signatures": simhash_sql(),
         "dedup_simhash_pairs": simhash_pairs_sql(),
+        "regression_imputation": """
+WITH base AS (
+  SELECT CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_quantity END AS q,
+         l_extendedprice AS e
+  FROM lineitem),
+fit AS (
+  SELECT avg(q) AS mu_q, avg(e) AS mu_e,
+         covar_samp(q, e) AS c_qe, var_samp(e) AS v_e
+  FROM base WHERE q IS NOT NULL),
+imp AS (
+  SELECT CASE WHEN q IS NULL
+              THEN mu_q + c_qe / (v_e + 1e-6) * (e - mu_e)
+              ELSE q END AS qi
+  FROM base, fit)
+SELECT round(avg(qi), 6) AS mean_q,
+       0::BIGINT AS nulls_after,
+       count(*)::BIGINT AS n_rows
+FROM imp""",
         "ann_cosine_topk": ann_cosine_sql(),
         "ann_lsh_topk": ann_lsh_sql(),
         "media_metadata": media_metadata_sql(),

@@ -799,6 +799,27 @@ def q_als_imputation(spark, sf_dir):
     )
 
 
+def q_regression_imputation(spark, sf_dir):
+    """2-column restriction makes the Gaussian conditional mean SQL-exact:
+    fill = μ_q + cov(q,e)/(var(e)+ridge) · (e − μ_e), fitted on ALL
+    complete rows (sample_size exceeds the sf's row count so the seeded
+    sample is the identity — deterministic on both engines)."""
+    from anovos_spark.operators.transformers_ml import imputation_regression
+
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 13 == 0, F.lit(None)).otherwise(F.col("l_quantity")),
+    )
+    imputed = imputation_regression(
+        li, ["l_quantity", "l_extendedprice"], sample_size=1_000_000
+    )
+    return imputed.agg(
+        F.round(F.avg("l_quantity"), 6).alias("mean_q"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("nulls_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_monotonic_binning(spark, sf_dir):
     from anovos_spark.operators.transformers_ml import monotonic_binning
 
@@ -1243,6 +1264,7 @@ _APPROX_COST = {
     "ivf_topk_recall": 5.0, "als_imputation": 5.1, "auto_imputation": 5.7,
     "ann_lsh_topk": 5.7, "streaming_sessions": 7.0, "streaming_window_agg": 7.2,
     "invalid_entries_detection": 8.7,
+    "dateformat_conversion": 0.5, "regression_imputation": 2.0,
 }
 
 
@@ -1310,6 +1332,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_latent_features": q_pca_latent,
         "knn_imputation": q_knn_imputation,
         "als_imputation": q_als_imputation,
+        "regression_imputation": q_regression_imputation,
         "monotonic_binning": q_monotonic_binning,
         "boxcox_transformation": q_boxcox,
         "auto_imputation": q_auto_imputation,

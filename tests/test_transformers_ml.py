@@ -43,12 +43,32 @@ def test_als_imputation(spark, mdf):
     assert imputed.count() == 400
 
 
+def test_regression_imputation(spark, mdf):
+    holey = mdf.withColumn("a", F.when(F.col("id") % 7 == 0, None).otherwise(F.col("a")))
+    imputed = TML.imputation_regression(holey, ["a", "b", "c"], sample_size=400)
+    assert imputed.where(F.col("a").isNull()).count() == 0
+    assert imputed.count() == 400
+    # b = 2a + ε(σ=0.1): conditional mean recovers a almost exactly
+    j = imputed.alias("i").join(mdf.alias("t"), "id").where(F.col("id") % 7 == 0)
+    err = j.agg(F.avg(F.abs(F.col("i.a") - F.col("t.a")))).collect()[0][0]
+    assert err < 0.2  # far better than mean imputation (σ=2) and than KNN
+
+
+def test_als_id_range_check(spark, mdf):
+    big = mdf.withColumn("id", F.col("id").cast("long") + F.lit(2**40)).withColumn(
+        "a", F.when(F.col("id") % 11 == 0, None).otherwise(F.col("a"))
+    )
+    with pytest.raises(ValueError, match="int32"):
+        TML.imputation_als(big, "id", ["a", "b", "c"])
+
+
 def test_auto_imputation(mdf):
     winner, scores = TML.auto_imputation(mdf, ["a", "b", "c"], sample_size=400)
     d = {r["method"]: r["score"] for r in scores.collect()}
-    assert set(d) == {"mmm_mean", "mmm_median", "knn"}
+    assert set(d) == {"mmm_mean", "mmm_median", "knn", "regression", "als"}
     assert winner == min(d, key=d.get)
     assert d["knn"] < d["mmm_mean"]  # correlation makes knn win
+    assert d["regression"] < d["mmm_mean"]
 
 
 def test_monotonic_binning(mdf):
