@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 EARTH_RADIUS_KM = 6371.0088
@@ -176,6 +176,176 @@ def geohash_encode(
         ch = F.lit(_GH32).substr(val.cast("int") + F.lit(1), F.lit(1))
         gh = ch if gh is None else F.concat(gh, ch)
     return idf.withColumn(result_col, gh)
+
+
+def geohash_decode(
+    idf: DataFrame,
+    geohash_col: str,
+    precision: int = 8,
+    lat_col: str = "gh_lat",
+    lon_col: str = "gh_lon",
+) -> DataFrame:
+    """Geohash base-32 decode to the cell-center (lat, lon) — the exact
+    inverse of geohash_encode's bit interleave, as a pure expression
+    (reference ships encode+decode via the python-geohash lib in UDFs,
+    geo_utils codec; round-trip is how users validate geohashes).
+
+    Each character's alphabet index contributes 5 global bits (even → lon,
+    odd → lat, MSB first); the reassembled fixed-point integers map back to
+    the cell center  (q + 0.5) / 2^bits · range − offset.  Fixed-depth
+    expression: O(5·precision) ops, no UDF, embarrassingly parallel."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be 1..12")
+    total_bits = precision * 5
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+
+    # alphabet index of char k (0-based):  instr(_GH32, chr) - 1
+    def char_val(k: int):
+        return F.expr(f"instr('{_GH32}', substring(`{geohash_col}`, {k + 1}, 1))") - 1
+
+    lon_q = F.lit(0).cast("long")
+    lat_q = F.lit(0).cast("long")
+    for k in range(precision):
+        val = char_val(k)
+        for j in range(5):
+            gbit = 5 * k + j
+            bit = F.shiftright(val, 4 - j).bitwiseAND(F.lit(1)).cast("long")
+            if gbit % 2 == 0:
+                lon_q = lon_q + bit * F.lit(2 ** (lon_bits - 1 - gbit // 2))
+            else:
+                lat_q = lat_q + bit * F.lit(2 ** (lat_bits - 1 - gbit // 2))
+    lat = (lat_q.cast("double") + 0.5) / F.lit(float(2**lat_bits)) * 180.0 - 90.0
+    lon = (lon_q.cast("double") + 0.5) / F.lit(float(2**lon_bits)) * 360.0 - 180.0
+    return idf.withColumn(lat_col, F.round(lat, 9)).withColumn(
+        lon_col, F.round(lon, 9)
+    )
+
+
+# Approximate country bounding boxes (public-domain geography, coarse):
+# name → (lat_min, lat_max, lon_min, lon_max).  The approx containment
+# path mirrors the reference's bounding-box fast path (geo_utils.py:799);
+# exact containment takes a caller-supplied polygon.
+COUNTRY_BBOXES: dict[str, tuple[float, float, float, float]] = {
+    "United States": (24.5, 49.4, -125.0, -66.9),
+    "Canada": (41.7, 83.1, -141.0, -52.6),
+    "Mexico": (14.5, 32.7, -118.4, -86.7),
+    "Brazil": (-33.8, 5.3, -73.9, -34.8),
+    "Argentina": (-55.1, -21.8, -73.6, -53.6),
+    "Peru": (-18.4, -0.0, -81.3, -68.7),
+    "Colombia": (-4.2, 12.5, -79.0, -66.9),
+    "United Kingdom": (49.9, 58.7, -8.2, 1.8),
+    "France": (41.3, 51.1, -5.1, 9.6),
+    "Germany": (47.3, 55.1, 5.9, 15.0),
+    "Spain": (36.0, 43.8, -9.3, 3.3),
+    "Italy": (36.6, 47.1, 6.6, 18.5),
+    "Poland": (49.0, 54.8, 14.1, 24.1),
+    "Sweden": (55.3, 69.1, 11.1, 24.2),
+    "Norway": (58.0, 71.2, 4.6, 31.1),
+    "Ukraine": (44.4, 52.4, 22.1, 40.2),
+    "Russia": (41.2, 81.9, 19.6, 180.0),
+    "Turkey": (35.8, 42.1, 26.0, 44.8),
+    "Egypt": (22.0, 31.7, 24.7, 36.9),
+    "Nigeria": (4.3, 13.9, 2.7, 14.7),
+    "Ethiopia": (3.4, 14.9, 33.0, 48.0),
+    "Kenya": (-4.7, 5.5, 33.9, 41.9),
+    "South Africa": (-34.8, -22.1, 16.5, 32.9),
+    "Algeria": (19.1, 37.1, -8.7, 12.0),
+    "Morocco": (27.7, 35.9, -13.2, -1.0),
+    "Saudi Arabia": (16.4, 32.2, 34.5, 55.7),
+    "Iran": (25.1, 39.8, 44.0, 63.3),
+    "Iraq": (29.1, 37.4, 38.8, 48.6),
+    "India": (6.7, 35.5, 68.1, 97.4),
+    "Pakistan": (23.7, 37.1, 60.9, 77.8),
+    "Bangladesh": (20.7, 26.6, 88.0, 92.7),
+    "China": (18.2, 53.6, 73.5, 135.1),
+    "Japan": (24.2, 45.5, 122.9, 145.8),
+    "South Korea": (33.1, 38.6, 125.9, 129.6),
+    "Vietnam": (8.6, 23.4, 102.1, 109.5),
+    "Thailand": (5.6, 20.5, 97.3, 105.6),
+    "Indonesia": (-11.0, 6.1, 95.0, 141.0),
+    "Philippines": (4.6, 21.1, 116.9, 126.6),
+    "Australia": (-43.6, -10.7, 113.2, 153.6),
+    "New Zealand": (-47.3, -34.4, 166.4, 178.6),
+}
+
+
+def location_in_country(
+    idf: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    country: str,
+    method: str = "approx",
+    polygon: list[tuple[float, float]] | None = None,
+    result_col: str = "in_country",
+) -> DataFrame:
+    """Flag rows whose point lies inside a country (reference:
+    geospatial.py:814-973; approx bbox path geo_utils.py:799).
+
+    method='approx': pure bounding-box expression — zero shuffle, scan
+    speed, the posture for 100 TB prefilters.  method='exact': caller
+    supplies the country polygon (public boundary data); runs the
+    bbox-prefiltered ray-casting UDF from location_in_polygon, so the UDF
+    only ever sees bbox survivors."""
+    if method == "approx":
+        if country not in COUNTRY_BBOXES:
+            raise ValueError(
+                f"unknown country '{country}'; known: {sorted(COUNTRY_BBOXES)}"
+            )
+        lat_min, lat_max, lon_min, lon_max = COUNTRY_BBOXES[country]
+        cond = (
+            F.col(lat_col).between(lat_min, lat_max)
+            & F.col(lon_col).between(lon_min, lon_max)
+        )
+        return idf.withColumn(result_col, F.coalesce(cond, F.lit(False)))
+    if method == "exact":
+        if not polygon:
+            raise ValueError("method='exact' requires a boundary polygon")
+        return location_in_polygon(idf, lat_col, lon_col, polygon, result_col)
+    raise ValueError("method must be 'approx' or 'exact'")
+
+
+def geo_stats_generator(
+    idf: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    precisions: tuple[int, ...] = (2, 3, 4),
+    top_n: int = 5,
+) -> DataFrame:
+    """Top-N densest geohash cells at each precision
+    (reference: geospatial_analyzer.py:64-313 — their per-precision loops
+    of groupBy+toPandas become ONE encode + one groupBy per precision over
+    prefixes of the same hash, unioned).
+
+    [precision, cell, n_points, pct_points, rank] — rank by count desc,
+    cell asc tie-break (deterministic)."""
+    from anovos_spark.core.utils import union_by_name
+
+    max_p = max(precisions)
+    hashed = geohash_encode(
+        idf.dropna(subset=[lat_col, lon_col]), lat_col, lon_col, precision=max_p
+    )
+    total = hashed.count()
+    frames = []
+    for p in sorted(precisions):
+        cells = (
+            hashed.select(F.substring("geohash", 1, p).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_points"))
+        )
+        w = Window.orderBy(F.col("n_points").desc(), F.col("cell").asc())
+        frames.append(
+            cells.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_n)
+            .select(
+                F.lit(p).alias("precision"),
+                "cell",
+                "n_points",
+                F.round(F.col("n_points") / F.lit(total), 6).alias("pct_points"),
+                "rank",
+            )
+        )
+    return union_by_name(frames)
 
 
 def geohash_precision_control(
@@ -412,32 +582,134 @@ def geo_cluster_analysis(
     lon_col: str,
     max_k: int = 8,
     seed: int = 42,
+    criterion: str = "elbow",
 ) -> tuple[DataFrame, dict]:
-    """KMeans elbow sweep on (lat, lon) via distributed Spark ML
+    """KMeans sweep on (lat, lon) via distributed Spark ML
     (reference: geospatial_analyzer.py:390-850 runs driver-side sklearn
-    MiniBatchKMeans on a pandas sample — replaced with ml.clustering.KMeans
-    so the fit scales).  Returns (frame with cluster col, {k: cost})."""
+    MiniBatchKMeans + silhouette sweeps on a pandas sample — replaced with
+    ml.clustering.KMeans / ClusteringEvaluator so both the fit and the
+    model-selection metric scale).
+
+    criterion='elbow': keep the smallest k whose marginal cost gain drops
+    below 20%.  criterion='silhouette': pick argmax silhouette (squared
+    euclidean) — the reference's selection metric, computed distributed.
+    Returns (frame with cluster col, {k: score})."""
     try:
         from pyspark.ml.clustering import KMeans
+        from pyspark.ml.evaluation import ClusteringEvaluator
         from pyspark.ml.feature import VectorAssembler
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError("pyspark.ml unavailable") from e
 
+    if criterion not in ("elbow", "silhouette"):
+        raise ValueError("criterion must be 'elbow' or 'silhouette'")
     vec = VectorAssembler(inputCols=[lat_col, lon_col], outputCol="__features__")
     assembled = vec.transform(idf.dropna(subset=[lat_col, lon_col]))
     assembled.persist()
-    costs = {}
-    best_model, best_k = None, 2
+    scores: dict[int, float] = {}
+    best_model, best_k = None, None
+    evaluator = ClusteringEvaluator(
+        featuresCol="__features__", predictionCol="__pred__", metricName="silhouette"
+    )
     for k in range(2, max_k + 1):
-        model = KMeans(k=k, seed=seed, featuresCol="__features__").fit(assembled)
-        costs[k] = model.summary.trainingCost
-        # elbow rule: keep the smallest k whose marginal gain drops < 20%
-        if best_model is None or (
-            costs.get(best_k) and costs[k] < 0.8 * costs[best_k]
-        ):
-            best_model, best_k = model, k
+        model = KMeans(
+            k=k, seed=seed, featuresCol="__features__", predictionCol="__pred__"
+        ).fit(assembled)
+        if criterion == "silhouette":
+            scores[k] = evaluator.evaluate(model.transform(assembled))
+            if best_model is None or scores[k] > scores[best_k]:
+                best_model, best_k = model, k
+        else:
+            scores[k] = model.summary.trainingCost
+            if best_model is None or (
+                scores.get(best_k) and scores[k] < 0.8 * scores[best_k]
+            ):
+                best_model, best_k = model, k
     odf = best_model.transform(assembled).withColumnRenamed(
-        "prediction", "cluster"
+        "__pred__", "cluster"
     ).drop("__features__")
     assembled.unpersist()
-    return odf, costs
+    return odf, scores
+
+
+def geo_density_clusters(
+    idf: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    eps_km: float = 50.0,
+    min_samples: int = 5,
+    cluster_col: str = "cluster",
+) -> tuple[DataFrame, DataFrame]:
+    """DBSCAN-style grid density clustering, distributed
+    (reference: geospatial_analyzer.py:390-850 runs sklearn DBSCAN on a
+    driver-side pandas sample — that caps it at the sample; this variant
+    scales to the full frame).
+
+    Algorithm: snap points to an eps-sized grid (equirectangular degrees,
+    documented approximation), count per cell in ONE groupBy; dense cells
+    (count ≥ min_samples) form a graph with their 8-neighbors; connected
+    components run driver-side over the DENSE-CELL graph (bounded by
+    occupied area, not N — at 100 TB the cell table is orders of magnitude
+    smaller than the point table); labels broadcast back as an equi-join
+    on cell id.  Sparse-cell points get cluster −1 (noise), like DBSCAN.
+
+    Returns (points with cluster_col, stats [cluster, n_points]).
+    """
+    eps_deg = eps_km / 111.32
+    cx = F.floor(F.col(lon_col) / F.lit(eps_deg)).cast("long")
+    cy = F.floor(F.col(lat_col) / F.lit(eps_deg)).cast("long")
+    pts = idf.dropna(subset=[lat_col, lon_col]).withColumn(
+        "__cx__", cx
+    ).withColumn("__cy__", cy)
+    cells = pts.groupBy("__cx__", "__cy__").agg(F.count(F.lit(1)).alias("n"))
+    cell_rows = cells.collect()
+    dense = [
+        (r["__cx__"], r["__cy__"]) for r in cell_rows if r["n"] >= min_samples
+    ]
+    sparse = [
+        (r["__cx__"], r["__cy__"]) for r in cell_rows if r["n"] < min_samples
+    ]
+    # union-find over dense cells (driver-side; |dense| ≪ N)
+    parent = {c: c for c in dense}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    dense_set = set(dense)
+    for (x, y) in dense:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (x + dx, y + dy)
+                if nb != (x, y) and nb in dense_set:
+                    ra, rb = find((x, y)), find(nb)
+                    if ra != rb:
+                        parent[rb] = ra
+    roots = sorted({find(c) for c in dense})
+    root_id = {r: i for i, r in enumerate(roots)}
+    labels = [(x, y, root_id[find((x, y))]) for (x, y) in dense]
+    # border handling (DBSCAN semantics): points in a sparse cell that
+    # neighbors a dense cell join that cluster (min label for determinism)
+    dense_label = {(x, y): l for x, y, l in labels}
+    for (x, y) in sparse:
+        nb_labels = [
+            dense_label[(x + dx, y + dy)]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (x + dx, y + dy) in dense_label
+        ]
+        if nb_labels:
+            labels.append((x, y, min(nb_labels)))
+    spark = idf.sparkSession
+    label_df = spark.createDataFrame(
+        labels, schema="__cx__ long, __cy__ long, __lbl__ int"
+    )
+    odf = (
+        pts.join(F.broadcast(label_df), ["__cx__", "__cy__"], "left_outer")
+        .withColumn(cluster_col, F.coalesce(F.col("__lbl__"), F.lit(-1)))
+        .drop("__cx__", "__cy__", "__lbl__")
+    )
+    stats = odf.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("n_points"))
+    return odf, stats

@@ -1015,6 +1015,80 @@ WITH q AS (SELECT {lon_q} AS lq, {lat_q} AS tq FROM {_COORDS} pts)
 SELECT substr({gh}, 1, 3) AS gh3, count(*)::BIGINT AS cnt FROM q GROUP BY 1"""
 
 
+def geohash_roundtrip_sql() -> str:
+    """Expected decode(encode(p=6)) centers via the quantization closed
+    form — no base32 simulation needed because encode quantizes with
+    exactly  least(2^b-1, floor((x+off)/range·2^b))  and decode returns
+    (q+0.5)/2^b·range−off."""
+    lon_q = f"least({2**15 - 1}, floor((lon + 180.0)/360.0*{float(2**15)}))"
+    lat_q = f"least({2**15 - 1}, floor((lat + 90.0)/180.0*{float(2**15)}))"
+    glat = f"round(({lat_q} + 0.5)/{float(2**15)}*180.0 - 90.0, 9)"
+    glon = f"round(({lon_q} + 0.5)/{float(2**15)}*360.0 - 180.0, 9)"
+    return f"""
+WITH d AS (SELECT lat, lon, {glat} AS gh_lat, {glon} AS gh_lon FROM {_COORDS} pts)
+SELECT count(*)::BIGINT AS n_rows,
+       round(avg(gh_lat), 6) AS avg_lat,
+       round(avg(gh_lon), 6) AS avg_lon,
+       sum(CASE WHEN abs(gh_lat - lat) <= {180.0 / 2**15}
+                 AND abs(gh_lon - lon) <= {360.0 / 2**15}
+                THEN 1 ELSE 0 END)::BIGINT AS n_within_cell
+FROM d"""
+
+
+def location_in_country_sql() -> str:
+    from anovos_spark.operators.geospatial import COUNTRY_BBOXES
+
+    parts = []
+    for name in ["United States", "India", "Australia"]:
+        a, b, c, d = COUNTRY_BBOXES[name]
+        parts.append(f"""
+SELECT '{name}' AS country,
+       sum(CASE WHEN lat BETWEEN {a} AND {b} AND lon BETWEEN {c} AND {d}
+                THEN 1 ELSE 0 END)::BIGINT AS n_inside,
+       count(*)::BIGINT AS n_rows
+FROM {_COORDS} pts""")
+    return " UNION ALL ".join(parts)
+
+
+def geo_stats_sql() -> str:
+    """Same base32 encode as geohash_sql (precision 6), then prefix
+    grouping per precision with a deterministic (count desc, cell asc)
+    rank — geohash prefixes are precision-stable, so substr(hash6, 1, p)
+    equals the p-precision encode."""
+    lon_bits, lat_bits = 15, 15
+    lon_q = f"CAST(least({2**lon_bits - 1}, floor((lon + 180.0)/360.0*{float(2**lon_bits)})) AS BIGINT)"
+    lat_q = f"CAST(least({2**lat_bits - 1}, floor((lat + 90.0)/180.0*{float(2**lat_bits)})) AS BIGINT)"
+
+    def bit(i: int) -> str:
+        if i % 2 == 0:
+            return f"((lq >> {lon_bits - 1 - i // 2}) & 1)"
+        return f"((tq >> {lat_bits - 1 - i // 2}) & 1)"
+
+    chars = []
+    for k in range(6):
+        val = " + ".join(f"{bit(5 * k + j)} * {2 ** (4 - j)}" for j in range(5))
+        chars.append(
+            f"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(({val}) AS INT) + 1, 1)"
+        )
+    gh = " || ".join(chars)
+    pieces = []
+    for p in (2, 3):
+        pieces.append(f"""
+SELECT {p} AS precision, cell, n_points,
+       round(n_points / (SELECT count(*) FROM q)::DOUBLE, 6) AS pct_points, rank
+FROM (
+  SELECT cell, n_points,
+         CAST(row_number() OVER (ORDER BY n_points DESC, cell ASC) AS INT) AS rank
+  FROM (SELECT substr(gh, 1, {p}) AS cell, count(*)::BIGINT AS n_points
+        FROM q GROUP BY 1) t) r
+WHERE rank <= 5""")
+    body = " UNION ALL ".join(pieces)
+    return f"""
+WITH base AS (SELECT {lon_q} AS lq, {lat_q} AS tq FROM {_COORDS} pts),
+q AS (SELECT {gh} AS gh FROM base)
+{body}"""
+
+
 def centroid_rog_sql() -> str:
     d = _hav("p.lat", "p.lon", "c.lat_c", "c.lon_c")
     return f"""
@@ -1377,6 +1451,9 @@ FROM orders GROUP BY 1""",
         "reverse_geocoding": reverse_geocoding_sql(),
         "geohash_encode": geohash_sql(),
         "geo_centroid_rog": centroid_rog_sql(),
+        "geohash_roundtrip": geohash_roundtrip_sql(),
+        "location_in_country": location_in_country_sql(),
+        "geo_stats": geo_stats_sql(),
         "ts_format_vote": ts_format_vote_sql(),
         "ts_eligibility": ts_eligibility_sql(),
         "ts_daypart": daypart_sql(),

@@ -637,6 +637,56 @@ def _cust_coords(spark, sf_dir):
     )
 
 
+def q_geohash_roundtrip(spark, sf_dir):
+    """encode(p=6) → decode → the decoded center must equal the arithmetic
+    quantization closed form; the oracle computes that closed form directly
+    (no base32 simulation), so the hash check proves the full string
+    round-trip bit-for-bit."""
+    from anovos_spark.operators.geospatial import geohash_decode, geohash_encode
+
+    df = geohash_encode(_cust_coords(spark, sf_dir), "lat", "lon", precision=6)
+    dec = geohash_decode(df, "geohash", precision=6)
+    return dec.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("gh_lat"), 6).alias("avg_lat"),
+        F.round(F.avg("gh_lon"), 6).alias("avg_lon"),
+        F.sum(
+            (
+                (F.abs(F.col("gh_lat") - F.col("lat")) <= 180.0 / 2**15)
+                & (F.abs(F.col("gh_lon") - F.col("lon")) <= 360.0 / 2**15)
+            ).cast("long")
+        ).alias("n_within_cell"),
+    )
+
+
+def q_location_in_country(spark, sf_dir):
+    from anovos_spark.operators.geospatial import location_in_country
+
+    df = _cust_coords(spark, sf_dir)
+    frames = []
+    for name in ["United States", "India", "Australia"]:
+        flagged = location_in_country(df, "lat", "lon", name)
+        frames.append(
+            flagged.agg(
+                F.lit(name).alias("country"),
+                F.sum(F.col("in_country").cast("long")).alias("n_inside"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def q_geo_stats(spark, sf_dir):
+    from anovos_spark.operators.geospatial import geo_stats_generator
+
+    return geo_stats_generator(
+        _cust_coords(spark, sf_dir), "lat", "lon", precisions=(2, 3), top_n=5
+    )
+
+
 def q_geo_distance(spark, sf_dir):
     from anovos_spark.operators.geospatial import location_distance
 
@@ -1265,6 +1315,7 @@ _APPROX_COST = {
     "ann_lsh_topk": 5.7, "streaming_sessions": 7.0, "streaming_window_agg": 7.2,
     "invalid_entries_detection": 8.7,
     "dateformat_conversion": 0.5, "regression_imputation": 2.0,
+    "geohash_roundtrip": 0.8, "location_in_country": 0.5, "geo_stats": 1.0,
 }
 
 
@@ -1323,6 +1374,9 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance": q_geo_distance,
         "geohash_encode": q_geohash,
         "geo_centroid_rog": q_centroid_rog,
+        "geohash_roundtrip": q_geohash_roundtrip,
+        "location_in_country": q_location_in_country,
+        "geo_stats": q_geo_stats,
         "reverse_geocoding": q_reverse_geocoding,
         "autoencoder_latent": q_autoencoder_latent,
         "ts_format_vote": q_ts_format_vote,

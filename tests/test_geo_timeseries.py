@@ -135,6 +135,86 @@ def test_kmeans_clusters(geo_df):
     assert len(clusters[2]) == 1
 
 
+def test_geohash_decode_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (-33.8568, 151.2153), (0.0, 0.0)],
+        schema="lat double, lon double",
+    )
+    enc = GEO.geohash_encode(df, "lat", "lon", precision=8)
+    dec = GEO.geohash_decode(enc, "geohash", precision=8)
+    for r in dec.collect():
+        # decoded center must be within the precision-8 cell of the input
+        assert abs(r["gh_lat"] - r["lat"]) <= 180.0 / 2**20
+        assert abs(r["gh_lon"] - r["lon"]) <= 360.0 / 2**20
+    # decode of a known vector hits the canonical cell center
+    v = GEO.geohash_decode(
+        spark.createDataFrame([("u4pruydqqvj",)], schema="geohash string"),
+        "geohash",
+        precision=11,
+    ).collect()[0]
+    assert abs(v["gh_lat"] - 57.64911) < 1e-5 and abs(v["gh_lon"] - 10.40744) < 1e-5
+
+
+def test_location_in_country(spark):
+    df = spark.createDataFrame(
+        [(40.7, -74.0), (48.85, 2.35), (-33.9, 151.2), (None, None)],
+        schema="lat double, lon double",
+    )
+    us = GEO.location_in_country(df, "lat", "lon", "United States").collect()
+    assert [r["in_country"] for r in us] == [True, False, False, False]
+    au = GEO.location_in_country(df, "lat", "lon", "Australia").collect()
+    assert [r["in_country"] for r in au] == [False, False, True, False]
+    with pytest.raises(ValueError):
+        GEO.location_in_country(df, "lat", "lon", "Atlantis")
+    # exact mode delegates to the bbox-prefiltered PIP
+    tri = [(0.0, 0.0), (0.0, 10.0), (10.0, 0.0)]
+    ex = GEO.location_in_country(
+        spark.createDataFrame([(2.0, 2.0), (9.0, 9.0)], schema="lat double, lon double"),
+        "lat", "lon", "X", method="exact", polygon=tri,
+    ).collect()
+    assert [r["in_country"] for r in ex] == [True, False]
+
+
+def test_geo_stats_generator(geo_df):
+    out = GEO.geo_stats_generator(geo_df, "lat", "lon", precisions=(1, 2), top_n=3)
+    rows = out.collect()
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r["precision"], []).append(r)
+    # NYC pair shares a precision-2 cell → a cell with n_points=2, rank 1
+    top2 = sorted(by_p[2], key=lambda r: r["rank"])[0]
+    assert top2["n_points"] == 2 and abs(top2["pct_points"] - 0.5) < 1e-9
+
+
+def test_geo_density_clusters(spark):
+    import random
+
+    random.seed(3)
+    rows = [(random.gauss(40.7, 0.05), random.gauss(-74.0, 0.05)) for _ in range(40)]
+    rows += [(random.gauss(51.5, 0.05), random.gauss(-0.1, 0.05)) for _ in range(40)]
+    rows += [(10.0, 10.0)]  # lone noise point
+    df = spark.createDataFrame(rows, schema="lat double, lon double")
+    odf, stats = GEO.geo_density_clusters(df, "lat", "lon", eps_km=30.0, min_samples=5)
+    d = {r["cluster"]: r["n_points"] for r in stats.collect()}
+    assert d.get(-1, 0) == 1  # the lone point is noise
+    assert sorted(v for k, v in d.items() if k != -1) == [40, 40]
+
+
+def test_silhouette_criterion(spark):
+    import random
+
+    random.seed(5)
+    rows = [(random.gauss(0, 0.3), random.gauss(0, 0.3)) for _ in range(30)]
+    rows += [(random.gauss(20, 0.3), random.gauss(20, 0.3)) for _ in range(30)]
+    df = spark.createDataFrame(rows, schema="lat double, lon double")
+    odf, scores = GEO.geo_cluster_analysis(
+        df, "lat", "lon", max_k=4, criterion="silhouette"
+    )
+    best = max(scores, key=scores.get)
+    assert best == 2  # two clean blobs
+    assert odf.select("cluster").distinct().count() == 2
+
+
 def test_seasonal_decompose(spark):
     import datetime as dt
     import math
