@@ -51,12 +51,80 @@ def _correlation_matrix_np(idf: DataFrame, cols: list[str]) -> np.ndarray:
 
 def _pc_loadings(corr: np.ndarray, idx: list[int], n_comp: int = 2):
     """Eigen-decomposition of the sub-correlation-matrix; returns
-    (eigvals desc, loadings[p, n_comp])."""
+    (eigvals desc, loadings[p, n_comp]).  Conventions for degenerate
+    clusters match the reference's correig (association_eval_varclus.py:
+    128-133): 1 variable → eigvals [1, 0]; empty → [0, 0]."""
+    if len(idx) == 0:
+        return np.zeros(max(n_comp, 1)), np.zeros((0, n_comp))
+    if len(idx) == 1:
+        w = np.zeros(max(n_comp, 1))
+        w[0] = 1.0
+        v = np.zeros((1, n_comp))
+        v[0, 0] = 1.0
+        return w, v
     sub = corr[np.ix_(idx, idx)]
     w, v = np.linalg.eigh(sub)
     order = np.argsort(w)[::-1]
     w, v = w[order], v[:, order]
     return w, v[:, :n_comp]
+
+
+def _quartimax(L: np.ndarray, max_iter: int = 100, tol: float = 1e-8):
+    """Raw quartimax rotation (orthomax with γ=0): find the orthogonal R
+    maximizing Σ loadings⁴ via the standard SVD iteration (public
+    algorithm; the reference uses factor_analyzer's Rotator with
+    method='quartimax', association_eval_varclus.py:323)."""
+    p, k = L.shape
+    if k < 2:
+        return L
+    R = np.eye(k)
+    d = 0.0
+    for _ in range(max_iter):
+        Lr = L @ R
+        u, s, vt = np.linalg.svd(L.T @ (Lr**3))
+        R = u @ vt
+        d_new = float(np.sum(s))
+        if d_new <= d * (1 + tol):
+            break
+        d = d_new
+    return L @ R
+
+
+def _explained_variance(corr: np.ndarray, *cluster_lists) -> float:
+    """Σ first-eigenvalue over clusters (reference _calc_tot_var)."""
+    tot = 0.0
+    for idx in cluster_lists:
+        if not idx:
+            continue
+        w, _ = _pc_loadings(corr, idx, 1)
+        tot += float(w[0])
+    return tot
+
+
+def _search_phase(corr: np.ndarray, clus1: list[int], clus2: list[int]):
+    """Greedy hill-climb (reference _reassign, :176-231): move each
+    variable to the other cluster whenever that raises the total explained
+    variance, recomputing components after every accepted move; sweep
+    until a full pass makes no improvement."""
+    fin1, fin2 = list(clus1), list(clus2)
+    check_var = max_var = _explained_variance(corr, fin1, fin2)
+    while True:
+        for v in list(fin1) + list(fin2):
+            n1, n2 = list(fin1), list(fin2)
+            if v in n1:
+                n1.remove(v)
+                n2.append(v)
+            else:
+                n2.remove(v)
+                n1.append(v)
+            new_var = _explained_variance(corr, n1, n2)
+            if new_var > check_var:
+                check_var = new_var
+                fin1, fin2 = n1, n2
+        if max_var == check_var:
+            break
+        max_var = check_var
+    return fin1, fin2
 
 
 def variable_clustering(
@@ -96,9 +164,15 @@ def variable_clustering(
     df.unpersist()
 
     # ---- divisive clustering on the driver ---------------------------- #
+    # PROC VARCLUS fidelity (association_eval_varclus.py:267-384):
+    # 1. pick the cluster with the largest 2nd eigenvalue (> maxeigval2);
+    # 2. quartimax-rotate its first two eigenvectors, then NCS-assign each
+    #    variable to the rotated component it correlates with harder
+    #    (corr(feat, comp_i) = rvec_i·C[:,feat] / σ_i, σ_i² = (RᵀCR)_ii);
+    # 3. search phase: greedy per-variable reassignment maximizing total
+    #    explained variance, recomputing after each accepted move.
     clusters: list[list[int]] = [list(range(len(cols)))]
     while len(clusters) < max_clusters:
-        # candidate: cluster with largest 2nd eigenvalue above threshold
         best_i, best_ev2 = None, maxeigval2
         for i, idx in enumerate(clusters):
             if len(idx) < 2:
@@ -110,14 +184,27 @@ def variable_clustering(
             break
         idx = clusters.pop(best_i)
         _, load = _pc_loadings(corr, idx)
-        # assign each variable to the rotated component it loads on harder
-        g1 = [v for k, v in enumerate(idx) if abs(load[k, 0]) >= abs(load[k, 1])]
-        g2 = [v for k, v in enumerate(idx) if abs(load[k, 0]) < abs(load[k, 1])]
+        rload = _quartimax(load)
+        sub = corr[np.ix_(idx, idx)]
+        comb_sigma = np.sqrt(np.clip(np.diag(rload.T @ sub @ rload), 1e-12, None))
+        g1, g2 = [], []
+        for k, v in enumerate(idx):
+            c1 = float(np.dot(rload[:, 0], sub[:, k])) / comb_sigma[0]
+            c2 = float(np.dot(rload[:, 1], sub[:, k])) / comb_sigma[1]
+            (g1 if abs(c1) > abs(c2) else g2).append(v)
         if not g1 or not g2:
-            # degenerate split: keep as one cluster, stop splitting it
+            # rotation put everything on one component: fall back to a
+            # loadings split so the search phase has two sides to improve
+            g1 = [v for k, v in enumerate(idx) if rload[k, 0] >= 0]
+            g2 = [v for k, v in enumerate(idx) if rload[k, 0] < 0]
+        if not g1 or not g2:
             clusters.append(idx)
             break
-        clusters += [g1, g2]
+        g1, g2 = _search_phase(corr, g1, g2)
+        if not g1 or not g2:
+            clusters.append(g1 or g2)
+        else:
+            clusters += [g1, g2]
 
     # ---- RS ratios ----------------------------------------------------- #
     # R²(var, cluster PC1) = (Σ_j load1_j · corr[var, j])² / eigval1
@@ -139,9 +226,18 @@ def variable_clustering(
             rs_next = max((r for j, r in enumerate(rs) if j != ci), default=0.0)
             denom = 1.0 - rs_next
             ratio = (1.0 - rs_own) / denom if denom > 1e-12 else float("inf")
-            rows.append((ci, cols[v], round(float(ratio), 6)))
+            rows.append(
+                (
+                    ci,
+                    cols[v],
+                    round(float(rs_own), 6),
+                    round(float(rs_next), 6),
+                    round(float(ratio), 6),
+                )
+            )
 
     spark = idf.sparkSession
     return spark.createDataFrame(
-        rows, schema="cluster int, attribute string, RS_ratio double"
+        rows,
+        schema="cluster int, attribute string, RS_own double, RS_NC double, RS_ratio double",
     )

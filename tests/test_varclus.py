@@ -52,3 +52,49 @@ def test_varclus_single_cluster_when_uncorrelated(spark):
     out = variable_clustering(df).collect()
     # uncorrelated pair: 2nd eigenvalue ≈ 1 — split only if > 1.0 strictly
     assert len(out) == 2
+
+
+def test_varclus_rs_columns_and_ranges(vdf):
+    out = variable_clustering(vdf, ["a", "b", "c", "x", "y"]).collect()
+    for r in out:
+        assert 0.0 <= r["RS_own"] <= 1.0
+        assert 0.0 <= r["RS_NC"] <= 1.0
+        assert r["RS_ratio"] >= 0.0
+        # own-cluster fit must beat nearest-other for tight blocks
+        assert r["RS_own"] > r["RS_NC"]
+
+
+def test_varclus_seed_stability(vdf):
+    a = variable_clustering(vdf, ["a", "b", "c", "x", "y"], seed=1).collect()
+    b = variable_clustering(vdf, ["a", "b", "c", "x", "y"], seed=99).collect()
+    # sampling seed is irrelevant below sample_size: identical output
+    key = lambda rows: sorted((r["attribute"], r["cluster"], r["RS_ratio"]) for r in rows)  # noqa: E731
+    assert key(a) == key(b)
+
+
+def test_quartimax_rotation_properties():
+    import numpy as np
+
+    from anovos_spark.operators.varclus import _quartimax
+
+    rng = np.random.RandomState(0)
+    L = rng.randn(6, 2)
+    R = _quartimax(L)
+    # orthogonal rotation preserves row norms (communalities)
+    assert np.allclose((L**2).sum(axis=1), (R**2).sum(axis=1), atol=1e-8)
+    # quartimax must not decrease the quartic criterion
+    assert (R**4).sum() >= (L**4).sum() - 1e-8
+
+
+def test_search_phase_fixes_bad_split():
+    import numpy as np
+
+    from anovos_spark.operators.varclus import _explained_variance, _search_phase
+
+    # two perfect 2-variable blocks; start from the worst split
+    c = np.eye(4)
+    c[0, 1] = c[1, 0] = 0.95
+    c[2, 3] = c[3, 2] = 0.95
+    g1, g2 = _search_phase(c, [0, 2], [1, 3])
+    assert {frozenset(g1), frozenset(g2)} == {frozenset({0, 1}), frozenset({2, 3})}
+    assert _explained_variance(c, g1, g2) == pytest.approx(3.9, abs=1e-6)
