@@ -1089,6 +1089,23 @@ q AS (SELECT {gh} AS gh FROM base)
 {body}"""
 
 
+def outlier_frame_sql() -> str:
+    parts = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount"]:
+        parts.append(f"""
+SELECT '{c}' AS attribute,
+       round(CAST(q1 AS DOUBLE), 6) AS q1,
+       round(CAST(med AS DOUBLE), 6) AS median,
+       round(CAST(q3 AS DOUBLE), 6) AS q3,
+       round(CAST(q1 - 1.5*(q3 - q1) AS DOUBLE), 6) AS lower_whisker,
+       round(CAST(q3 + 1.5*(q3 - q1) AS DOUBLE), 6) AS upper_whisker,
+       (SELECT count(*) FROM lineitem
+         WHERE {c} < q1 - 1.5*(q3 - q1) OR {c} > q3 + 1.5*(q3 - q1))::BIGINT AS n_outliers
+FROM (SELECT quantile_cont({c}, 0.25) AS q1, quantile_cont({c}, 0.5) AS med,
+             quantile_cont({c}, 0.75) AS q3 FROM lineitem) s""")
+    return " UNION ALL ".join(parts)
+
+
 def centroid_rog_sql() -> str:
     d = _hav("p.lat", "p.lon", "c.lat_c", "c.lon_c")
     return f"""
@@ -1454,6 +1471,36 @@ FROM orders GROUP BY 1""",
         "geohash_roundtrip": geohash_roundtrip_sql(),
         "location_in_country": location_in_country_sql(),
         "geo_stats": geo_stats_sql(),
+        "frequency_frame": """
+SELECT coalesce(l_returnflag, 'Missing') AS l_returnflag,
+       count(*)::BIGINT AS "count",
+       round(100.0*count(*) / (SELECT count(*) FROM lineitem), 6) AS count_pct
+FROM lineitem GROUP BY 1""",
+        "event_rate_frame": """
+SELECT coalesce(l_returnflag, 'Missing') AS l_returnflag,
+       sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_event,
+       sum(CASE WHEN l_linestatus = 'F' THEN 0 ELSE 1 END)::BIGINT AS n_nonevent,
+       round(100.0*sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+             / count(*), 6) AS event_rate
+FROM lineitem GROUP BY 1""",
+        "outlier_frame": outlier_frame_sql(),
+        "comparative_drift_frame": """
+WITH t AS (
+  SELECT coalesce(o_orderpriority, 'Missing') AS k,
+         round(count(*) / (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)::DOUBLE, 6)
+           AS countpct_target
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+s AS (
+  SELECT coalesce(o_orderpriority, 'Missing') AS k,
+         round(count(*) / (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1)::DOUBLE, 6)
+           AS countpct_source
+  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1)
+SELECT coalesce(t.k, s.k) AS o_orderpriority,
+       coalesce(countpct_target, 0) AS countpct_target,
+       coalesce(countpct_source, 0) AS countpct_source,
+       round((coalesce(countpct_target, 0) / nullif(coalesce(countpct_source, 0), 0) - 1)*100, 6)
+         AS pct_diff
+FROM t FULL OUTER JOIN s ON t.k = s.k""",
         "ts_format_vote": ts_format_vote_sql(),
         "ts_eligibility": ts_eligibility_sql(),
         "ts_daypart": daypart_sql(),

@@ -912,6 +912,39 @@ def q_variable_clustering(spark, sf_dir):
     )
 
 
+def q_frequency_frame(spark, sf_dir):
+    from anovos_spark.plans.report_frames import frequency_frame
+
+    li = table(spark, sf_dir, "lineitem")
+    return frequency_frame(li, "l_returnflag")
+
+
+def q_event_rate_frame(spark, sf_dir):
+    from anovos_spark.plans.report_frames import event_rate_frame
+
+    li = table(spark, sf_dir, "lineitem")
+    return event_rate_frame(li, "l_returnflag", "l_linestatus", "F")
+
+
+def q_outlier_frame(spark, sf_dir):
+    from anovos_spark.plans.report_frames import outlier_frame
+
+    li = table(spark, sf_dir, "lineitem")
+    return outlier_frame(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], sample_size=10_000_000,
+        exact=_exact(),
+    )
+
+
+def q_comparative_drift_frame(spark, sf_dir):
+    from anovos_spark.plans.report_frames import comparative_drift_frame
+
+    od = table(spark, sf_dir, "orders")
+    tgt = od.where(F.col("o_orderkey") % 2 == 0)
+    src = od.where(F.col("o_orderkey") % 2 == 1)
+    return comparative_drift_frame(tgt, src, "o_orderpriority")
+
+
 def q_data_sample(spark, sf_dir):
     """Rows-only: Spark's Bernoulli sampler isn't reproducible in DuckDB."""
     from anovos_spark.operators.ingest import data_sample
@@ -1316,6 +1349,8 @@ _APPROX_COST = {
     "invalid_entries_detection": 8.7,
     "dateformat_conversion": 0.5, "regression_imputation": 2.0,
     "geohash_roundtrip": 0.8, "location_in_country": 0.5, "geo_stats": 1.0,
+    "frequency_frame": 0.4, "event_rate_frame": 0.4, "outlier_frame": 2.0,
+    "comparative_drift_frame": 0.7,
 }
 
 
@@ -1397,6 +1432,10 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hot_encoding": q_one_hot,
         "embedding_near_dup": q_embedding_near_dup,
         "json_extraction": q_json_props,
+        "frequency_frame": q_frequency_frame,
+        "event_rate_frame": q_event_rate_frame,
+        "outlier_frame": q_outlier_frame,
+        "comparative_drift_frame": q_comparative_drift_frame,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q10_returned_items": q10_returned_items,

@@ -1,0 +1,49 @@
+import pytest
+from pyspark.sql import functions as F
+
+from anovos_spark.plans import report_frames as RF
+
+
+@pytest.fixture(scope="module")
+def rdf(spark):
+    rows = [
+        ("a", 1, 10.0),
+        ("a", 1, 12.0),
+        ("a", 0, 11.0),
+        ("b", 0, 100.0),  # outlier vs the rest
+        (None, 1, 13.0),
+    ]
+    return spark.createDataFrame(rows, schema="cat string, y int, v double")
+
+
+def test_frequency_frame(rdf):
+    d = {r["cat"]: r for r in RF.frequency_frame(rdf, "cat").collect()}
+    assert d["a"]["count"] == 3 and d["a"]["count_pct"] == 60.0
+    assert d["Missing"]["count"] == 1
+
+
+def test_event_rate_frame(rdf):
+    d = {r["cat"]: r for r in RF.event_rate_frame(rdf, "cat", "y", 1).collect()}
+    assert d["a"]["n_event"] == 2 and d["a"]["n_nonevent"] == 1
+    assert d["a"]["event_rate"] == pytest.approx(100 * 2 / 3, abs=1e-4)
+    assert d["b"]["event_rate"] == 0.0
+
+
+def test_outlier_frame(rdf):
+    d = {r["attribute"]: r for r in RF.outlier_frame(rdf, ["v"]).collect()}
+    v = d["v"]
+    assert v["q1"] <= v["median"] <= v["q3"]
+    assert v["n_outliers"] == 1  # the 100.0 point
+    assert v["upper_whisker"] < 100.0
+
+
+def test_comparative_drift_frame(spark):
+    t = spark.createDataFrame([("x",), ("x",), ("y",)], schema="k string")
+    s = spark.createDataFrame([("x",), ("y",), ("z",)], schema="k string")
+    d = {r["k"]: r for r in RF.comparative_drift_frame(t, s, "k").collect()}
+    assert d["x"]["countpct_target"] == pytest.approx(2 / 3, abs=1e-6)
+    assert d["x"]["pct_diff"] == pytest.approx(100.0, abs=1e-3)
+    # z exists only in source: (0 / (1/3) - 1)·100 = -100
+    assert d["z"]["countpct_target"] == 0.0
+    assert d["z"]["pct_diff"] == pytest.approx(-100.0, abs=1e-3)
+    assert d["y"]["pct_diff"] == pytest.approx(0.0, abs=1e-3)
