@@ -539,10 +539,13 @@ def monotonic_binning(
                 if len(merged) < 2:
                     continue
                 rates = [merged[b][1] / merged[b][0] for b in sorted(merged)]
-                rank = pd.Series(rates).rank().to_numpy()
-                ideal = np.arange(1, len(rates) + 1)
-                rho = np.corrcoef(rank, ideal)[0, 1]
-                if abs(rho) == 1.0:
+                # |spearman| == 1 ⟺ rates strictly monotonic; test that
+                # directly — corrcoef returns 0.99999... for a perfect
+                # ordering and an exact == 1.0 silently never fires
+                mono = all(b > a for a, b in zip(rates, rates[1:])) or all(
+                    b < a for a, b in zip(rates, rates[1:])
+                )
+                if mono:
                     chosen[c] = {
                         "method": "equal_frequency",
                         "bin_size": n_bins,

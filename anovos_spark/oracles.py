@@ -1089,6 +1089,88 @@ q AS (SELECT {gh} AS gh FROM base)
 {body}"""
 
 
+def monotonic_binning_sql(max_bins: int = 10, min_bins: int = 2) -> str:
+    """Replays the monotonic-binning search in SQL: for each candidate bin
+    count n (descending), bucket by the exact i/n quantile cutoffs
+    (1 + Σ(x > cut), the engine's binning semantics), compute per-bin
+    event rates, and test STRICT monotonicity (all consecutive diffs > 0
+    or all < 0 — equivalent to |spearman| == 1 on ranks); chosen n = the
+    largest monotonic candidate, else max_bins."""
+    label = "(o_orderstatus = 'F')::INT"
+    pieces = []
+    for col in ["o_totalprice", "o_custkey"]:
+        for n in range(max_bins, min_bins - 1, -1):
+            cuts = ", ".join(
+                f"quantile_cont({col}, {i}.0/{n}) AS c{i}" for i in range(1, n)
+            )
+            add = " + ".join(f"({col} > b.c{i})::INT" for i in range(1, n))
+            pieces.append(f"""
+SELECT '{col}' AS attribute, {n} AS n,
+       (SELECT count(*) >= 2 FROM (
+          SELECT bin, avg(y) AS r FROM (
+            SELECT CAST(1 + {add} AS INT) AS bin, {label} AS y
+            FROM orders, (SELECT {cuts} FROM orders) b
+            WHERE {col} IS NOT NULL) v GROUP BY 1) rr)
+       AND (SELECT coalesce(bool_and(diff > 0), FALSE) OR coalesce(bool_and(diff < 0), FALSE)
+            FROM (SELECT r - lag(r) OVER (ORDER BY bin) AS diff FROM (
+                   SELECT bin, avg(y) AS r FROM (
+                     SELECT CAST(1 + {add} AS INT) AS bin, {label} AS y
+                     FROM orders, (SELECT {cuts} FROM orders) b
+                     WHERE {col} IS NOT NULL) v GROUP BY 1) rr) d
+            WHERE diff IS NOT NULL) AS mono""")
+    grid = " UNION ALL ".join(pieces)
+    return f"""
+WITH grid AS ({grid})
+SELECT attribute,
+       CAST(coalesce(max(n) FILTER (WHERE mono), {max_bins}) AS INT) AS n_bins
+FROM grid GROUP BY attribute"""
+
+
+def boxcox_sql() -> str:
+    """Per-λ KS-to-normality grid replayed in SQL over ALL rows (the
+    Spark query pins sample_size above the table size, so both engines
+    fit on identical data).  Normal CDF via the Zelen–Severo 26.2.17
+    rational approximation (|ε| < 7.5e-8) since DuckDB lacks erf; the
+    approximation error is orders of magnitude below any λ-to-λ KS gap,
+    so the argmin (grid-order tie-break) is identical."""
+    from anovos_spark.operators.transformers_ml import BOXCOX_LAMBDAS
+
+    def cdf(z: str) -> str:
+        # Φ(z) for z≥0 via 1 − φ(z)·Σ b_i k^i, k = 1/(1+0.2316419 z);
+        # mirrored for z<0
+        az = f"abs({z})"
+        k = f"(1.0/(1.0 + 0.2316419*{az}))"
+        poly = (
+            f"({k}*(0.319381530 + {k}*(-0.356563782 + {k}*(1.781477937 + "
+            f"{k}*(-1.821255978 + {k}*1.330274429)))))"
+        )
+        phi = f"(exp(-{az}*{az}/2.0)/sqrt(2*pi()))"
+        upper = f"(1.0 - {phi}*{poly})"
+        return f"(CASE WHEN {z} >= 0 THEN {upper} ELSE 1.0 - {upper} END)"
+
+    pieces = []
+    for col in ["l_extendedprice", "l_quantity"]:
+        for gi, lmb in enumerate(BOXCOX_LAMBDAS):
+            t = f"ln({col})" if lmb == 0 else f"pow({col}, {lmb})"
+            pieces.append(f"""
+SELECT '{col}' AS attribute, CAST({float(lmb)} AS DOUBLE) AS lambda, {gi} AS gi,
+       coalesce(max(greatest(r*1.0/n - cdf, cdf - (r - 1.0)/n)), 1.0) AS ks
+FROM (
+  SELECT row_number() OVER (ORDER BY t) AS r, n, {cdf("((t - mu)/sd)")} AS cdf
+  FROM (SELECT {t} AS t FROM lineitem WHERE {col} IS NOT NULL) v,
+       (SELECT avg(t) AS mu, stddev_samp(t) AS sd, count(*) AS n
+        FROM (SELECT {t} AS t FROM lineitem WHERE {col} IS NOT NULL) w) s
+) q""")
+    grid = " UNION ALL ".join(pieces)
+    return f"""
+WITH grid AS ({grid})
+SELECT attribute, lambda
+FROM (SELECT attribute, lambda,
+             row_number() OVER (PARTITION BY attribute ORDER BY ks ASC, gi ASC) AS rk
+      FROM grid) t
+WHERE rk = 1"""
+
+
 def outlier_frame_sql() -> str:
     parts = []
     for c in ["l_quantity", "l_extendedprice", "l_discount"]:
@@ -1484,6 +1566,8 @@ SELECT coalesce(l_returnflag, 'Missing') AS l_returnflag,
              / count(*), 6) AS event_rate
 FROM lineitem GROUP BY 1""",
         "outlier_frame": outlier_frame_sql(),
+        "boxcox_transformation": boxcox_sql(),
+        "monotonic_binning": monotonic_binning_sql(),
         "comparative_drift_frame": """
 WITH t AS (
   SELECT coalesce(o_orderpriority, 'Missing') AS k,

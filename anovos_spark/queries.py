@@ -884,10 +884,16 @@ def q_monotonic_binning(spark, sf_dir):
 
 
 def q_boxcox(spark, sf_dir):
+    """sample_size exceeds every sf's row count, so the λ fit uses ALL
+    rows deterministically and the SQL oracle can replay the per-λ KS
+    grid (normal CDF via the Zelen–Severo approximation, |ε| < 7.5e-8 —
+    far below any λ-to-λ KS gap)."""
     from anovos_spark.operators.transformers_ml import boxcox_transformation
 
     li = table(spark, sf_dir, "lineitem")
-    _, lambdas = boxcox_transformation(li, ["l_extendedprice", "l_quantity"])
+    _, lambdas = boxcox_transformation(
+        li, ["l_extendedprice", "l_quantity"], sample_size=10_000_000
+    )
     rows = sorted((c, float(l)) for c, l in lambdas.items())
     return spark.createDataFrame(rows, schema="attribute string, lambda double")
 
