@@ -1126,6 +1126,29 @@ SELECT attribute,
 FROM grid GROUP BY attribute"""
 
 
+def seasonal_decompose_sql(period: int = 7) -> str:
+    """Classical additive decomposition replayed in SQL: centered 7-point
+    MA trend (null at the half-window edges), by-phase means of the
+    detrended series centered to Σ=0, resid = obs − trend − seasonal."""
+    half = period // 2
+    return f"""
+WITH s AS (SELECT date_trunc('day', ts) AS k, avg(value) AS v FROM events GROUP BY 1),
+o AS (SELECT k, v, CAST(row_number() OVER (ORDER BY k) - 1 AS INT) AS idx,
+             count(*) OVER () AS n FROM s),
+t AS (SELECT *, CASE WHEN idx >= {half} AND idx <= n - {half + 1}
+                     THEN avg(v) OVER (ORDER BY idx ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)
+                END AS trend FROM o),
+d AS (SELECT *, v - trend AS det FROM t),
+sm AS (SELECT idx % {period} AS ph, avg(det) AS m FROM d WHERE det IS NOT NULL GROUP BY 1),
+smc AS (SELECT ph, m - (SELECT avg(m) FROM sm) AS seasonal FROM sm)
+SELECT d.idx, CAST(CAST(d.k AS TIMESTAMP) AS VARCHAR) AS grain_key,
+       round(d.v, 6) AS observed,
+       round(d.trend, 6) AS trend,
+       round(smc.seasonal, 6) AS seasonal,
+       round(d.v - d.trend - smc.seasonal, 6) AS resid
+FROM d JOIN smc ON d.idx % {period} = smc.ph"""
+
+
 def boxcox_sql() -> str:
     """Per-λ KS-to-normality grid replayed in SQL over ALL rows (the
     Spark query pins sample_size above the table size, so both engines
@@ -1568,6 +1591,30 @@ FROM lineitem GROUP BY 1""",
         "outlier_frame": outlier_frame_sql(),
         "boxcox_transformation": boxcox_sql(),
         "monotonic_binning": monotonic_binning_sql(),
+        "seasonal_decompose": seasonal_decompose_sql(),
+        "media_byte_histogram": """
+-- byte-value histogram replayed per character: valid because this corpus
+-- is pure ASCII (verified octet_length(encode(text)) == length(text) for
+-- every row), so utf-8 bytes == code points
+WITH docs AS (SELECT doc_id, source, text, length(text) AS n FROM documents),
+chars AS (
+  SELECT doc_id, n, unicode(substr(text, CAST(i AS INT), 1)) // 16 AS bin
+  FROM (SELECT doc_id, text, n, unnest(generate_series(1, n)) AS i FROM docs) t),
+dens AS (
+  -- numpy .round is HALF_EVEN; DuckDB round() is HALF_UP → round_even
+  SELECT doc_id, bin, round_even(count(*)::DOUBLE / any_value(n), 6) AS d
+  FROM chars GROUP BY doc_id, bin),
+grid AS (SELECT doc_id, source, unnest(generate_series(0, 15)) AS bin FROM docs),
+fullg AS (
+  SELECT g.source, g.bin, coalesce(d.d, 0.0) AS d
+  FROM grid g LEFT JOIN dens d ON g.doc_id = d.doc_id AND g.bin = d.bin)
+SELECT source, CAST(bin AS INT) AS bin, round(avg(d), 6) AS avg_density
+FROM fullg GROUP BY 1, 2""",
+        "data_sample": """
+SELECT 'overall:random' AS stratum, 0.1 AS ratio
+UNION ALL SELECT 'overall:stratified', 0.1
+UNION ALL
+SELECT 'stratum:' || l_returnflag, 0.1 FROM lineitem GROUP BY l_returnflag""",
         "comparative_drift_frame": """
 WITH t AS (
   SELECT coalesce(o_orderpriority, 'Missing') AS k,

@@ -952,18 +952,37 @@ def q_comparative_drift_frame(spark, sf_dir):
 
 
 def q_data_sample(spark, sf_dir):
-    """Rows-only: Spark's Bernoulli sampler isn't reproducible in DuckDB."""
+    """Statistical oracle: Spark's Bernoulli sampler isn't bit-reproducible
+    in DuckDB, but the realized sampling ratio rounded to 2 decimals IS
+    deterministic in practice — at 60k rows the ratio's σ ≈ 0.0012, so the
+    0.005 rounding boundary sits 4σ out, per stratum and overall.  This
+    catches a wrong fraction or broken stratification, which is what the
+    operator promises."""
     from anovos_spark.operators.ingest import data_sample
 
     li = table(spark, sf_dir, "lineitem")
+    total = li.count()
     s = data_sample(li, fraction=0.1, seed=12)
     strat = data_sample(
         li, strata_cols=["l_returnflag"], fraction=0.1, method_type="stratified", seed=12
     )
-    return spark.createDataFrame(
-        [("random", s.count()), ("stratified", strat.count())],
-        schema="method string, n_rows long",
+    overall = spark.createDataFrame(
+        [("overall:random", round(s.count() / total, 2)),
+         ("overall:stratified", round(strat.count() / total, 2))],
+        schema="stratum string, ratio double",
     )
+    per_stratum = (
+        strat.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("nt")),
+            "l_returnflag",
+        )
+        .select(
+            F.concat(F.lit("stratum:"), F.col("l_returnflag")).alias("stratum"),
+            F.round(F.col("n") / F.col("nt"), 2).alias("ratio"),
+        )
+    )
+    return overall.unionByName(per_stratum)
 
 
 def q_concatenate(spark, sf_dir):
