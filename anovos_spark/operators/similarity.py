@@ -160,13 +160,62 @@ def embedding_near_dup_pairs(
         )
 
     if exact:
-        # the O(N²) baseline runs as a broadcast nested-loop join; the
-        # streamed side arrives as ONE parquet partition at these sizes, so
-        # fan it out across cores first (repartitioning N rows is free
-        # relative to N² scoring)
-        par = corpus.sparkSession.sparkContext.defaultParallelism
-        pairs = c1.repartition(par).join(c2, F.col("id_a") < F.col("id_b"))
-        scored = pairs.select("id_a", "id_b", score(pairs).alias("cos_sim"))
+        # The O(N²) baseline as a BLOCK MATMUL, not a nested-loop join of
+        # per-pair expressions: higher-order-function folds don't join
+        # whole-stage codegen (interpreted eval goes megamorphic in long
+        # sessions — measured 12s→29s drift for the same plan), while one
+        # numpy GEMM per Arrow batch scores a 2k×2k corpus in
+        # milliseconds.  The corpus rides to executors once as a
+        # broadcast (guarded — this path is small-N by contract); each
+        # batch computes S = Az·Bzᵀ and emits only surviving pairs, so
+        # nothing quadratic is ever shuffled.
+        import numpy as np
+        import pandas as pd
+
+        from anovos_spark.core.utils import fan_out
+
+        rows = corpus.select(id_col, vec_col).collect()
+        n = len(rows)
+        if n > 200_000:
+            raise ValueError(
+                f"exact near-dup is quadratic and quarantined to <=200k vectors "
+                f"(got {n}); use exact=False (threshold >= 0.7) or raise the "
+                "threshold so LSH can prune"
+            )
+        id_dtype = dict(corpus.dtypes)[id_col]
+        ids = np.array([r[0] for r in rows])
+        B = np.array([r[1] for r in rows], dtype="float64")
+        Bn = np.sqrt((B * B).sum(axis=1))
+        Bn[Bn == 0] = np.inf
+        Bz = B / Bn[:, None]
+        sc = corpus.sparkSession.sparkContext
+        b_corpus = sc.broadcast((ids, Bz))
+
+        def score_blocks(batches):
+            ids_b, Bz_b = b_corpus.value
+            for pdf in batches:
+                A = np.array(list(pdf[vec_col]), dtype="float64")
+                if len(A) == 0:
+                    continue
+                An = np.sqrt((A * A).sum(axis=1))
+                An[An == 0] = np.inf
+                Az = A / An[:, None]
+                S = np.round(Az @ Bz_b.T, 6)
+                aid = pdf[id_col].to_numpy()
+                keep = (S >= threshold) & (aid[:, None] < ids_b[None, :])
+                ai, bi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id_a": aid[ai],
+                        "id_b": ids_b[bi],
+                        "cos_sim": S[ai, bi],
+                    }
+                )
+
+        return fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+            score_blocks,
+            schema=f"id_a {id_dtype}, id_b {id_dtype}, cos_sim double",
+        )
     else:
         from anovos_spark.core.utils import fan_out
 

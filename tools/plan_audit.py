@@ -80,6 +80,15 @@ def main():
     p = plan_of(a)
     check("ann: broadcast of query side", "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p)
 
+    # 6b. simhash pairs: banded candidates are a hash-partitionable
+    # equi-join — the OR-of-halves predicate used to plan a BNLJ (O(N²))
+    from anovos_spark.operators.dedup import simhash_pairs
+
+    docs = Q.table(spark, sf_dir, "documents")
+    p = plan_of(simhash_pairs(docs))
+    check("simhash_pairs: no nested-loop join", "BroadcastNestedLoopJoin" not in p)
+    check("simhash_pairs: no cartesian", "CartesianProduct" not in p)
+
     # 7. reverse geocoding: pure projection — zero shuffle, zero UDF
     from anovos_spark.operators.geospatial import reverse_geocoding
 
