@@ -23,19 +23,49 @@ from anovos_spark.core.utils import melt
 
 
 def correlation_matrix(
-    idf: DataFrame, list_of_cols="all", drop_cols=()
+    idf: DataFrame, list_of_cols="all", drop_cols=(), wide_threshold: int = 50
 ) -> DataFrame:
     """Pairwise Pearson correlations, long format [attribute1, attribute2, corr]
     (reference: association_evaluator.py:38-139 uses VectorAssembler +
     ml.stat.Correlation — replaced by F.corr pairs in ONE aggregation job,
-    which also skips the NaN-prone assemble/drop step)."""
+    which also skips the NaN-prone assemble/drop step).
+
+    Above ``wide_threshold`` columns the battery switches to
+    ``ml.stat.Correlation`` (one vectorized co-moment pass): the pairwise
+    expression count grows O(p²) and past ~50 columns (≥1,225 co-moment
+    expressions) codegen compile time and the single giant aggregate
+    dominate, while the ml path computes the same Gram accumulation in
+    one Breeze-backed pass.  Rows with any null are dropped on the ml
+    path (its documented semantics), matching the reference's
+    assemble/drop behavior; the F.corr path handles nulls pairwise."""
     cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
+    from anovos_spark.core.utils import fan_out
+
+    if len(cols) > wide_threshold:
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.ml.stat import Correlation
+
+        vecs = fan_out(
+            idf.select(cols).dropna()
+        ).select(
+            array_to_vector(F.array(*[F.col(c).cast("double") for c in cols])).alias(
+                "__v__"
+            )
+        )
+        m = Correlation.corr(vecs, "__v__").head()[0].toArray()
+        data = []
+        for i, a in enumerate(cols):
+            for j, b in enumerate(cols):
+                v = float(m[i][j])
+                data.append((a, b, 1.0 if i == j else round(v, 6)))
+        return idf.sparkSession.createDataFrame(
+            data, schema="attribute1 string, attribute2 string, corr double"
+        )
+
     pairs = list(itertools.combinations(cols, 2))
     aggs = [
         F.round(F.corr(a, b), 6).alias(f"{a}|{b}") for a, b in pairs
     ]
-    from anovos_spark.core.utils import fan_out
-
     row = fan_out(idf.select(*cols)).agg(*aggs).collect()[0] if aggs else {}
     data = [(c, c, 1.0) for c in cols]
     for a, b in pairs:

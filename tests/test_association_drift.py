@@ -28,6 +28,19 @@ def test_correlation(adf):
     assert d[("x", "y")] < -0.9  # x separates y inversely
 
 
+def test_correlation_wide_path_matches_pairwise(adf):
+    """Above the threshold the ml.stat.Correlation path must agree with
+    the pairwise F.corr battery (no nulls here, so drop-row semantics
+    coincide)."""
+    narrow = {(r["attribute1"], r["attribute2"]): r["corr"]
+              for r in A.correlation_matrix(adf, ["x", "z", "y"]).collect()}
+    wide = {(r["attribute1"], r["attribute2"]): r["corr"]
+            for r in A.correlation_matrix(adf, ["x", "z", "y"], wide_threshold=2).collect()}
+    assert set(narrow) == set(wide)
+    for k in narrow:
+        assert wide[k] == pytest.approx(narrow[k], abs=1e-6)
+
+
 def test_ig_perfect_separator(adf):
     d = {r["attribute"]: r["ig"] for r in A.ig_calculation(adf, "y", 1, ["x", "cat"], bin_size=2, bin_method="equal_range").collect()}
     assert d["x"] == pytest.approx(1.0, abs=1e-6)  # perfect split → full bit
