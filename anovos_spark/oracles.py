@@ -1409,6 +1409,39 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM events GROUP BY 1, 2"""
 
 
+def streaming_drift_sql(smoothing: float = 0.0001) -> str:
+    """Batch replay of the streaming PSI monitor: same quintile cutoffs
+    (quantile_cont == Spark exact percentile), same 1+Σ(x>cut) binning,
+    same smoothing, per-hour windows (finite stream ⇒ identical)."""
+    cuts = ", ".join(
+        f"quantile_cont(value, {p}) AS c{i}" for i, p in enumerate([0.2, 0.4, 0.6, 0.8], 1)
+    )
+    bin_add = " + ".join(f"(value > k.c{i})::INT" for i in range(1, 5))
+    psi_terms = []
+    for b in range(1, 6):
+        q = f"(CASE WHEN coalesce(h.n{b}, 0) = 0 THEN {smoothing} ELSE coalesce(h.n{b}, 0)::DOUBLE / h.n_events END)"
+        p = f"greatest(p.p{b}, {smoothing})"
+        psi_terms.append(f"(({q}) - ({p})) * ln(({q}) / ({p}))")
+    psi = " + ".join(psi_terms)
+    n_cols = ", ".join(
+        f"sum((bin = {b})::INT)::BIGINT AS n{b}" for b in range(1, 6)
+    )
+    p_cols = ", ".join(
+        f"sum((bin = {b})::INT)::DOUBLE / count(*) AS p{b}" for b in range(1, 6)
+    )
+    return f"""
+WITH k AS (SELECT {cuts} FROM events),
+b AS (SELECT ts, 1 + {bin_add} AS bin FROM events, k WHERE value IS NOT NULL),
+p AS (SELECT {p_cols} FROM b),
+h AS (SELECT date_trunc('hour', ts) AS w, count(*)::BIGINT AS n_events, {n_cols}
+      FROM b GROUP BY 1)
+SELECT strftime(h.w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       h.n_events,
+       round({psi}, 6) AS psi,
+       (round({psi}, 6) > 0.1)::INT AS flagged
+FROM h, p"""
+
+
 def streaming_sessions_sql() -> str:
     # batch equivalent of session_window(gap=30min): a new session starts
     # when the gap to the previous event is >= 30 min (Spark's session end
@@ -1646,6 +1679,7 @@ FROM t FULL OUTER JOIN s ON t.k = s.k""",
         "sql_window_topk": sql_window_topk_sql(),
         "type_recommendation": type_recommendation_sql(),
         "streaming_window_agg": streaming_window_sql(),
+        "streaming_drift": streaming_drift_sql(),
         "streaming_sessions": streaming_sessions_sql(),
         "q14_promo_revenue": q14_sql(),
         "q18_large_volume_customer": q18_sql(),

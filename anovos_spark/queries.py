@@ -1152,6 +1152,64 @@ def q_streaming_window(spark, sf_dir):
     )
 
 
+def q_streaming_drift(spark, sf_dir):
+    """Streaming drift monitor: per-hour PSI of the events value stream
+    against the full-table baseline quintiles (fitted batch-side, exact
+    percentiles, so the SQL oracle can replay everything).  One
+    watermarked stateful aggregation; finite stream ⇒ equals batch."""
+    import uuid
+
+    from anovos_spark.streaming.ops import read_stream, streaming_drift_monitor
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cuts = list(
+        batch.agg(
+            F.expr("percentile(value, array(0.2, 0.4, 0.6, 0.8))")
+        ).collect()[0][0]
+    )
+    bin_expr = F.lit(1)
+    for cut in cuts:
+        bin_expr = bin_expr + (F.col("value") > F.lit(float(cut))).cast("int")
+    counts = {
+        r["bin"]: r["n"]
+        for r in batch.where(F.col("value").isNotNull())
+        .groupBy(bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    props = [counts.get(b + 1, 0) / total for b in range(5)]
+
+    sdf = read_stream(
+        spark,
+        "parquet",
+        sf_dir,
+        schema=raw_schema,
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    mon = streaming_drift_monitor(
+        sdf, "ts", "value", cuts, props, window_duration="1 hour", watermark="1 hour"
+    )
+    name = f"stream_drift_{uuid.uuid4().hex[:8]}"
+    q = (
+        mon.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+        "psi",
+        "flagged",
+    )
+
+
 def q_streaming_sessions(spark, sf_dir):
     """Streaming sessionization (session_window, 30-min gap) run to
     completion, rolled up per user — oracle-matched against the classic
@@ -1375,7 +1433,7 @@ _APPROX_COST = {
     "dateformat_conversion": 0.5, "regression_imputation": 2.0,
     "geohash_roundtrip": 0.8, "location_in_country": 0.5, "geo_stats": 1.0,
     "frequency_frame": 0.4, "event_rate_frame": 0.4, "outlier_frame": 2.0,
-    "comparative_drift_frame": 0.7,
+    "comparative_drift_frame": 0.7, "streaming_drift": 7.0,
 }
 
 
@@ -1469,6 +1527,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_recommender": q_feature_recommender,
         "type_recommendation": q_type_recommendation,
         "streaming_window_agg": q_streaming_window,
+        "streaming_drift": q_streaming_drift,
         "streaming_sessions": q_streaming_sessions,
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_volume_customer": q18_large_volume_customer,

@@ -113,6 +113,60 @@ def sessionize(
     )
 
 
+def streaming_drift_monitor(
+    sdf: DataFrame,
+    ts_col: str,
+    value_col: str,
+    baseline_cutoffs: list[float],
+    baseline_props: list[float],
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+    threshold: float = 0.1,
+    smoothing: float = 0.0001,
+) -> DataFrame:
+    """Per-window PSI of a streaming column against a FIXED baseline
+    distribution — the streaming face of drift_statistics (same binning
+    semantics: bin = 1 + Σ(x > cutoff); same 0.0001 smoothing).
+
+    The baseline (cutoffs + bin proportions, fitted batch-side on the
+    reference data with binning_fit) rides in as literals, so the whole
+    monitor is ONE watermarked stateful aggregation: per (window) the
+    bin counts are len(cutoffs)+1 conditional sums, and PSI is a closed
+    expression over them — no second stateful operator, state bounded by
+    the watermark horizon.
+
+    [window, n_events, psi, flagged] — flagged when psi > threshold."""
+    n_bins = len(baseline_cutoffs) + 1
+    if len(baseline_props) != n_bins:
+        raise ValueError("baseline_props must have len(baseline_cutoffs)+1 entries")
+    x = F.col(value_col)
+    bin_expr = F.lit(1)
+    for cut in baseline_cutoffs:
+        bin_expr = bin_expr + (x > F.lit(float(cut))).cast("int")
+    aggs = [F.count(value_col).alias("n_events")] + [
+        F.sum((bin_expr == F.lit(b + 1)).cast("long")).alias(f"_b{b}")
+        for b in range(n_bins)
+    ]
+    agg = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("window"))
+        .agg(*aggs)
+    )
+    psi = None
+    for b in range(n_bins):
+        p = max(float(baseline_props[b]), smoothing)
+        q = F.col(f"_b{b}") / F.col("n_events")
+        q = F.when(q <= 0, F.lit(smoothing)).otherwise(q)
+        term = (q - F.lit(p)) * F.log(q / F.lit(p))
+        psi = term if psi is None else psi + term
+    return agg.select(
+        "window",
+        "n_events",
+        F.round(psi, 6).alias("psi"),
+        (F.round(psi, 6) > threshold).cast("int").alias("flagged"),
+    )
+
+
 def stateful_running_stats(
     sdf: DataFrame,
     key_col: str,

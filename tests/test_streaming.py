@@ -109,6 +109,34 @@ def test_stateful_running_stats(spark, stream_dir):
     assert out[0]["vmin"] == 0.0
 
 
+def test_streaming_drift_monitor(spark, stream_dir):
+    import uuid
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    sdf = S.read_stream(spark, "parquet", f"{stream_dir}/input", schema=schema)
+    # baseline == the stream's own distribution → PSI ≈ 0 in every window
+    cuts = [25.0, 50.0, 75.0]
+    props = [0.25, 0.25, 0.25, 0.25]
+    mon = S.streaming_drift_monitor(
+        sdf, "ts", "value", cuts, props, window_duration="10 minutes",
+        watermark="10 minutes",
+    )
+    name = f"t_drift_{uuid.uuid4().hex[:8]}"
+    q = (
+        mon.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    _drain(q)
+    rows = spark.table(name).collect()
+    assert len(rows) >= 1
+    assert all(r["n_events"] > 0 for r in rows)
+    # values 0..99 uniform: every 10-min window (20 events) spans a narrow
+    # value range → strong local drift vs the global baseline
+    assert any(r["flagged"] == 1 for r in rows)
+    with pytest.raises(ValueError):
+        S.streaming_drift_monitor(sdf, "ts", "value", cuts, [0.5, 0.5])
+
+
 def test_rate_source_smoke(spark):
     sdf = S.read_stream(spark, "rate", options={"rowsPerSecond": "10"})
     assert sdf.isStreaming
