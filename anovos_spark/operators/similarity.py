@@ -280,30 +280,54 @@ def lsh_bucket_topk(
 
     [query_id, neighbor_id, cos_sim, rank].  Recall is approximate; the
     candidate join is an equi-join on (table, bucket) so shuffle volume is
-    O(N·tables) regardless of corpus size."""
+    O(N·tables) regardless of corpus size.
+
+    Sketching runs as ONE numpy matmul per Arrow batch (X · P for all
+    tables×bits planes at once) instead of tables×bits interpreted HOF
+    folds per row — HOF expressions never enter codegen and their
+    interpreted eval degrades 2-3× in aged sessions (same root cause as
+    the exact near-dup rewrite; measured ~8 s → ~1 s at sf0.1)."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
+    from anovos_spark.core.utils import fan_out
+
     dim = len(corpus.select(vec_col).first()[0])
-    planes = {
-        (t, b): _hyperplane(dim, seed, t, b)
-        for t in range(n_tables)
-        for b in range(n_bits)
-    }
+    # (dim, tables·bits) plane matrix; column t*n_bits+b = plane (t, b)
+    P = np.array(
+        [_hyperplane(dim, seed, t, b) for t in range(n_tables) for b in range(n_bits)],
+        dtype="float64",
+    ).T
+    weights = np.array([2 ** (n_bits - 1 - b) for b in range(n_bits)], dtype="int64")
+    id_dtype = dict(corpus.dtypes)[id_col]
+    vec_dtype = dict(corpus.dtypes)[vec_col]
 
     def sketch(df: DataFrame, id_alias: str) -> DataFrame:
-        rows = []
-        for t in range(n_tables):
-            bits = None
-            for b in range(n_bits):
-                bit = (_dot_const(F.col(vec_col), planes[(t, b)]) > 0).cast("int")
-                bits = bit if bits is None else bits * 2 + bit
-            rows.append(F.struct(F.lit(t).alias("table"), bits.alias("bucket")))
-        return df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(f"{id_alias}_v"),
-            _norm2(F.col(vec_col)).alias(f"{id_alias}_n"),
-            F.explode(F.array(*rows)).alias("tb"),
-        ).select(id_alias, f"{id_alias}_v", f"{id_alias}_n", "tb.table", "tb.bucket")
+        def run(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf[vec_col]), dtype="float64")
+                signs = (X @ P) > 0  # (rows, tables·bits)
+                buckets = signs.reshape(len(X), n_tables, n_bits) @ weights
+                norms = np.sqrt((X * X).sum(axis=1))
+                out = pd.DataFrame(
+                    {
+                        id_alias: pdf[id_col].to_numpy().repeat(n_tables),
+                        f"{id_alias}_v": [v for v in pdf[vec_col] for _ in range(n_tables)],
+                        f"{id_alias}_n": norms.repeat(n_tables),
+                        "table": np.tile(np.arange(n_tables), len(X)),
+                        "bucket": buckets.reshape(-1),
+                    }
+                )
+                yield out
+
+        return fan_out(df.select(id_col, vec_col)).mapInPandas(
+            run,
+            schema=f"{id_alias} {id_dtype}, {id_alias}_v {vec_dtype}, "
+            f"{id_alias}_n double, table int, bucket long",
+        )
 
     cs = sketch(corpus, "neighbor_id")
     qs = sketch(queries, "query_id")

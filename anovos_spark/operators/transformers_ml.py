@@ -577,10 +577,11 @@ def monotonic_binning(
 BOXCOX_LAMBDAS = [0, 1, -1, 0.5, -0.5, 2, -2, 0.25, -0.25, 3, -3, 4, -4, 5, -5]
 
 
-def _ks_normality(x: np.ndarray) -> float:
+def _ks_normality(x: np.ndarray, presorted: bool = False) -> float:
     """KS statistic of x against N(mean(x), std(x)) — numpy port of the
     reference's mllib KolmogorovSmirnovTest (transformers.py:3430-3439)."""
-    x = np.sort(x[np.isfinite(x)])
+    if not presorted:
+        x = np.sort(x[np.isfinite(x)])
     n = len(x)
     if n < 3:
         return 1.0
@@ -617,10 +618,17 @@ def boxcox_transformation(
         x = x[np.isfinite(x)]
         if len(x) == 0 or (x <= 0).any():
             continue  # out of Box-Cox domain
+        # sort ONCE: x^λ (x>0) is monotone — increasing for λ>0 and ln,
+        # decreasing for λ<0 — so each candidate's sorted transform is the
+        # transformed sorted array (reversed when λ<0); saves 14 sorts of
+        # the sample per column
+        xs = np.sort(x)
         best_lmb, best_ks = None, None
         for lmb in BOXCOX_LAMBDAS:
-            t = np.log(x) if lmb == 0 else np.power(x, lmb)
-            ks = _ks_normality(t)
+            t = np.log(xs) if lmb == 0 else np.power(xs, lmb)
+            if lmb < 0:
+                t = t[::-1]
+            ks = _ks_normality(t, presorted=True)
             if best_ks is None or ks < best_ks:
                 best_lmb, best_ks = lmb, ks
         lambdas[c] = best_lmb
