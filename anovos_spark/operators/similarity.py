@@ -69,31 +69,59 @@ def brute_force_topk(
 
     [query_id, neighbor_id, cos_sim, rank] — self-matches excluded; ties
     broken by neighbor id asc on the 6-decimal-rounded similarity (so
-    ranking is reproducible bit-for-bit across engines)."""
+    ranking is reproducible across engines).
+
+    Scoring runs as one numpy GEMM per Arrow corpus batch against the
+    collected-and-broadcast query block (queries are small by contract) —
+    per-pair HOF folds stay out of the hot path (interpreted eval, no
+    codegen, megamorphic drift in aged sessions).  The corpus never
+    shuffles; only (query, neighbor, score) triples reach the rank
+    window."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
-    # norms once per ROW (not per pair)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        _norm2(F.col(vec_col)).alias("qn"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _norm2(F.col(vec_col)).alias("cn"),
-    )
-    # broadcast the small query side; the corpus scan stays shuffle-free
-    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            F.try_divide(
-                _dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
-            ),
-            6,
-        ).alias("cos_sim"),
+    from anovos_spark.core.utils import fan_out
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if len(q_rows) > 10_000:
+        raise ValueError(
+            "brute-force top-k broadcasts the query side; keep it <= 10k "
+            "vectors (use lsh_bucket_topk / ivf_topk for large query sets)"
+        )
+    qids = np.array([r[0] for r in q_rows])
+    Q = np.array([r[1] for r in q_rows], dtype="float64")
+    Qn = np.sqrt((Q * Q).sum(axis=1))
+    Qn[Qn == 0] = np.inf
+    Qz = Q / Qn[:, None]
+    sc = corpus.sparkSession.sparkContext
+    b_q = sc.broadcast((qids, Qz))
+    id_dtype = dict(corpus.dtypes)[id_col]
+
+    def score_blocks(batches):
+        qids_b, Qz_b = b_q.value
+        nq = len(qids_b)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(list(pdf[vec_col]), dtype="float64")
+            Cn = np.sqrt((C * C).sum(axis=1))
+            Cn[Cn == 0] = np.inf
+            S = np.round((C / Cn[:, None]) @ Qz_b.T, 6)  # (rows, nq)
+            cid = pdf[id_col].to_numpy()
+            keep = cid[:, None] != qids_b[None, :]
+            ci, qi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids_b[qi],
+                    "neighbor_id": cid[ci],
+                    "cos_sim": S[ci, qi],
+                }
+            )
+
+    scored = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+        score_blocks,
+        schema=f"query_id {id_dtype}, neighbor_id {id_dtype}, cos_sim double",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
