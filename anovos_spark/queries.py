@@ -1356,6 +1356,89 @@ def q14_promo_revenue(spark, sf_dir):
     )
 
 
+def q4_priority_semi_join(spark, sf_dir):
+    """TPC-H Q4-style: per-priority count of orders that had at least one
+    line shipped after the order date — LEFT SEMI join with a non-equi
+    conjunct (EXISTS rewrite), fact-fact on the join key."""
+    od = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    late = od.join(
+        li,
+        (od["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > od["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q12_shipmode_case_agg(spark, sf_dir):
+    """TPC-H Q12-style: per return-flag counts of high/low priority orders
+    for one ship year — join + conditional sums (the CASE aggregation
+    pattern)."""
+    od = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    j = li.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    ).join(od, li["l_orderkey"] == od["o_orderkey"])
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(hi.cast("long")).alias("high_line_count"),
+        F.sum((~hi).cast("long")).alias("low_line_count"),
+    )
+
+
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19-style: revenue under an OR of brand/size/quantity
+    conjunct groups — exercises disjunctive predicate pushdown through a
+    broadcast part join."""
+    li = table(spark, sf_dir, "lineitem")
+    pa = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return j.where(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q22_inactive_customers_anti_join(spark, sf_dir):
+    """TPC-H Q22-style: above-average-balance customers who never placed
+    a large (>450k) order, per market segment — scalar-subquery threshold
+    + LEFT ANTI join (every customer has SOME order in this data, so the
+    anti-join filters on the large-order subset to stay value-bearing)."""
+    cu = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450_000)
+    avg_bal = cu.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    rich = cu.where(F.col("c_acctbal") > F.lit(avg_bal))
+    inactive = rich.join(od, rich["c_custkey"] == od["o_custkey"], "left_anti")
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
 def q18_large_volume_customer(spark, sf_dir):
     """TPC-H Q18-style: orders whose total quantity exceeds a threshold —
     self-aggregation on the fact table then joins back (the groupBy and the
@@ -1434,6 +1517,8 @@ _APPROX_COST = {
     "geohash_roundtrip": 0.8, "location_in_country": 0.5, "geo_stats": 1.0,
     "frequency_frame": 0.4, "event_rate_frame": 0.4, "outlier_frame": 2.0,
     "comparative_drift_frame": 0.7, "streaming_drift": 7.0,
+    "q4_priority_semi_join": 0.7, "q12_shipmode_case_agg": 0.7,
+    "q19_disjunctive_predicates": 0.6, "q22_inactive_customers": 0.6,
 }
 
 
@@ -1531,4 +1616,8 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_volume_customer": q18_large_volume_customer,
+        "q4_priority_semi_join": q4_priority_semi_join,
+        "q12_shipmode_case_agg": q12_shipmode_case_agg,
+        "q19_disjunctive_predicates": q19_disjunctive_predicates,
+        "q22_inactive_customers": q22_inactive_customers_anti_join,
     }
