@@ -187,6 +187,68 @@ def run_pipeline(
         )
         result.stats.put("main", name, frame, persist=False)
 
+    # ---- variable clustering (analytical) ------------------------------ #
+    if "variable_clustering" in config:
+        from anovos_spark.operators.varclus import variable_clustering
+
+        vc = dict(config["variable_clustering"] or {})
+        frame = timed("varclus", lambda: variable_clustering(df, **vc))
+        result.stats.put("main", "variable_clustering", frame, persist=False)
+
+    # ---- timeseries analyzer (analytical) ------------------------------ #
+    if "timeseries_analyzer" in config:
+        from anovos_spark.operators.timeseries import (
+            ts_eligibility_check,
+            ts_preprocess,
+        )
+
+        tc = dict(config["timeseries_analyzer"] or {})
+        ts_col = tc.pop("ts_col", None)
+        if ts_col is None:
+            df, detected = ts_preprocess(df)
+            ts_col = next((c for c, f in detected.items()), None)
+        if ts_col is not None:
+            frame = timed(
+                "timeseries.eligibility",
+                lambda: ts_eligibility_check(df, ts_col, **tc),
+            )
+            result.stats.put("main", "ts_eligibility", frame, persist=False)
+
+    # ---- report chart frames (analytical) ------------------------------ #
+    rf = config.get("report_frames") or {}
+    if rf:
+        from anovos_spark.plans import report_frames as RF
+
+        if "frequency" in rf:
+            frame = timed(
+                "report.frequency",
+                lambda: RF.frequency_frame(df, rf["frequency"]["col"]),
+            )
+            result.stats.put("main", "frequency_frame", frame, persist=False)
+        if "event_rate" in rf:
+            er = rf["event_rate"]
+            frame = timed(
+                "report.event_rate",
+                lambda: RF.event_rate_frame(
+                    df, er["col"], er["label_col"], er.get("event_label", 1)
+                ),
+            )
+            result.stats.put("main", "event_rate_frame", frame, persist=False)
+        if "outlier" in rf:
+            frame = timed(
+                "report.outlier",
+                lambda: RF.outlier_frame(df, rf["outlier"]["list_of_cols"]),
+            )
+            result.stats.put("main", "outlier_frame", frame, persist=False)
+        if "comparative_drift" in rf:
+            cd = dict(rf["comparative_drift"])
+            base = read_dataset(spark, **cd.pop("baseline_read"))
+            frame = timed(
+                "report.comparative_drift",
+                lambda: RF.comparative_drift_frame(df, base, cd["col"]),
+            )
+            result.stats.put("main", "comparative_drift_frame", frame, persist=False)
+
     # ---- drift vs a baseline dataset (analytical) ----------------------- #
     if "drift_detector" in config:
         from anovos_spark.operators.drift import drift_statistics

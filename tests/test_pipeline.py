@@ -75,6 +75,13 @@ def test_pipeline_example_yaml(spark, tmp_path):
     drift = res.stats.get("main", "drift_statistics")
     assert {r["attribute"] for r in drift.collect()} == {"l_quantity", "l_extendedprice"}
     assert "drift.statistics" in res.timings and "association.correlation_matrix" in res.timings
+    # round-2 stages: varclus + all four report chart frames
+    vc = res.stats.get("main", "variable_clustering")
+    assert vc is not None and vc.count() == 4
+    for frame in ("frequency_frame", "event_rate_frame", "outlier_frame",
+                  "comparative_drift_frame"):
+        f = res.stats.get("main", frame)
+        assert f is not None and f.count() > 0
     assert spark.read.parquet(cfg["write_main"]["file_path"]).count() == res.df.count()
 
 
