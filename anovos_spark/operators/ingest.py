@@ -43,8 +43,17 @@ def recast_column(idf: DataFrame, list_of_cols, list_of_dtypes) -> DataFrame:
     if len(cols) != len(dtypes):
         raise ValueError("recast_column: cols/dtypes lists differ in length")
     mapping = dict(zip(cols, dtypes))
+
+    def cast(c: str):
+        # 'timestamp_nanos': the column holds raw nanosecond longs (e.g. a
+        # TIMESTAMP(NANOS) parquet read with nanos_as_long) — truncate to
+        # micros, the same truncation DuckDB applies loading nanos
+        if mapping[c] == "timestamp_nanos":
+            return F.timestamp_micros(F.expr(f"`{c}` div 1000")).alias(c)
+        return F.col(c).cast(mapping[c]).alias(c)
+
     return idf.select(
-        *[F.col(c).cast(mapping[c]).alias(c) if c in mapping else F.col(c) for c in idf.columns]
+        *[cast(c) if c in mapping else F.col(c) for c in idf.columns]
     )
 
 

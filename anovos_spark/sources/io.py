@@ -32,6 +32,11 @@ def read_dataset(
     if file_type == "csv":
         opts.setdefault("header", "True")
         opts.setdefault("inferSchema", "True")
+    # TIMESTAMP(NANOS) parquet is rejected by Spark's vectorized reader;
+    # nanos_as_long=True reads those columns as raw nano longs (convert
+    # with recast_column(..., 'timestamp_nanos') or timestamp_micros)
+    if opts.pop("nanos_as_long", None):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         return spark.read.format(file_type).options(**opts).load(file_path)
     except Exception as e:

@@ -85,6 +85,24 @@ def test_pipeline_example_yaml(spark, tmp_path):
     assert spark.read.parquet(cfg["write_main"]["file_path"]).count() == res.df.count()
 
 
+def test_pipeline_timeseries_stage(spark):
+    cfg = {
+        "input_dataset": {
+            "read": {
+                "file_path": "/root/testdata/sf0.001/events.parquet",
+                "file_type": "parquet",
+                "file_configs": {"nanos_as_long": True},
+            },
+            "recast_columns": {"ts": "timestamp_nanos"},
+        },
+        "timeseries_analyzer": {"ts_col": "ts"},
+    }
+    res = run_pipeline(spark, cfg)
+    elig = res.stats.get("main", "ts_eligibility")
+    assert elig is not None and elig.count() > 0
+    assert "timeseries.eligibility" in res.timings
+
+
 def test_stats_store_cache_and_persist(spark, tmp_path):
     store = StatsStore(spark, str(tmp_path / "stats"))
     calls = {"n": 0}
