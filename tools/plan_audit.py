@@ -75,10 +75,13 @@ def main():
     p = plan_of(d)
     check("minhash: no cartesian", "CartesianProduct" not in p)
 
-    # 6. ANN brute force: query side broadcast
+    # 6. ANN brute force: corpus never shuffles before scoring — the query
+    # block rides in an explicit sc.broadcast into the Arrow GEMM stage, so
+    # the plan is scan → MapInPandas → rank window (no join at all)
     a = Q.q_ann_cosine(spark, sf_dir)
     p = plan_of(a)
-    check("ann: broadcast of query side", "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p)
+    check("ann: Arrow GEMM scoring stage", "MapInPandas" in p)
+    check("ann: no join/cartesian in scoring", "CartesianProduct" not in p and "SortMergeJoin" not in p)
 
     # 6b. simhash pairs: banded candidates are a hash-partitionable
     # equi-join — the OR-of-halves predicate used to plan a BNLJ (O(N²))
