@@ -1682,6 +1682,25 @@ FROM t FULL OUTER JOIN s ON t.k = s.k""",
         "streaming_drift": streaming_drift_sql(),
         "streaming_sessions": streaming_sessions_sql(),
         "q14_promo_revenue": q14_sql(),
+        "null_columns_detection": """
+WITH inj AS (
+  SELECT CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_quantity END AS l_quantity,
+         l_extendedprice, l_discount
+  FROM lineitem),
+n AS (SELECT count(*) AS total FROM inj)
+SELECT 'l_quantity' AS attribute,
+       (SELECT count(*) FROM inj WHERE l_quantity IS NULL)::BIGINT AS missing_count,
+       round((SELECT count(*) FROM inj WHERE l_quantity IS NULL)::DOUBLE / total, 6) AS missing_pct
+FROM n
+UNION ALL
+SELECT 'l_extendedprice', 0::BIGINT, 0.0 FROM n
+UNION ALL
+SELECT 'l_discount', 0::BIGINT, 0.0 FROM n
+UNION ALL
+SELECT '__rows_after__',
+       (SELECT count(*) FROM inj WHERE l_quantity IS NOT NULL)::BIGINT,
+       NULL
+FROM n""",
         "q4_priority_semi_join": """
 SELECT o_orderpriority, count(*)::BIGINT AS order_count
 FROM orders o

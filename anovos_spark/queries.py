@@ -918,6 +918,27 @@ def q_variable_clustering(spark, sf_dir):
     )
 
 
+def q_null_columns(spark, sf_dir):
+    """Detection stats + row_removal treatment in one frame: the per-column
+    missing stats rows plus a '__rows_after__' row carrying the treated
+    row count in missing_count (null pct)."""
+    from anovos_spark.operators.quality import null_columns_detection
+
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 13 == 0, F.lit(None)).otherwise(F.col("l_quantity")),
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    odf, stats_df = null_columns_detection(
+        li, cols, treatment=True, treatment_method="row_removal"
+    )
+    after = spark.createDataFrame(
+        [("__rows_after__", odf.count(), None)],
+        schema="attribute string, missing_count long, missing_pct double",
+    )
+    return stats_df.unionByName(after)
+
+
 def q_frequency_frame(spark, sf_dir):
     from anovos_spark.plans.report_frames import frequency_frame
 
@@ -1519,6 +1540,7 @@ _APPROX_COST = {
     "comparative_drift_frame": 0.7, "streaming_drift": 7.0,
     "q4_priority_semi_join": 0.7, "q12_shipmode_case_agg": 0.7,
     "q19_disjunctive_predicates": 0.6, "q22_inactive_customers": 0.6,
+    "null_columns_detection": 0.8,
 }
 
 
@@ -1538,6 +1560,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idness_detection": q_idness,
         "biasedness_detection": q_biasedness,
         "invalid_entries_detection": q_invalid_entries,
+        "null_columns_detection": q_null_columns,
         "attribute_binning_eqrange": q_binning_eqrange,
         "attribute_binning_eqfreq": q_binning_eqfreq,
         "label_encoding": q_label_encoding,
