@@ -275,6 +275,63 @@ def minhash_lsh_pairs(
     return _finish(out, docs, eager)
 
 
+def near_dup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → [id, component]
+    with component = min doc id in the group (the canonical survivor).
+
+    This is the step every dedup pipeline needs after candidate
+    generation: pair lists don't dedup anything until they're grouped.
+
+    Distributed min-label propagation: every node starts labeled with
+    itself; each round joins labels across edges (both directions) and
+    keeps the per-node minimum; lineage is truncated per round
+    (localCheckpoint) and iteration stops at the first fixpoint —
+    O(diameter) rounds, each one equi-join + one groupBy, no driver
+    state.  Near-dup components have tiny diameters (pairs share
+    content), so 2-4 rounds is typical; max_iter bounds pathology."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # neighbor labels: for each edge (src,dst), dst's current label
+        neighbor = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .select(F.col("src").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_signatures(
     idf: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:

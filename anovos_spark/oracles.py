@@ -728,6 +728,24 @@ def ngram_jaccard_sql() -> str:
     return _jaccard_pairs_sql(0.7)
 
 
+def dedup_components_sql() -> str:
+    """Transitive closure of the exact Jaccard pairs via a recursive CTE;
+    component = min reachable id (same canonical-survivor convention as
+    the distributed min-label propagation)."""
+    inner = _jaccard_pairs_sql(0.7).strip()
+    return f"""
+WITH RECURSIVE p AS ({inner}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS id, least(src, min(dst)) AS component
+FROM reach GROUP BY src"""
+
+
 def minhash_lsh_sql() -> str:
     # LSH candidates ∩ exact-verify == exact pairs when recall is 100%,
     # which holds on this corpus (asserted continuously by the harness —
@@ -1572,6 +1590,7 @@ def registry() -> dict[str, str]:
         "dedup_minhash_lsh": minhash_lsh_sql(),
         "dedup_simhash_signatures": simhash_sql(),
         "dedup_simhash_pairs": simhash_pairs_sql(),
+        "dedup_components": dedup_components_sql(),
         "regression_imputation": """
 WITH base AS (
   SELECT CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_quantity END AS q,

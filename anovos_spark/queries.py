@@ -430,6 +430,16 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Pairs → dedup groups: distributed min-label propagation over the
+    exact n-gram Jaccard pairs; the oracle computes the same transitive
+    closure with a recursive CTE."""
+    from anovos_spark.operators.dedup import near_dup_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.7)
+    return near_dup_components(pairs).select("id", "component")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Banded-segment candidate generation (pigeonhole: hamming<=k implies
     an exact match on one of k+1 disjoint segments) verified against the
@@ -1540,7 +1550,7 @@ _APPROX_COST = {
     "comparative_drift_frame": 0.7, "streaming_drift": 7.0,
     "q4_priority_semi_join": 0.7, "q12_shipmode_case_agg": 0.7,
     "q19_disjunctive_predicates": 0.6, "q22_inactive_customers": 0.6,
-    "null_columns_detection": 0.8,
+    "null_columns_detection": 0.8, "dedup_components": 3.5,
 }
 
 
@@ -1585,6 +1595,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_simhash_signatures": q_simhash,
         "dedup_simhash_pairs": q_simhash_pairs,
+        "dedup_components": q_dedup_components,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "ivf_topk_recall": q_ivf_topk,

@@ -90,6 +90,16 @@ def test_simhash_pairs_equals_brute_force(docs):
         assert got == brute
 
 
+def test_near_dup_components_chain(spark):
+    """A chain 1-2-3-4 plus an island {10,11}: label propagation must walk
+    the chain (multiple rounds) and keep islands separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], schema="id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in DD.near_dup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_simhash_pairs_plan_has_no_nested_loop(docs):
     plan = DD.simhash_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
