@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from anovos_spark.core.utils import ensure_list, pairwise_reduce
 
@@ -45,11 +46,15 @@ def recast_column(idf: DataFrame, list_of_cols, list_of_dtypes) -> DataFrame:
     mapping = dict(zip(cols, dtypes))
 
     def cast(c: str):
-        # 'timestamp_nanos': the column holds raw nanosecond longs (e.g. a
-        # TIMESTAMP(NANOS) parquet read with nanos_as_long) — truncate to
-        # micros, the same truncation DuckDB applies loading nanos
+        # 'timestamp_nanos': nanosecond-precision source column.  Older
+        # Sparks (nanosAsLong conf) deliver raw nano longs — truncate to
+        # micros, the same truncation DuckDB applies loading nanos.
+        # Spark >= 4.1 reads TIMESTAMP(NANOS) parquet natively as
+        # TIMESTAMP_NTZ (already micro-truncated) — just cast.
         if mapping[c] == "timestamp_nanos":
-            return F.timestamp_micros(F.expr(f"`{c}` div 1000")).alias(c)
+            if isinstance(idf.schema[c].dataType, T.LongType):
+                return F.timestamp_micros(F.expr(f"`{c}` div 1000")).alias(c)
+            return F.col(c).cast("timestamp").alias(c)
         return F.col(c).cast(mapping[c]).alias(c)
 
     return idf.select(

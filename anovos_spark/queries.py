@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from anovos_spark.operators import stats
 
@@ -44,17 +45,21 @@ LINEITEM_DISCRETE = [
 ]
 
 
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS).  Spark >= 4.1 reads it
+    natively as TIMESTAMP_NTZ (micro-truncated, matching DuckDB's
+    truncation); older Sparks need the nanosAsLong legacy conf, which
+    delivers raw nano longs needing a manual nanos->micros conversion.
+    Works on batch and streaming DataFrames alike (pure projection)."""
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read nanos as long and truncate to micros (the
-        # same truncation DuckDB applies when it loads nanos into its
-        # microsecond TIMESTAMP).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return _normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1157,7 +1162,7 @@ def q_streaming_window(spark, sf_dir):
         schema=raw_schema,
         options={"pathGlobFilter": "events.parquet"},
     )
-    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = _normalize_event_ts(sdf)
     agg = windowed_aggregation(
         sdf,
         "ts",
@@ -1220,7 +1225,7 @@ def q_streaming_drift(spark, sf_dir):
         schema=raw_schema,
         options={"pathGlobFilter": "events.parquet"},
     )
-    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = _normalize_event_ts(sdf)
     mon = streaming_drift_monitor(
         sdf, "ts", "value", cuts, props, window_duration="1 hour", watermark="1 hour"
     )
@@ -1256,7 +1261,7 @@ def q_streaming_sessions(spark, sf_dir):
         spark, "parquet", sf_dir, schema=raw_schema,
         options={"pathGlobFilter": "events.parquet"},
     )
-    sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = _normalize_event_ts(sdf)
     sessions = sessionize(sdf, "ts", "user_id", gap="30 minutes", watermark="1 hour")
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
     q = (
