@@ -1756,4 +1756,143 @@ GROUP BY 1""",
         "concatenate_dataset": """
 SELECT count(*)::BIGINT AS n_rows, count(DISTINCT l_orderkey)::BIGINT AS n_orders
 FROM lineitem""",
+        "q2_min_cost_supplier": """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, round(avg(l_extendedprice / l_quantity), 6) AS unit_cost
+  FROM lineitem GROUP BY 1, 2),
+j AS (
+  SELECT p_partkey, p_name, s_name, n_name, unit_cost,
+         min(unit_cost) OVER (PARTITION BY p_partkey) AS mc
+  FROM ps
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_regionkey = 3
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_size >= 25 AND p_type = 'STANDARD')
+SELECT p_partkey, p_name, s_name, n_name, unit_cost FROM j WHERE unit_cost = mc""",
+        "q7_volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3""",
+        "q8_market_share": """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(CASE WHEN n1.n_name = 'NATION_2'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2)))
+                  ELSE 0::DECIMAL(12,2) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+         AS mkt_share,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE EXISTS (SELECT 1 FROM customer c JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+              WHERE c.c_custkey = o_custkey AND n2.n_regionkey = 2)
+GROUP BY 1""",
+        "q9_product_profit": """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2)))
+                  - 0.6::DECIMAL(8,4) * CAST(p_retailprice AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2""",
+        "q11_important_parts": """
+WITH f AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2))) AS v
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_regionkey = 3)),
+pp AS (SELECT l_partkey, sum(v) AS pv FROM f GROUP BY 1)
+SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
+FROM pp WHERE CAST(pv AS DOUBLE) > 2.0 * CAST((SELECT avg(pv) FROM pp) AS DOUBLE)""",
+        "q13_customer_distribution": """
+WITH cnt AS (
+  SELECT o_custkey, count(*) AS n_orders
+  FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (SELECT coalesce(n_orders, 0)::BIGINT AS c_count
+      FROM customer LEFT JOIN cnt ON c_custkey = o_custkey)
+GROUP BY 1""",
+        "q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+        "q16_supplier_part_counts": """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        JOIN nation ON s_nationkey = n_nationkey
+                        WHERE n_regionkey = 4)
+GROUP BY 1, 2, 3""",
+        "q17_small_quantity_revenue": """
+WITH li_b AS (
+  SELECT l.* FROM lineitem l
+  JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#13'),
+a AS (SELECT l_partkey, avg(l_quantity) AS avg_qty FROM li_b GROUP BY 1)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+         AS avg_yearly,
+       count(*)::BIGINT AS n_rows
+FROM li_b JOIN a USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty""",
+        "q20_promo_part_suppliers": """
+WITH pair AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS pair_qty
+  FROM lineitem
+  WHERE year(l_shipdate) = 1997
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+  GROUP BY 1, 2)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM pair
+                    WHERE pair_qty > (SELECT avg(pair_qty) FROM pair))""",
+        "q21_waiting_suppliers": """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END)
+           AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2),
+per AS (
+  SELECT l_suppkey, is_late,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_sup,
+         sum(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM per_os)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM per JOIN supplier ON l_suppkey = s_suppkey
+WHERE is_late = 1 AND n_sup > 1 AND n_late = 1
+GROUP BY 1""",
     }

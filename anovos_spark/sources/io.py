@@ -75,7 +75,19 @@ def write_dataset(
     odf = idf.select(column_order) if column_order else idf
     if n_parts is not None:
         n_parts = int(n_parts)
-        current = odf.rdd.getNumPartitions()
+        # Catalyst size estimate avoids the RDD-conversion job a
+        # .rdd.getNumPartitions() probe would trigger (same pattern as
+        # core.utils.fan_out); RDD probe only as fallback.
+        try:
+            size = int(odf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            max_pb = int(
+                odf.sparkSession.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728b"
+                ).rstrip("b")
+            )
+            current = max(1, size // max_pb)
+        except Exception:
+            current = odf.rdd.getNumPartitions()
         odf = odf.coalesce(n_parts) if n_parts < current else odf.repartition(n_parts)
 
     writer = odf.write.format(file_type.lower()).options(**opts).mode(mode)
