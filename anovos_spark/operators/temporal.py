@@ -1,0 +1,218 @@
+"""Temporal joins: as-of (point-in-time) join and interval range join.
+
+Neither exists in the reference (its join surface is equi-join only,
+data_ingest/data_ingest.py:322-367); both are standard requirements of a
+training-data pipeline (point-in-time-correct feature joins, event-to-
+session attribution), so they are implemented here Spark-first:
+
+- ``asof_join``: the union-window formulation — tag both sides, union,
+  and take ``last(value, ignorenulls)`` over a ``(by, ts)``-ordered
+  window.  ONE shuffle on the key, no join at all, no row explosion;
+  every engine-native as-of (pandas.merge_asof, DuckDB ASOF JOIN,
+  QuestDB) computes exactly this merge order.  A naive Spark
+  translation (theta-join ``l.ts >= r.ts`` + row_number) plans a
+  BroadcastNestedLoopJoin — O(|L|x|R|) per key — which this avoids
+  structurally.
+
+- ``range_join``: interval containment via bucketing — intervals are
+  exploded onto a fixed time grid (one row per covered bucket), points
+  map to exactly one bucket, and the match becomes an EQUI-join on
+  (key, bucket) plus a residual containment filter.  Because a point
+  owns exactly one bucket and an interval appears at most once per
+  bucket, no duplicate pairs are produced and no distinct is needed.
+  Same trick Databricks' range-join optimization applies internally.
+
+Both scale: shuffle volume is O(|L| + |R| * avg_buckets_per_interval),
+all joins hash-partitionable, skew handled by AQE like any equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from anovos_spark.core.utils import ensure_list
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by=None,
+    right_cols=None,
+    tolerance=None,
+    direction: str = "backward",
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Point-in-time join: for each left row, attach the right row with
+    the greatest ``on`` <= left's ``on`` (direction='backward', inclusive),
+    or the least ``on`` >= left's (direction='forward'), per ``by`` key.
+
+    Parameters
+    ----------
+    on : ordering column name, present in both frames (timestamp or numeric).
+    by : equality key column(s) present in both frames (optional but
+        recommended — without it the window is global and is refused,
+        same policy as window_aggregator).
+    right_cols : right columns to attach (default: all non-key columns).
+        Attached as ``<col><suffix>``; the matched ordering value is
+        always attached as ``<on><suffix>``.
+    tolerance : max allowed |left.on - right.on| as a Spark interval/
+        numeric expression or SQL string (e.g. "INTERVAL 1 HOUR"); rows
+        whose nearest match is farther than this get nulls instead.
+    direction : 'backward' (default) or 'forward'.
+
+    If several right rows share the same (by, on), the surviving values
+    are taken from one of them arbitrarily-but-deterministically (the
+    last in the union sort); pre-aggregate the right side when that
+    matters, as the registry query does.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    by = ensure_list(by) if by is not None else []
+    if not by:
+        raise ValueError(
+            "asof_join without 'by' keys needs a single global ordered window "
+            "(one task at scale); supply at least one key column"
+        )
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in set(by) | {on}]
+    else:
+        right_cols = ensure_list(right_cols)
+
+    out_map = {c: f"{c}{suffix}" for c in right_cols}
+    matched_on = f"{on}{suffix}"
+
+    # Union schema: by + on + __side__ + left payload + right payload.
+    left_payload = [c for c in left.columns if c not in set(by) | {on}]
+    l_tagged = left.select(
+        *by,
+        F.col(on).alias("__on__"),
+        F.lit(1).alias("__side__"),
+        *[F.col(c) for c in left_payload],
+        F.lit(None).cast(right.schema[on].dataType).alias("__r_on__"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(out_map[c]) for c in right_cols],
+    )
+    r_tagged = right.select(
+        *by,
+        F.col(on).alias("__on__"),
+        F.lit(0).alias("__side__"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        F.col(on).alias("__r_on__"),
+        *[F.col(c).alias(out_map[c]) for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    from pyspark.sql.window import Window
+
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal ts => inclusive <=
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__on__").asc(), F.col("__side__").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__on__").desc(), F.col("__side__").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    filled = unioned.select(
+        *by,
+        "__on__",
+        "__side__",
+        *left_payload,
+        F.last("__r_on__", ignorenulls=True).over(w).alias(matched_on),
+        *[F.last(out_map[c], ignorenulls=True).over(w).alias(out_map[c]) for c in right_cols],
+    ).where(F.col("__side__") == 1)
+
+    if tolerance is not None:
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance
+        if direction == "backward":
+            ok = F.col("__on__") - F.col(matched_on) <= tol
+        else:
+            ok = F.col(matched_on) - F.col("__on__") <= tol
+        filled = filled.select(
+            *by,
+            "__on__",
+            *left_payload,
+            *[
+                F.when(ok, F.col(c)).alias(c)
+                for c in [matched_on] + [out_map[c] for c in right_cols]
+            ],
+        )
+    return filled.select(
+        *by,
+        F.col("__on__").alias(on),
+        *left_payload,
+        matched_on,
+        *[out_map[c] for c in right_cols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by=None,
+    bucket_seconds: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to every interval row containing them
+    (``start <= point <= end``), optionally also matching on ``by`` keys.
+
+    Spark plans a raw inequality join as BroadcastNestedLoopJoin — the
+    O(N*M) scale-killer.  Here intervals are exploded onto a fixed grid
+    of ``bucket_seconds``-wide buckets and points hash to their single
+    bucket, so the physical plan is a plain equi-join on
+    (by..., bucket) followed by the exact containment filter.
+
+    ``bucket_seconds`` defaults to the longest interval (one scalar agg)
+    rounded up to a minute: every interval then explodes to at most 2
+    grid rows.  Pass it explicitly when the interval-length distribution
+    is skewed (a few year-long intervals would otherwise set a huge
+    bucket and crowd pairs into few buckets, or — if set small — explode
+    the long intervals into many rows; cap it at the p99 length and
+    pre-split longer intervals if that matters).
+
+    ``how='inner'`` keeps matched pairs; ``'left'`` keeps unmatched
+    points with null interval columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    by = ensure_list(by) if by is not None else []
+
+    if bucket_seconds is None:
+        longest = intervals.agg(
+            F.max(
+                F.unix_timestamp(F.col(end_col)) - F.unix_timestamp(F.col(start_col))
+            )
+        ).collect()[0][0]
+        bucket_seconds = max(60, int(-(-int(longest or 60) // 60) * 60))
+
+    p_bucket = (F.unix_timestamp(F.col(point_col)) / F.lit(bucket_seconds)).cast("long")
+    i_lo = (F.unix_timestamp(F.col(start_col)) / F.lit(bucket_seconds)).cast("long")
+    i_hi = (F.unix_timestamp(F.col(end_col)) / F.lit(bucket_seconds)).cast("long")
+
+    pts = points.withColumn("__bucket__", p_bucket)
+    ivs = intervals.withColumn("__bucket__", F.explode(F.sequence(i_lo, i_hi)))
+
+    keys = by + ["__bucket__"]
+    contained = (F.col(point_col) >= F.col(start_col)) & (
+        F.col(point_col) <= F.col(end_col)
+    )
+    if how == "inner":
+        return pts.join(ivs, on=keys, how="inner").where(contained).drop("__bucket__")
+    # left: inner-match first (cheap), then reattach unmatched points via
+    # anti-join — still all equi-joins.
+    matched = pts.join(ivs, on=keys, how="inner").where(contained)
+    unmatched = pts.join(
+        matched.select(*pts.columns).distinct(), on=pts.columns, how="left_anti"
+    )
+    for c in ivs.columns:
+        if c not in unmatched.columns:
+            unmatched = unmatched.withColumn(c, F.lit(None).cast(ivs.schema[c].dataType))
+    return matched.unionByName(unmatched.select(*matched.columns)).drop("__bucket__")

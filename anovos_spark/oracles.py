@@ -1895,4 +1895,17 @@ SELECT s_name, count(*)::BIGINT AS numwait
 FROM per JOIN supplier ON l_suppkey = s_suppkey
 WHERE is_late = 1 AND n_sup > 1 AND n_late = 1
 GROUP BY 1""",
+        "asof_join_events": """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id,
+       round(p.value, 6) AS purchase_value,
+       date_diff('second', p.ts, c.ts)::BIGINT AS secs_since_purchase
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+        "range_join_events": """
+SELECT s.event_id AS signup_id, e.event_id AS error_id, s.user_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+  ON s.user_id = e.user_id
+ AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 2 HOUR""",
     }

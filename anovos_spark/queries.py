@@ -1799,6 +1799,54 @@ def q21_waiting_suppliers(spark, sf_dir):
     )
 
 
+def q_asof_join_events(spark, sf_dir):
+    """Point-in-time join: each click event attached to the user's most
+    recent purchase at-or-before it (union-window as-of — one shuffle on
+    user_id, no join, no nested loop; operators/temporal.py).  Left
+    semantics: clicks with no prior purchase keep nulls."""
+    from anovos_spark.operators.temporal import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value_matched", 6).alias("purchase_value"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_matched"))
+        .cast("bigint")
+        .alias("secs_since_purchase"),
+    )
+
+
+def q_range_join_events(spark, sf_dir):
+    """Interval range join: error events landing inside the 2-hour window
+    after any signup by the same user (bucketed equi-join — no
+    BroadcastNestedLoopJoin; operators/temporal.py)."""
+    from anovos_spark.operators.temporal import range_join
+
+    ev = table(spark, sf_dir, "events")
+    intervals = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    out = range_join(
+        errors, intervals, "ts", "w_start", "w_end",
+        by="user_id", bucket_seconds=7200,
+    )
+    return out.select("signup_id", "error_id", "user_id")
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -1859,6 +1907,7 @@ _APPROX_COST = {
     "q15_top_supplier": 0.7, "q16_supplier_part_counts": 0.8,
     "q17_small_quantity_revenue": 0.6, "q20_promo_part_suppliers": 0.8,
     "q21_waiting_suppliers": 1.0,
+    "asof_join_events": 0.7, "range_join_events": 0.7,
 }
 
 
@@ -1973,4 +2022,6 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q20_promo_part_suppliers": q20_promo_part_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
+        "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
     }

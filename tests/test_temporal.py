@@ -1,0 +1,137 @@
+"""as-of join and range join: semantics vs pandas merge_asof / brute force,
+plan-shape assertions (no nested-loop), tolerance and direction handling."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from anovos_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = [
+        ("A", _ts(1, 9, 0), 10.0),
+        ("A", _ts(1, 9, 30), 11.0),
+        ("A", _ts(1, 10, 0), 12.0),
+        ("B", _ts(1, 9, 15), 100.0),
+        ("B", _ts(2, 9, 0), 101.0),
+    ]
+    return spark.createDataFrame(rows, ["sym", "ts", "px"])
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        ("A", _ts(1, 8, 0), 5),     # before any quote -> null
+        ("A", _ts(1, 9, 30), 7),    # exactly at quote -> inclusive match 11.0
+        ("A", _ts(1, 9, 45), 9),    # between -> 11.0
+        ("A", _ts(2, 0, 0), 11),    # far after last -> 12.0
+        ("B", _ts(1, 12, 0), 13),   # -> 100.0
+        ("C", _ts(1, 12, 0), 15),   # key missing on right -> null
+    ]
+    return spark.createDataFrame(rows, ["sym", "ts", "qty"])
+
+
+def test_asof_backward_matches_pandas(spark, quotes, trades):
+    out = (
+        asof_join(trades, quotes, on="ts", by="sym")
+        .orderBy("sym", "ts")
+        .toPandas()
+    )
+    lp = trades.toPandas().sort_values(["ts", "sym"]).reset_index(drop=True)
+    rp = quotes.toPandas().sort_values(["ts", "sym"]).reset_index(drop=True)
+    expected = pd.merge_asof(lp, rp, on="ts", by="sym", direction="backward")
+    expected = expected.sort_values(["sym", "ts"]).reset_index(drop=True)
+    assert list(out["px_matched"].fillna(-1)) == list(expected["px"].fillna(-1))
+    # matched ts equals the quote's own ts wherever matched
+    m = out["px_matched"].notna()
+    assert (out.loc[m, "ts_matched"] <= out.loc[m, "ts"]).all()
+
+
+def test_asof_forward(spark, quotes, trades):
+    out = (
+        asof_join(trades, quotes, on="ts", by="sym", direction="forward")
+        .orderBy("sym", "ts")
+        .toPandas()
+    )
+    lp = trades.toPandas().sort_values(["ts", "sym"]).reset_index(drop=True)
+    rp = quotes.toPandas().sort_values(["ts", "sym"]).reset_index(drop=True)
+    expected = pd.merge_asof(lp, rp, on="ts", by="sym", direction="forward")
+    expected = expected.sort_values(["sym", "ts"]).reset_index(drop=True)
+    assert list(out["px_matched"].fillna(-1)) == list(expected["px"].fillna(-1))
+
+
+def test_asof_tolerance(spark, quotes, trades):
+    out = (
+        asof_join(
+            trades, quotes, on="ts", by="sym", tolerance="INTERVAL 30 MINUTES"
+        )
+        .orderBy("sym", "ts")
+        .toPandas()
+    )
+    lp = trades.toPandas().sort_values(["ts", "sym"]).reset_index(drop=True)
+    rp = quotes.toPandas().sort_values(["ts", "sym"]).reset_index(drop=True)
+    expected = pd.merge_asof(
+        lp, rp, on="ts", by="sym", tolerance=pd.Timedelta(minutes=30)
+    )
+    expected = expected.sort_values(["sym", "ts"]).reset_index(drop=True)
+    assert list(out["px_matched"].fillna(-1)) == list(expected["px"].fillna(-1))
+
+
+def test_asof_requires_by(quotes, trades):
+    with pytest.raises(ValueError, match="by"):
+        asof_join(trades, quotes, on="ts")
+
+
+def test_asof_plan_no_join_one_exchange(spark, quotes, trades):
+    out = asof_join(trades, quotes, on="ts", by="sym")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # hash partition (+AQE read), never more
+
+
+def test_range_join_brute_force_and_plan(spark):
+    iv_rows = [
+        ("u1", 1, _ts(1, 9), _ts(1, 11)),
+        ("u1", 2, _ts(1, 10, 30), _ts(1, 12)),  # overlaps interval 1
+        ("u2", 3, _ts(2, 0), _ts(2, 1)),
+    ]
+    pt_rows = [
+        ("u1", 10, _ts(1, 10, 45)),  # in both u1 intervals
+        ("u1", 11, _ts(1, 11, 30)),  # only interval 2
+        ("u1", 12, _ts(1, 8)),       # none
+        ("u2", 13, _ts(2, 0, 30)),   # interval 3
+        ("u3", 14, _ts(2, 0, 30)),   # no key match
+    ]
+    ivs = spark.createDataFrame(iv_rows, ["uid", "iv_id", "start", "end"])
+    pts = spark.createDataFrame(pt_rows, ["uid", "pt_id", "ts"])
+    out = range_join(pts, ivs, "ts", "start", "end", by="uid")
+    pairs = {(r["pt_id"], r["iv_id"]) for r in out.collect()}
+    assert pairs == {(10, 1), (10, 2), (11, 2), (13, 3)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    left = range_join(pts, ivs, "ts", "start", "end", by="uid", how="left")
+    got = {(r["pt_id"], r["iv_id"]) for r in left.collect()}
+    assert got == {(10, 1), (10, 2), (11, 2), (13, 3), (12, None), (14, None)}
+
+
+def test_range_join_bucket_inference_spans_buckets(spark):
+    # interval longer than the inferred bucket must still match points in
+    # every covered bucket (explode covers the grid)
+    ivs = spark.createDataFrame(
+        [("u", 1, _ts(1, 0), _ts(1, 3))], ["uid", "iv_id", "start", "end"]
+    )
+    pts = spark.createDataFrame(
+        [("u", i, _ts(1, h)) for i, h in [(1, 0), (2, 1), (3, 2), (4, 3), (5, 4)]],
+        ["uid", "pt_id", "ts"],
+    )
+    out = range_join(pts, ivs, "ts", "start", "end", by="uid", bucket_seconds=3600)
+    assert {r["pt_id"] for r in out.collect()} == {1, 2, 3, 4}
