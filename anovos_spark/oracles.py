@@ -1902,6 +1902,12 @@ SELECT c.event_id, c.user_id,
        round(p.value, 6) AS purchase_value,
        date_diff('second', p.ts, c.ts)::BIGINT AS secs_since_purchase
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+        "streaming_join": """
+SELECT s.event_id AS signup_id, e.event_id AS error_id, s.user_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+  ON s.user_id = e.user_id
+ AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 2 HOUR""",
         "range_join_events": """
 SELECT s.event_id AS signup_id, e.event_id AS error_id, s.user_id
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s

@@ -1246,6 +1246,60 @@ def q_streaming_drift(spark, sf_dir):
     )
 
 
+def q_streaming_join(spark, sf_dir):
+    """Watermarked stream-stream join: error events within 2 hours after a
+    signup by the same user, both sides read as streams.  The time-range
+    condition + watermarks bound the join state (streaming/ops.py); on a
+    finite stream the inner join equals the batch inequality join, so the
+    oracle is the same SQL as range_join_events — two engine paths
+    (streaming symmetric hash join vs bucketed batch equi-join) checked
+    against one truth."""
+    import uuid
+
+    from anovos_spark.streaming.ops import read_stream, stream_stream_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _side(event_type, id_alias, ts_alias):
+        sdf = read_stream(
+            spark,
+            "parquet",
+            sf_dir,
+            schema=raw_schema,
+            options={"pathGlobFilter": "events.parquet"},
+        )
+        sdf = _normalize_event_ts(sdf)
+        return sdf.where(F.col("event_type") == event_type).select(
+            F.col("event_id").alias(id_alias),
+            "user_id",
+            F.col("ts").alias(ts_alias),
+        )
+
+    signups = _side("signup", "signup_id", "s_ts")
+    errors = _side("error", "error_id", "e_ts")
+    joined = stream_stream_join(
+        signups,
+        errors,
+        on="user_id",
+        left_ts="s_ts",
+        right_ts="e_ts",
+        within="2 hours",
+        left_watermark="1 hour",
+        right_watermark="3 hours",
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("signup_id", "error_id", "user_id")
+
+
 def q_streaming_sessions(spark, sf_dir):
     """Streaming sessionization (session_window, 30-min gap) run to
     completion, rolled up per user — oracle-matched against the classic
@@ -1907,7 +1961,7 @@ _APPROX_COST = {
     "q15_top_supplier": 0.7, "q16_supplier_part_counts": 0.8,
     "q17_small_quantity_revenue": 0.6, "q20_promo_part_suppliers": 0.8,
     "q21_waiting_suppliers": 1.0,
-    "asof_join_events": 0.7, "range_join_events": 0.7,
+    "asof_join_events": 0.7, "range_join_events": 0.7, "streaming_join": 7.0,
 }
 
 
@@ -2005,6 +2059,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_agg": q_streaming_window,
         "streaming_drift": q_streaming_drift,
         "streaming_sessions": q_streaming_sessions,
+        "streaming_join": q_streaming_join,
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_volume_customer": q18_large_volume_customer,
         "q4_priority_semi_join": q4_priority_semi_join,

@@ -221,6 +221,57 @@ def stateful_running_stats(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: pair each left event with right
+    events of the same key arriving within ``[left_ts, left_ts + within]``
+    (attribution joins: impression→click, signup→error, order→payment).
+
+    Both sides get watermarks AND the join carries the time-range
+    condition — the two requirements Structured Streaming needs to evict
+    buffered rows, so per-key state is bounded by
+    ``within + max(watermarks)``, not the stream length.  Without the
+    range condition Spark would buffer both streams forever (the classic
+    unbounded-state stream-join mistake); this operator makes the bounded
+    form the only expressible one.
+
+    ``how``: inner | leftOuter | rightOuter | fullOuter (outer rows emit
+    nulls only after the watermark proves no match can arrive).  Right
+    columns must not collide with left's (rename upstream).
+    """
+    from anovos_spark.core.utils import ensure_list
+
+    allowed = {"inner", "leftOuter", "rightOuter", "fullOuter"}
+    if how not in allowed:
+        raise ValueError(f"how must be one of {sorted(allowed)}")
+    keys = ensure_list(on)
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    cond = None
+    for k in keys:
+        eq = lw[k] == rw[k]
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    joined = lw.join(rw, cond, how)
+    # drop the duplicated right-side key columns (kept once from the left)
+    for k in keys:
+        joined = joined.drop(rw[k])
+    return joined
+
+
 def write_stream(
     sdf: DataFrame,
     sink: str,

@@ -137,6 +137,59 @@ def test_streaming_drift_monitor(spark, stream_dir):
         S.streaming_drift_monitor(sdf, "ts", "value", cuts, [0.5, 0.5])
 
 
+def test_stream_stream_join(spark, stream_dir):
+    import uuid
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def side(parity, id_alias, ts_alias):
+        sdf = S.read_stream(spark, "parquet", f"{stream_dir}/input", schema=schema)
+        return sdf.where(sdf["event_id"] % 2 == parity).select(
+            sdf["event_id"].alias(id_alias), "user_id", sdf["ts"].alias(ts_alias)
+        )
+
+    left = side(0, "l_id", "l_ts")
+    right = side(1, "r_id", "r_ts")
+    joined = S.stream_stream_join(
+        left, right, on="user_id", left_ts="l_ts", right_ts="r_ts",
+        within="5 minutes", left_watermark="5 minutes", right_watermark="10 minutes",
+    )
+    name = f"t_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _drain(q)
+    got = {
+        (r["l_id"], r["r_id"]) for r in spark.table(name).collect()
+    }
+    # batch truth: same join condition on the static frames
+    batch = spark.read.parquet(f"{stream_dir}/input")
+    import pyspark.sql.functions as F
+
+    lb = batch.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("l_id"), "user_id", F.col("ts").alias("l_ts")
+    )
+    rb = batch.where(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("r_id"), F.col("user_id").alias("u2"),
+        F.col("ts").alias("r_ts"),
+    )
+    exp = {
+        (r["l_id"], r["r_id"])
+        for r in lb.join(
+            rb,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 MINUTES")),
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+    with pytest.raises(ValueError):
+        S.stream_stream_join(
+            left, right, on="user_id", left_ts="l_ts", right_ts="r_ts", how="bogus"
+        )
+
+
 def test_rate_source_smoke(spark):
     sdf = S.read_stream(spark, "rate", options={"rowsPerSecond": "10"})
     assert sdf.isStreaming
