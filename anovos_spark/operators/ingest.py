@@ -144,11 +144,61 @@ def data_sample(
     if not strata_cols:
         raise ValueError("stratified sampling requires strata_cols")
     keyed = idf.withColumn(
-        "__strata__", F.concat_ws("", *[F.col(c).cast("string") for c in strata_cols])
+        "__strata__", F.concat_ws("\u0001", *[F.col(c).cast("string") for c in strata_cols])
     )
     strata = [r["__strata__"] for r in keyed.select("__strata__").distinct().collect()]
     fractions = {s: fraction for s in strata}
     return keyed.sampleBy("__strata__", fractions, seed=seed).drop("__strata__")
+
+
+def hash_split(
+    idf: DataFrame,
+    on_cols,
+    fractions: dict,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic content-stable train/val/test assignment — the
+    training-pipeline split (no reference analogue; data_sampling.py only
+    draws one random sample).
+
+    Each row's fold is a pure function of its key(s) and the seed:
+    ``substring(md5(key || '#' || seed), 1, 4)`` compared against
+    cumulative hex thresholds (4 hex digits = 65536 buckets, so realized
+    fractions are within 1/65536 of the request).  Properties that matter
+    at scale:
+
+    - zero shuffles, zero state: a projection inside the scan's codegen
+      stage; re-running on different cluster sizes, partitionings, or
+      engines gives identical assignments (lexicographic compare of
+      fixed-length lowercase hex == numeric compare, and md5 is
+      bit-stable everywhere — the expression is portable SQL, which is
+      what the DuckDB oracle checks).
+    - leakage-safe grouping for free: pass the GROUP key (e.g. the
+      near-dup component id from dedup_components) as ``on_cols`` and
+      every member lands in the same fold.
+    - adding a fold re-slices thresholds but keeps earlier boundaries
+      stable only if appended — document order matters, dict order is
+      the fold order.
+    """
+    fracs = list(fractions.items())
+    if not fracs or abs(sum(f for _, f in fracs) - 1.0) > 1e-9:
+        raise ValueError("fractions must be a non-empty dict summing to 1.0")
+    on_cols = ensure_list(on_cols)
+    key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in on_cols], F.lit(f"#{seed}")
+    )
+    bucket = F.substring(F.md5(key), 1, 4)
+    expr = None
+    cum = 0.0
+    for name, frac in fracs[:-1]:
+        cum += frac
+        thr = format(int(cum * 65536), "04x")
+        cond = bucket < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = fracs[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return idf.withColumn(split_col, expr)
 
 
 def attribute_type_recommendation(

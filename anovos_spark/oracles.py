@@ -1908,6 +1908,17 @@ FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
 JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
   ON s.user_id = e.user_id
  AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 2 HOUR""",
+        "hash_split": """
+WITH h AS (
+  SELECT n_chars,
+         substring(md5(doc_id::VARCHAR || '|#42'), 1, 4) AS b
+  FROM documents)
+SELECT CASE WHEN b < 'cccc' THEN 'train'
+            WHEN b < 'e666' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM h GROUP BY 1""",
         "range_join_events": """
 SELECT s.event_id AS signup_id, e.event_id AS error_id, s.user_id
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s

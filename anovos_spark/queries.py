@@ -1901,6 +1901,24 @@ def q_range_join_events(spark, sf_dir):
     return out.select("signup_id", "error_id", "user_id")
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split of the documents table —
+    content-stable md5-bucket assignment (operators/ingest.py:hash_split),
+    pure projection, zero shuffle beyond the count agg.  The oracle runs
+    the identical portable SQL expression in DuckDB, proving the
+    assignment is engine- and partitioning-independent."""
+    from anovos_spark.operators.ingest import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -1962,6 +1980,7 @@ _APPROX_COST = {
     "q17_small_quantity_revenue": 0.6, "q20_promo_part_suppliers": 0.8,
     "q21_waiting_suppliers": 1.0,
     "asof_join_events": 0.7, "range_join_events": 0.7, "streaming_join": 7.0,
+    "hash_split": 0.4,
 }
 
 
@@ -2079,4 +2098,5 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
+        "hash_split": q_hash_split,
     }

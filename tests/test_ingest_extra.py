@@ -75,3 +75,33 @@ def test_attribute_type_recommendation(spark):
     assert rec["numstr"]["recommended_type"] == "numerical"     # all parse
     assert rec["realstr"]["recommended_type"] == "categorical"  # 1/3 parse
     assert rec["numstr"]["numeric_rate"] == 1.0
+
+
+def test_hash_split(spark):
+    from anovos_spark.operators.ingest import hash_split
+    import pytest as _pt
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    # deterministic: identical assignment on re-run and under different partitioning
+    a = {r["k"]: r["split"] for r in out.collect()}
+    b = {
+        r["k"]: r["split"]
+        for r in hash_split(
+            df.repartition(13), "k", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+        ).collect()
+    }
+    assert a == b
+    # different seed reshuffles assignments
+    c = {r["k"]: r["split"] for r in hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=8).collect()}
+    assert a != c
+    # group coherence: splitting on a group key puts all members together
+    g = df.withColumn("grp", F.col("k") % 50)
+    gout = hash_split(g, "grp", {"train": 0.5, "test": 0.5}, seed=7)
+    per_group = gout.groupBy("grp").agg(F.countDistinct("split").alias("d")).collect()
+    assert all(r["d"] == 1 for r in per_group)
+    with _pt.raises(ValueError):
+        hash_split(df, "k", {"train": 0.5, "test": 0.4})

@@ -152,3 +152,25 @@ def test_token_count_invariants(spark, texts):
     for i, t in enumerate(texts):
         assert ws[i] == len(t.split())
         assert bpe[i] >= ws[i]
+
+
+def test_no_raw_control_bytes_in_source():
+    """Raw control characters in source are invisible in editors and plan
+    dumps but change runtime semantics (a literal \\x01 inside what reads
+    as an empty string separator mis-hashed every hash_split fold until
+    caught).  Control chars must be written as escape sequences."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    offenders = []
+    for sub in ("anovos_spark", "tests", "tools"):
+        for p in (root / sub).rglob("*.py"):
+            data = p.read_bytes()
+            bad = [
+                (i, b)
+                for i, b in enumerate(data)
+                if b < 9 or (13 < b < 32)
+            ]
+            if bad:
+                offenders.append((str(p), bad[:3]))
+    assert not offenders, f"raw control bytes in source: {offenders}"

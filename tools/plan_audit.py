@@ -114,6 +114,17 @@ def main():
     check("sql_window: hash-partitioned window", "hashpartitioning(o_custkey" in p)
     check("sql_window: no singlePartition exchange", "SinglePartition" not in p)
 
+    # 10. as-of join: union-window — ZERO join nodes, one hash exchange
+    p = plan_of(Q.q_asof_join_events(spark, sf_dir))
+    check("asof_join: zero join nodes", "Join" not in p)
+    check("asof_join: hash-partitioned window", "hashpartitioning(user_id" in p)
+
+    # 11. range join: bucketed equi-join — hash join, never nested-loop
+    p = plan_of(Q.q_range_join_events(spark, sf_dir))
+    check("range_join: no nested-loop join", "BroadcastNestedLoopJoin" not in p)
+    check("range_join: no cartesian", "CartesianProduct" not in p)
+    check("range_join: hash join on bucket", "HashJoin" in p)
+
     print(f"\n{'ALL CLEAR' if not failures else f'{len(failures)} audit failures: {failures}'}")
     spark.stop()
     sys.exit(1 if failures else 0)
