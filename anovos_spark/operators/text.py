@@ -186,3 +186,137 @@ def token_count(
     else:
         raise ValueError("mode must be whitespace|bpe_ish")
     return idf.select(F.col(id_col).alias("id"), n.cast("long").alias("n_tokens"))
+
+
+def vocabulary(
+    idf: DataFrame,
+    text_col: str = "text",
+    top_k: int = 1000,
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary with counts and document frequency →
+    [token, count, doc_freq], the top_k most frequent (ties broken by
+    token for a deterministic result).
+
+    One explode + one aggregation: partial (map-side) counting collapses
+    each partition to its distinct tokens before the shuffle, so shuffle
+    volume is O(distinct tokens per partition), not O(total tokens) —
+    the classic wordcount shape that survives 100 TB.  top_k limits only
+    the final sorted take, computed as a total-order TakeOrdered on the
+    aggregated (small) frame, never on raw tokens.
+    """
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    tok = idf.select(F.explode(tokens(t)).alias("token"), F.lit(1).alias("one"))
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("count"),
+    )
+    # doc_freq needs per-doc distinct tokens — array_distinct BEFORE the
+    # explode so each (doc, token) contributes once, still one shuffle
+    df_tok = idf.select(
+        F.explode(F.array_distinct(tokens(t))).alias("token")
+    ).groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    out = agg.join(df_tok, "token").where(F.col("count") >= min_count)
+    return out.orderBy(F.col("count").desc(), F.col("token").asc()).limit(top_k)
+
+
+def pack_sequences(
+    idf: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    capacity: int = 2048,
+    by=None,
+    mode: str = "chunk",
+) -> DataFrame:
+    """Assign documents to fixed-capacity training sequences (the LLM
+    "sequence packing" step) → [by..., id, n_tokens, seq_id, seq_offset].
+
+    mode='chunk' (default): GPT-style concat-and-chunk — documents are
+    laid end-to-end in a deterministic order (id within key) and the
+    stream is sliced every `capacity` tokens; a document MAY straddle two
+    sequences (seq_id is where it starts; `straddles` flags it).  This is
+    how packed pretraining batches are actually built (boundaries marked
+    by EOS downstream), and it is closed-form: ONE window cumsum, no
+    state, no UDF — the whole op is a projection over a partitioned
+    window, SQL-portable (the DuckDB oracle replays it exactly).
+
+    mode='nextfit': true bin packing (no document ever splits): close the
+    current sequence when the next document does not fit.  Inherently
+    sequential per shard — implemented as applyInPandas over `by` shards
+    (Arrow-batched, linear scan per shard).  Next-fit wastes at most one
+    document per boundary (2-approximation of optimal bin count).
+    Documents longer than `capacity` get their own sequence.
+
+    `by` partitions the packing (e.g. language, source shard); without it
+    the order/scan is global and is refused — at scale ALWAYS pack within
+    shards.
+    """
+    from anovos_spark.core.utils import ensure_list
+
+    by = ensure_list(by) if by is not None else []
+    if not by:
+        raise ValueError(
+            "pack_sequences without \'by\' needs a single global ordered "
+            "window/scan (one task at scale); pack within shards — e.g. a "
+            "hash-bucket column"
+        )
+    if mode == "chunk":
+        from pyspark.sql.window import Window
+
+        tok = F.col(token_col).cast("long")
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = F.sum(tok).over(w)
+        start = cum - tok
+        return idf.select(
+            *by,
+            F.col(id_col),
+            tok.alias(token_col),
+            F.floor(start / F.lit(int(capacity))).cast("long").alias("seq_id"),
+            (start % F.lit(int(capacity))).cast("long").alias("seq_offset"),
+            (
+                F.floor(start / F.lit(int(capacity)))
+                < F.floor((cum - F.lit(1)) / F.lit(int(capacity)))
+            ).cast("int").alias("straddles"),
+        )
+    if mode != "nextfit":
+        raise ValueError("mode must be chunk|nextfit")
+
+    import pandas as pd
+
+    cap = int(capacity)
+    out_fields = by + [id_col, token_col, "seq_id", "seq_offset"]
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        seq, off, used = [], [], 0
+        cur = 0
+        for t in pdf[token_col].astype("int64").clip(upper=cap):
+            if used + t > cap and used > 0:
+                cur += 1
+                used = 0
+            seq.append(cur)
+            off.append(used)
+            used += int(t)
+        pdf = pdf[[*by, id_col, token_col]].copy()
+        pdf["seq_id"] = pd.Series(seq, dtype="int64")
+        pdf["seq_offset"] = pd.Series(off, dtype="int64")
+        return pdf
+
+    schema_parts = []
+    for c in out_fields:
+        if c in ("seq_id", "seq_offset", token_col):
+            schema_parts.append(f"{c} long")
+        else:
+            dt = idf.schema[c].dataType.simpleString()
+            schema_parts.append(f"{c} {dt}")
+    return (
+        idf.select(*by, id_col, F.col(token_col).cast("long").alias(token_col))
+        .groupBy(*by)
+        .applyInPandas(pack, schema=", ".join(schema_parts))
+    )

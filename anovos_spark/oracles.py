@@ -1919,6 +1919,31 @@ SELECT CASE WHEN b < 'cccc' THEN 'train'
        count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS total_chars
 FROM h GROUP BY 1""",
+        "vocabulary": """
+WITH tok AS (
+  SELECT doc_id, lower(t.token) AS token
+  FROM documents,
+       unnest(string_split_regex(trim(text), '\s+')) AS t(token)
+  WHERE t.token <> ''),
+agg AS (
+  SELECT token, count(*)::BIGINT AS "count",
+         count(DISTINCT doc_id)::BIGINT AS doc_freq
+  FROM tok GROUP BY 1)
+SELECT token, "count", doc_freq
+FROM agg WHERE "count" >= 2
+ORDER BY "count" DESC, token ASC LIMIT 200""",
+        "pack_sequences": """
+WITH t AS (
+  SELECT lang, doc_id, n_chars::BIGINT AS n_chars,
+         sum(n_chars::BIGINT) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents)
+SELECT lang, doc_id, n_chars,
+       ((cum - n_chars) // 2048)::BIGINT AS seq_id,
+       ((cum - n_chars) % 2048)::BIGINT AS seq_offset,
+       (CASE WHEN (cum - n_chars) // 2048 < (cum - 1) // 2048
+             THEN 1 ELSE 0 END)::INT AS straddles
+FROM t""",
         "range_join_events": """
 SELECT s.event_id AS signup_id, e.event_id AS error_id, s.user_id
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s

@@ -1919,6 +1919,30 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+def q_vocabulary(spark, sf_dir):
+    """Corpus vocabulary: wordcount-shaped explode + aggregate (partial
+    map-side counting, shuffle O(distinct per partition)) with document
+    frequency from a per-doc distinct explode — top 200 by count, ties
+    broken by token."""
+    from anovos_spark.operators.text import vocabulary
+
+    docs = table(spark, sf_dir, "documents")
+    return vocabulary(docs, "text", top_k=200, min_count=2)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing over the documents
+    table (per-language shards, capacity 2048, n_chars as token proxy) —
+    one partitioned window cumsum, closed form, no state.  The DuckDB
+    oracle replays the identical window arithmetic."""
+    from anovos_spark.operators.text import pack_sequences
+
+    docs = table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, id_col="doc_id", token_col="n_chars", capacity=2048, by="lang"
+    )
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -1980,7 +2004,7 @@ _APPROX_COST = {
     "q17_small_quantity_revenue": 0.6, "q20_promo_part_suppliers": 0.8,
     "q21_waiting_suppliers": 1.0,
     "asof_join_events": 0.7, "range_join_events": 0.7, "streaming_join": 7.0,
-    "hash_split": 0.4,
+    "hash_split": 0.4, "vocabulary": 0.8, "pack_sequences": 0.5,
 }
 
 
@@ -2099,4 +2123,6 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
         "hash_split": q_hash_split,
+        "vocabulary": q_vocabulary,
+        "pack_sequences": q_pack_sequences,
     }

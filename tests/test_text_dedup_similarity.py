@@ -243,3 +243,65 @@ def test_feature_recommender_match(spark):
         spark.createDataFrame([("vehicle_speed",)], "attribute string"), corpus
     ).collect()
     assert r and r[0]["feature_name"] == "velocity_kmh"
+
+
+def test_vocabulary(spark):
+    from anovos_spark.operators.text import vocabulary
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "THE Cat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["token"]: (r["count"], r["doc_freq"]) for r in vocabulary(df, "text", top_k=10).collect()}
+    assert out["the"] == (4, 3)
+    assert out["cat"] == (2, 2)
+    assert out["sat"] == (2, 2)
+    assert out["dog"] == (1, 1)
+    # top_k + ordering: count desc then token asc
+    top = vocabulary(df, "text", top_k=2).collect()
+    assert [r["token"] for r in top] == ["the", "cat"]
+
+
+def test_pack_sequences_chunk(spark):
+    from anovos_spark.operators.text import pack_sequences
+
+    rows = [("a", i, 600) for i in range(10)]  # 6000 tokens / cap 2048
+    df = spark.createDataFrame(rows, ["shard", "doc_id", "n_tokens"])
+    out = pack_sequences(df, "doc_id", "n_tokens", capacity=2048, by="shard")
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc 0 starts at 0; doc 3 spans 1800-2400 -> straddles
+    assert got[0]["seq_id"] == 0 and got[0]["seq_offset"] == 0
+    assert got[3]["seq_id"] == 0 and got[3]["straddles"] == 1
+    assert got[4]["seq_id"] == 1
+    # offsets are the cumsum mod capacity
+    assert got[4]["seq_offset"] == 2400 - 2048
+
+
+def test_pack_sequences_nextfit(spark):
+    from anovos_spark.operators.text import pack_sequences
+    import pytest as _pt
+
+    rows = [("a", 1, 1500), ("a", 2, 1000), ("a", 3, 500), ("a", 4, 3000), ("a", 5, 10)]
+    df = spark.createDataFrame(rows, ["shard", "doc_id", "n_tokens"])
+    out = pack_sequences(df, "doc_id", "n_tokens", capacity=2048, by="shard", mode="nextfit")
+    got = {r["doc_id"]: (r["seq_id"], r["seq_offset"]) for r in out.collect()}
+    # 1500 -> bin0; 1000 doesn't fit -> bin1; 500 fits bin1; 3000 clamped
+    # to 2048 doesn't fit -> bin2 alone; 10 -> bin3
+    assert got[1] == (0, 0)
+    assert got[2] == (1, 0)
+    assert got[3] == (1, 1000)
+    assert got[4] == (2, 0)
+    assert got[5] == (3, 0)
+    # no sequence exceeds capacity
+    import collections
+    fill = collections.Counter()
+    caps = {1: 1500, 2: 1000, 3: 500, 4: 2048, 5: 10}
+    for d, (s, _) in got.items():
+        fill[s] += caps[d]
+    assert all(v <= 2048 for v in fill.values())
+    with _pt.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tokens", capacity=2048, by="shard", mode="bogus")
+    with _pt.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tokens", capacity=2048)
