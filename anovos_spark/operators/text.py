@@ -320,3 +320,149 @@ def pack_sequences(
         .groupBy(*by)
         .applyInPandas(pack, schema=", ".join(schema_parts))
     )
+
+
+def word_ngrams(col: Column, n: int, distinct: bool = False) -> Column:
+    """Word n-grams of whitespace-normalized lowercase text as an array
+    expression (no UDF).  Documents with fewer than n tokens yield an
+    EMPTY array — important cross-engine detail: a naive
+    sequence(1, size-n+1) goes DESCENDING in Spark when size < n and
+    would fabricate grams, while SQL range() is simply empty."""
+    s = F.regexp_replace(F.lower(F.trim(col)), _WS, " ")
+    toks = F.split(s, " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams) if distinct else grams
+
+
+# Redaction patterns in the Java-regex ∩ RE2 shared subset (no lookaround)
+# so the Spark expression and the DuckDB oracle replace identical spans.
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9()\- ]{6,}[0-9]",
+}
+
+
+def pii_redact(
+    idf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns=("email", "ipv4", "phone"),
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """Scrub PII spans (emails, IPv4, international-format phones) →
+    input columns with `text_col` redacted plus [n_redactions].
+
+    Pure regexp_replace/regexp_count expressions — scan-speed, zero
+    shuffle, no UDF.  Patterns apply in the given order (email before
+    phone so digits inside an address are consumed first); counts are
+    computed per pattern BEFORE its replacement so overlapping patterns
+    never double-count a span already redacted."""
+    unknown = [p for p in patterns if p not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown patterns {unknown}; known: {sorted(PII_PATTERNS)}")
+    t = F.col(text_col)
+    n = F.lit(0).cast("long")
+    for p in patterns:
+        rx = PII_PATTERNS[p]
+        n = n + F.regexp_count(t, F.lit(rx))
+        t = F.regexp_replace(t, rx, replacement)
+    return idf.select(
+        *[c for c in idf.columns if c != text_col],
+        t.alias(text_col),
+        n.alias("n_redactions"),
+    )
+
+
+def repetition_stats(
+    idf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document →
+    [id, n_tokens, n_grams, distinct_grams, dup_gram_frac, top_gram_frac].
+
+    top_gram_frac = tokens covered by the single most frequent n-gram /
+    total tokens (the published \"fraction of chars in top n-gram\"
+    filter, on tokens); dup_gram_frac = 1 - distinct/total grams.
+    Explode + two-level aggregate keyed by (doc, gram) then doc — both
+    shuffles are on the document key, so the op scales like wordcount."""
+    toks_n = F.size(F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " "), " "))
+    grams = idf.select(
+        F.col(id_col).alias("id"),
+        toks_n.alias("n_tokens"),
+        F.explode_outer(word_ngrams(F.col(text_col), ngram)).alias("gram"),
+    )
+    per_gram = grams.groupBy("id", "n_tokens", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_gram.groupBy("id", "n_tokens").agg(
+        F.sum(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0)).alias("n_grams"),
+        F.count(F.when(F.col("gram").isNotNull(), F.lit(1))).alias("distinct_grams"),
+        F.round(
+            F.when(
+                F.sum(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0)) > 0,
+                1.0
+                - F.count(F.when(F.col("gram").isNotNull(), F.lit(1)))
+                / F.sum(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0)),
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_gram_frac"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.max(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0))
+                * F.lit(ngram)
+                / F.col("n_tokens"),
+            ).otherwise(0.0),
+            6,
+        ).alias("top_gram_frac"),
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination screen: per training document, the
+    fraction of its DISTINCT word n-grams that appear anywhere in the
+    benchmark corpus → [id, n_grams, n_contaminated, contamination_frac].
+
+    The benchmark side collapses to its distinct gram set (explode +
+    distinct — tiny relative to the corpus); the check is then a plain
+    equi-join on the gram string, hash-partitionable at any scale, with
+    per-doc aggregation on the document key.  No similarity search, no
+    UDF — this is the standard exact n-gram-overlap decontamination used
+    for LLM training data."""
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(word_ngrams(F.col(text_col), ngram, distinct=True)).alias("gram"),
+    )
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), ngram, distinct=True)).alias("gram"))
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    joined = doc_grams.join(bench_grams, "gram", "left_outer")
+    return joined.groupBy("id").agg(
+        F.count(F.when(F.col("gram").isNotNull(), F.lit(1))).alias("n_grams"),
+        F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).alias("n_contaminated"),
+        F.round(
+            F.when(
+                F.count(F.when(F.col("gram").isNotNull(), F.lit(1))) > 0,
+                F.sum(F.coalesce(F.col("__hit__"), F.lit(0)))
+                / F.count(F.when(F.col("gram").isNotNull(), F.lit(1))),
+            ).otherwise(0.0),
+            6,
+        ).alias("contamination_frac"),
+    )

@@ -1944,6 +1944,66 @@ SELECT lang, doc_id, n_chars,
        (CASE WHEN (cum - n_chars) // 2048 < (cum - 1) // 2048
              THEN 1 ELSE 0 END)::INT AS straddles
 FROM t""",
+        "pii_redaction": """
+WITH t0 AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@mail.example.com at 10.0.'
+              || (doc_id % 256)::VARCHAR || '.7 or +1 (555) 010-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS tx
+  FROM documents),
+t1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(tx, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS e,
+         regexp_replace(tx, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[REDACTED]', 'g') AS tx1
+  FROM t0),
+t2 AS (
+  SELECT doc_id, e,
+         len(regexp_extract_all(tx1, '\\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\\b')) AS i,
+         regexp_replace(tx1, '\\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\\b', '[REDACTED]', 'g') AS tx2
+  FROM t1),
+t3 AS (
+  SELECT doc_id, e, i,
+         len(regexp_extract_all(tx2, '\+[0-9][0-9()\- ]{6,}[0-9]')) AS p,
+         regexp_replace(tx2, '\+[0-9][0-9()\- ]{6,}[0-9]', '[REDACTED]', 'g') AS tx3
+  FROM t2)
+SELECT doc_id, (e + i + p)::BIGINT AS n_redactions, length(tx3)::BIGINT AS redacted_len
+FROM t3""",
+        "repetition_stats": """
+WITH tok AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT id, len(w)::BIGINT AS n_tokens, array_to_string(w[i:i+1], ' ') AS g
+  FROM tok, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)),
+per_gram AS (
+  SELECT id, n_tokens, g, count(*) AS c FROM grams GROUP BY 1, 2, 3)
+SELECT id, n_tokens,
+       sum(c)::BIGINT AS n_grams,
+       count(*)::BIGINT AS distinct_grams,
+       round(1.0 - count(*) / sum(c), 6) AS dup_gram_frac,
+       round(max(c) * 2.0 / n_tokens, 6) AS top_gram_frac
+FROM per_gram GROUP BY 1, 2""",
+        "contamination_check": """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+doc_grams AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+4], ' ') AS g
+  FROM tok, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
+  WHERE doc_id % 20 <> 0),
+bench AS (
+  SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS g
+  FROM tok, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
+  WHERE doc_id % 20 = 0)
+SELECT id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+       round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS contamination_frac
+FROM doc_grams d LEFT JOIN bench b USING (g)
+GROUP BY 1""",
         "range_join_events": """
 SELECT s.event_id AS signup_id, e.event_id AS error_id, s.user_id
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s

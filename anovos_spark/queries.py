@@ -1943,6 +1943,55 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing at scan speed: the corpus is synthetic (no real PII),
+    so the query plants one email + one IPv4 + one phone per document as a
+    deterministic function of doc_id, then redacts — the oracle plants and
+    redacts with the identical RE2-safe expressions, proving span-exact
+    agreement (counted before replacement, applied in fixed order)."""
+    from anovos_spark.operators.text import pii_redact
+
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = pii_redact(planted, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_redactions"),
+        F.length("text").cast("long").alias("redacted_len"),
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup-bigram fraction, top
+    bigram token coverage) per document — explode + two doc-keyed
+    aggregations, wordcount-shaped."""
+    from anovos_spark.operators.text import repetition_stats
+
+    return repetition_stats(table(spark, sf_dir, "documents"), "text", "doc_id", ngram=2)
+
+
+def q_contamination_check(spark, sf_dir):
+    """Exact 5-gram benchmark-contamination screen: every 20th document
+    plays the benchmark, the rest are screened — distinct-gram equi-join
+    plus per-doc aggregation, the standard LLM decontamination shape."""
+    from anovos_spark.operators.text import contamination_check
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    targets = docs.where(F.col("doc_id") % 20 != 0)
+    return contamination_check(targets, bench, "text", "doc_id", ngram=5)
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2005,6 +2054,7 @@ _APPROX_COST = {
     "q21_waiting_suppliers": 1.0,
     "asof_join_events": 0.7, "range_join_events": 0.7, "streaming_join": 7.0,
     "hash_split": 0.4, "vocabulary": 0.8, "pack_sequences": 0.5,
+    "pii_redaction": 0.6, "repetition_stats": 0.9, "contamination_check": 0.9,
 }
 
 
@@ -2125,4 +2175,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "vocabulary": q_vocabulary,
         "pack_sequences": q_pack_sequences,
+        "pii_redaction": q_pii_redaction,
+        "repetition_stats": q_repetition_stats,
+        "contamination_check": q_contamination_check,
     }

@@ -305,3 +305,60 @@ def test_pack_sequences_nextfit(spark):
         pack_sequences(df, "doc_id", "n_tokens", capacity=2048, by="shard", mode="bogus")
     with _pt.raises(ValueError):
         pack_sequences(df, "doc_id", "n_tokens", capacity=2048)
+
+
+def test_pii_redact(spark):
+    from anovos_spark.operators.text import pii_redact
+    import pytest as _pt
+
+    rows = [
+        (1, "mail me at jo.doe+x@corp.example.org today"),
+        (2, "server 192.168.001.42 and backup 10.0.0.7 up"),
+        (3, "call +1 (555) 123-4567 now"),
+        (4, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pii_redact(df, "text", "doc_id").collect()}
+    assert out[1]["n_redactions"] == 1 and "[REDACTED]" in out[1]["text"]
+    assert "jo.doe" not in out[1]["text"]
+    assert out[2]["n_redactions"] == 2 and out[2]["text"].count("[REDACTED]") == 2
+    assert out[3]["n_redactions"] == 1 and "555" not in out[3]["text"]
+    assert out[4]["n_redactions"] == 0 and out[4]["text"] == rows[3][1]
+    with _pt.raises(ValueError):
+        pii_redact(df, "text", "doc_id", patterns=("ssn",))
+
+
+def test_repetition_stats(spark):
+    from anovos_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "a b a b a b"),        # bigrams: ab ba ab ba ab -> top 'a b' x3
+        (2, "w x y z"),            # all distinct
+        (3, "solo"),               # < 2 tokens -> no grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in repetition_stats(df, "text", "doc_id", ngram=2).collect()}
+    assert out[1]["n_grams"] == 5 and out[1]["distinct_grams"] == 2
+    assert abs(out[1]["top_gram_frac"] - 3 * 2 / 6) < 1e-9
+    assert abs(out[1]["dup_gram_frac"] - (1 - 2 / 5)) < 1e-9
+    assert out[2]["dup_gram_frac"] == 0.0
+    assert out[3]["n_grams"] == 0 and out[3]["top_gram_frac"] == 0.0
+
+
+def test_contamination_check(spark):
+    from anovos_spark.operators.text import contamination_check
+
+    bench = spark.createDataFrame([(100, "the quick brown fox jumps")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),  # grams: 2, both contain bench gram? 5-grams: 'the..jumps' yes, 'quick..over' no
+            (2, "totally unrelated words here now"),
+            (3, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in contamination_check(docs, bench, "text", "doc_id", ngram=5).collect()}
+    assert out[1]["n_grams"] == 2 and out[1]["n_contaminated"] == 1
+    assert abs(out[1]["contamination_frac"] - 0.5) < 1e-9
+    assert out[2]["n_contaminated"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["contamination_frac"] == 0.0
