@@ -4,7 +4,7 @@ the ratio isolates the DATA-dependent cost) and reports t(sf_hi)/t(sf_lo)
 against the 10x data growth.  Ratios near 1 = overhead/sample-bound; near
 10 = scan-bound linear; >>10 = super-linear (a scale bug).
 
-Usage: python tools/scale_probe.py [sf_lo_dir sf_hi_dir]
+Usage: python tools/scale_probe.py [sf_lo_dir sf_hi_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -23,6 +23,7 @@ def main():
         os.environ.setdefault(v, "1")
     lo = sys.argv[1] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     hi = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    only = set(sys.argv[3:])
 
     from pyspark.sql import SparkSession
 
@@ -40,6 +41,8 @@ def main():
 
     out = {}
     for name, fn in registry().items():
+        if only and name not in only:
+            continue
         row = {}
         try:
             for tag, sf_dir in (("lo", lo), ("hi", hi)):
