@@ -122,3 +122,57 @@ def feature_recommender_match(
         F.col("score").desc(), F.col("feature_name").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= top_k)
+
+
+def list_all_industry(spark, corpus=None) -> DataFrame:
+    """Distinct industries in the corpus (reference:
+    feature_explorer.py:23-33)."""
+    return _corpus_df(spark, corpus).select("industry").distinct().orderBy("industry")
+
+
+def list_all_usecase(spark, corpus=None) -> DataFrame:
+    """Distinct usecases (reference: feature_explorer.py:36-46)."""
+    return _corpus_df(spark, corpus).select("usecase").distinct().orderBy("usecase")
+
+
+def list_all_pair(spark, corpus=None) -> DataFrame:
+    """Distinct (industry, usecase) pairs (reference:
+    feature_explorer.py:49-58)."""
+    return (
+        _corpus_df(spark, corpus)
+        .select("industry", "usecase")
+        .distinct()
+        .orderBy("industry", "usecase")
+    )
+
+
+def list_feature_by_industry(
+    spark, industry: str, num_of_feat: int = 100, corpus=None
+) -> DataFrame:
+    """Features of one industry (reference: feature_explorer.py:181-223;
+    exact-match path — the semantic path is feature_recommender_match)."""
+    return (
+        _corpus_df(spark, corpus)
+        .where(F.lower(F.col("industry")) == industry.strip().lower())
+        .orderBy("feature_name")
+        .limit(num_of_feat)
+    )
+
+
+def list_feature_by_usecase(
+    spark, usecase: str, num_of_feat: int = 100, corpus=None
+) -> DataFrame:
+    """Features of one usecase (reference: feature_explorer.py:226-269)."""
+    return (
+        _corpus_df(spark, corpus)
+        .where(F.lower(F.col("usecase")) == usecase.strip().lower())
+        .orderBy("feature_name")
+        .limit(num_of_feat)
+    )
+
+
+def _corpus_df(spark, corpus=None) -> DataFrame:
+    return spark.createDataFrame(
+        corpus or DEFAULT_CORPUS,
+        schema="feature_name string, industry string, usecase string, description string",
+    )

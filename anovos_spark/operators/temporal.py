@@ -82,6 +82,14 @@ def asof_join(
 
     out_map = {c: f"{c}{suffix}" for c in right_cols}
     matched_on = f"{on}{suffix}"
+    if matched_on == on:  # empty suffix: keep the matched ts distinguishable
+        matched_on = f"{on}_matched"
+    clash = [c for c in out_map.values() if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join: right columns {clash} collide with left columns; "
+            "rename upstream or use a non-empty suffix"
+        )
 
     # Union schema: by + on + __side__ + left payload + right payload.
     left_payload = [c for c in left.columns if c not in set(by) | {on}]

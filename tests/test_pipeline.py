@@ -141,3 +141,66 @@ def test_feature_export(spark, tmp_path):
     assert 'join_keys=["uid"]' in src
     assert "FeatureView(" in src
     compile(src, path, "exec")  # generated file is valid python
+
+
+def test_historical_features_point_in_time(spark):
+    import datetime as dt
+
+    from anovos_spark.plans.feature_export import historical_features
+
+    def ts(d, h=0):
+        return dt.datetime(2024, 1, d, h)
+
+    feats = spark.createDataFrame(
+        [
+            ("u1", ts(1), 100.0),
+            ("u1", ts(5), 150.0),
+            ("u2", ts(3), 70.0),
+        ],
+        ["user_id", "event_timestamp", "balance"],
+    )
+    entities = spark.createDataFrame(
+        [
+            ("u1", ts(4)),   # sees the day-1 value, not the future day-5 one
+            ("u1", ts(6)),   # sees day-5
+            ("u2", ts(2)),   # before any feature row -> null
+        ],
+        ["user_id", "event_timestamp"],
+    )
+    out = {
+        (r["user_id"], r["event_timestamp"]): r["balance"]
+        for r in historical_features(entities, feats, "user_id").collect()
+    }
+    assert out[("u1", ts(4))] == 100.0   # no feature leakage from the future
+    assert out[("u1", ts(6))] == 150.0
+    assert out[("u2", ts(2))] is None
+    # ttl bounds staleness
+    out_ttl = {
+        (r["user_id"], r["event_timestamp"]): r["balance"]
+        for r in historical_features(
+            entities, feats, "user_id", ttl="INTERVAL 1 DAY"
+        ).collect()
+    }
+    assert out_ttl[("u1", ts(4))] is None  # 3 days stale > 1 day ttl
+    assert out_ttl[("u1", ts(6))] == 150.0
+
+
+def test_feature_explorer_catalog(spark):
+    from anovos_spark.operators.featrec import (
+        list_all_industry,
+        list_all_pair,
+        list_all_usecase,
+        list_feature_by_industry,
+        list_feature_by_usecase,
+    )
+
+    inds = [r["industry"] for r in list_all_industry(spark).collect()]
+    assert "finance" in inds and inds == sorted(inds)
+    ucs = [r["usecase"] for r in list_all_usecase(spark).collect()]
+    assert "churn prediction" in ucs
+    pairs = list_all_pair(spark).collect()
+    assert ("finance", "credit scoring") in {(r["industry"], r["usecase"]) for r in pairs}
+    fin = list_feature_by_industry(spark, " Finance ").collect()
+    assert all(r["industry"] == "finance" for r in fin) and len(fin) >= 3
+    churn = list_feature_by_usecase(spark, "churn prediction").collect()
+    assert {r["industry"] for r in churn} == {"tech", "telecom"}
