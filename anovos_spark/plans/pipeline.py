@@ -260,6 +260,37 @@ def run_pipeline(
         frame = timed("drift.statistics", lambda: drift_statistics(df, base, **dc))
         result.stats.put("main", "drift_statistics", frame, persist=False)
 
+    # ---- text / training-data pipeline stages --------------------------- #
+    tp = config.get("text_pipeline") or {}
+    if tp:
+        from anovos_spark.operators import text as TX
+        from anovos_spark.operators.ingest import hash_split
+
+        if "pii_redact" in tp:  # mutating
+            kw = dict(tp["pii_redact"] or {})
+            df = timed("text.pii_redact", lambda: TX.pii_redact(df, **kw))
+        if "hash_split" in tp:  # mutating (adds the fold column)
+            kw = dict(tp["hash_split"])
+            df = timed("text.hash_split", lambda: hash_split(df, **kw))
+        if "repetition_stats" in tp:  # analytical
+            kw = dict(tp["repetition_stats"] or {})
+            frame = timed(
+                "text.repetition_stats", lambda: TX.repetition_stats(df, **kw)
+            )
+            result.stats.put("main", "repetition_stats", frame, persist=False)
+        if "vocabulary" in tp:  # analytical
+            kw = dict(tp["vocabulary"] or {})
+            frame = timed("text.vocabulary", lambda: TX.vocabulary(df, **kw))
+            result.stats.put("main", "vocabulary", frame, persist=False)
+        if "contamination_check" in tp:  # analytical, needs a benchmark read
+            kw = dict(tp["contamination_check"])
+            bench = read_dataset(spark, **kw.pop("benchmark_read"))
+            frame = timed(
+                "text.contamination_check",
+                lambda: TX.contamination_check(df, bench, **kw),
+            )
+            result.stats.put("main", "contamination_check", frame, persist=False)
+
     # ---- output -------------------------------------------------------- #
     if "write_main" in config:
         wm = dict(config["write_main"])

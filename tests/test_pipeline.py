@@ -204,3 +204,37 @@ def test_feature_explorer_catalog(spark):
     assert all(r["industry"] == "finance" for r in fin) and len(fin) >= 3
     churn = list_feature_by_usecase(spark, "churn prediction").collect()
     assert {r["industry"] for r in churn} == {"tech", "telecom"}
+
+
+def test_pipeline_text_stages(spark, sf_dir):
+    cfg = {
+        "input_dataset": {
+            "read": {"file_path": f"{sf_dir}/documents.parquet", "file_type": "parquet"}
+        },
+        "text_pipeline": {
+            "pii_redact": {"text_col": "text", "id_col": "doc_id"},
+            "hash_split": {
+                "on_cols": "doc_id",
+                "fractions": {"train": 0.9, "test": 0.1},
+            },
+            "repetition_stats": {"text_col": "text", "id_col": "doc_id"},
+            "vocabulary": {"text_col": "text", "top_k": 50},
+            "contamination_check": {
+                "benchmark_read": {
+                    "file_path": f"{sf_dir}/documents.parquet",
+                    "file_type": "parquet",
+                },
+                "text_col": "text",
+                "id_col": "doc_id",
+            },
+        },
+    }
+    res = run_pipeline(spark, cfg)
+    assert "split" in res.df.columns and "n_redactions" in res.df.columns
+    assert set(res.stats.get("main", "vocabulary").columns) == {"token", "count", "doc_freq"}
+    rep = res.stats.get("main", "repetition_stats")
+    assert "top_gram_frac" in rep.columns
+    # benchmark == corpus, so every doc is fully contaminated
+    cont = res.stats.get("main", "contamination_check")
+    row = cont.agg(F.min("contamination_frac")).collect()[0][0]
+    assert row == 1.0
