@@ -114,7 +114,9 @@ def main():
         else:
             print(f"OK   {name} ({len(srows)} rows)")
 
-    print(f"\n{len(qreg) - len(failures)}/{len(qreg)} queries match")
+    checked = sum(1 for n in qreg if not only or n in only)
+    print(f"\n{checked - len(failures)}/{checked} checked queries match"
+          + ("" if not only else f" (registry has {len(qreg)})"))
     spark.stop()
     sys.exit(1 if failures else 0)
 
