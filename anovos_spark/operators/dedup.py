@@ -417,3 +417,44 @@ def simhash_pairs(
         .distinct()
     )
     return cand
+
+
+def apply_dedup(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Materialize a dedup decision: keep ONE representative per
+    near-dup component (docs absent from `components` are singletons and
+    always survive) → the surviving rows of `docs` plus
+    [component, group_size].
+
+    Representative = highest `quality_col` (ties → smallest id), or the
+    component's canonical min-id when no quality column is given.  One
+    left join on the id + one partitioned window over the component key —
+    both hash-partitionable; group sizes are near-dup cluster sizes
+    (bounded small), so the window never sees skewed partitions.
+    """
+    from pyspark.sql.window import Window
+
+    comp = components.select(
+        F.col("id").alias("__cid__"), F.col("component").alias("__component__")
+    )
+    full = docs.join(comp, docs[id_col] == comp["__cid__"], "left_outer").select(
+        *docs.columns,
+        F.coalesce(F.col("__component__"), F.col(id_col)).alias("component"),
+    )
+    order = (
+        [F.col(quality_col).desc(), F.col(id_col).asc()]
+        if quality_col
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("component")
+    rn = F.row_number().over(Window.partitionBy("component").orderBy(*order))
+    return (
+        full.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("__rn__", rn)
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )

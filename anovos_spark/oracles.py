@@ -746,6 +746,32 @@ SELECT src AS id, least(src, min(dst)) AS component
 FROM reach GROUP BY src"""
 
 
+def dedup_apply_sql() -> str:
+    """Survivor per component: closure CTE + LEFT JOIN (singletons keep
+    their own id) + QUALIFY row_number on (n_chars DESC, doc_id ASC) —
+    the same representative rule as apply_dedup(quality_col='n_chars')."""
+    inner = _jaccard_pairs_sql(0.7).strip()
+    return f"""
+WITH RECURSIVE p AS ({inner}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS id, least(src, min(dst)) AS component
+         FROM reach GROUP BY src),
+allrows AS (
+  SELECT d.doc_id, d.n_chars, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+SELECT component, doc_id AS survivor_id,
+       (count(*) OVER (PARTITION BY component))::BIGINT AS group_size
+FROM allrows
+QUALIFY row_number() OVER (PARTITION BY component
+                           ORDER BY n_chars DESC, doc_id ASC) = 1"""
+
+
 def minhash_lsh_sql() -> str:
     # LSH candidates ∩ exact-verify == exact pairs when recall is 100%,
     # which holds on this corpus (asserted continuously by the harness —
@@ -1591,6 +1617,7 @@ def registry() -> dict[str, str]:
         "dedup_simhash_signatures": simhash_sql(),
         "dedup_simhash_pairs": simhash_pairs_sql(),
         "dedup_components": dedup_components_sql(),
+        "dedup_apply": dedup_apply_sql(),
         "regression_imputation": """
 WITH base AS (
   SELECT CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_quantity END AS q,

@@ -445,6 +445,28 @@ def q_dedup_components(spark, sf_dir):
     return near_dup_components(pairs).select("id", "component")
 
 
+def q_dedup_apply(spark, sf_dir):
+    """Detect → group → REMOVE: per near-dup component keep the highest-
+    quality document (longest, ties to smallest id); singletons survive.
+    One left join + one small-partition window after the components
+    fixpoint — the full dedup pipeline a training corpus actually runs."""
+    from anovos_spark.operators.dedup import (
+        apply_dedup,
+        near_dup_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.7)
+    comp = near_dup_components(pairs)
+    out = apply_dedup(docs, comp, "doc_id", quality_col="n_chars")
+    return out.select(
+        "component",
+        F.col("doc_id").alias("survivor_id"),
+        F.col("group_size").cast("bigint").alias("group_size"),
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Banded-segment candidate generation (pigeonhole: hamming<=k implies
     an exact match on one of k+1 disjoint segments) verified against the
@@ -2046,7 +2068,7 @@ _APPROX_COST = {
     "comparative_drift_frame": 0.7, "streaming_drift": 7.0,
     "q4_priority_semi_join": 0.7, "q12_shipmode_case_agg": 0.7,
     "q19_disjunctive_predicates": 0.6, "q22_inactive_customers": 0.6,
-    "null_columns_detection": 0.8, "dedup_components": 3.5,
+    "null_columns_detection": 0.8, "dedup_components": 3.5, "dedup_apply": 3.6,
     "q2_min_cost_supplier": 0.9, "q7_volume_shipping": 0.8, "q8_market_share": 0.9,
     "q9_product_profit": 0.9, "q11_important_parts": 0.8, "q13_customer_distribution": 0.6,
     "q15_top_supplier": 0.7, "q16_supplier_part_counts": 0.8,
@@ -2173,6 +2195,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
         "hash_split": q_hash_split,
+        "dedup_apply": q_dedup_apply,
         "vocabulary": q_vocabulary,
         "pack_sequences": q_pack_sequences,
         "pii_redaction": q_pii_redaction,

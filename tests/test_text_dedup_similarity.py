@@ -362,3 +362,23 @@ def test_contamination_check(spark):
     assert abs(out[1]["contamination_frac"] - 0.5) < 1e-9
     assert out[2]["n_contaminated"] == 0
     assert out[3]["n_grams"] == 0 and out[3]["contamination_frac"] == 0.0
+
+
+def test_apply_dedup(spark):
+    from anovos_spark.operators.dedup import apply_dedup
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 5), (5, 30)],
+        ["doc_id", "n_chars"],
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5)], ["id", "component"]
+    )
+    out = {r["doc_id"]: r for r in apply_dedup(docs, comp, "doc_id", "n_chars").collect()}
+    # group 1 = {1,2,3}: doc 2 wins (n_chars 30); 4 is a singleton; 5 alone
+    assert set(out) == {2, 4, 5}
+    assert out[2]["group_size"] == 3 and out[2]["component"] == 1
+    assert out[4]["group_size"] == 1 and out[4]["component"] == 4
+    # without quality: canonical min id survives
+    out2 = {r["doc_id"] for r in apply_dedup(docs, comp, "doc_id").collect()}
+    assert out2 == {1, 4, 5}
