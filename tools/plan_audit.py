@@ -125,6 +125,23 @@ def main():
     check("range_join: no cartesian", "CartesianProduct" not in p)
     check("range_join: hash join on bucket", "HashJoin" in p)
 
+    # 12. hash_split + pii_redact: pure projections — no exchange, no UDF
+    p = plan_of(Q.q_hash_split(spark, sf_dir))
+    check("hash_split: partial agg only exchange", p.count("Exchange") <= 2)
+    check("hash_split: no python UDF", "BatchEvalPython" not in p)
+    p = plan_of(Q.q_pii_redaction(spark, sf_dir))
+    check("pii_redact: no exchange", "Exchange" not in p)
+    check("pii_redact: no python UDF", "BatchEvalPython" not in p)
+
+    # 13. vocabulary / contamination: wordcount shape — partial agg, no
+    # cartesian; contamination's gram join must hash-partition
+    p = plan_of(Q.q_vocabulary(spark, sf_dir))
+    check("vocabulary: partial aggregation", "partial_" in p)
+    check("vocabulary: no cartesian", "CartesianProduct" not in p)
+    p = plan_of(Q.q_contamination_check(spark, sf_dir))
+    check("contamination: no nested-loop join", "BroadcastNestedLoopJoin" not in p)
+    check("contamination: no cartesian", "CartesianProduct" not in p)
+
     print(f"\n{'ALL CLEAR' if not failures else f'{len(failures)} audit failures: {failures}'}")
     spark.stop()
     sys.exit(1 if failures else 0)
