@@ -772,6 +772,34 @@ QUALIFY row_number() OVER (PARTITION BY component
                            ORDER BY n_chars DESC, doc_id ASC) = 1"""
 
 
+def leakage_safe_split_sql() -> str:
+    """Closure + identical md5 fold CASE on the group key: proves fold
+    assignment is component-coherent and engine-independent."""
+    inner = _jaccard_pairs_sql(0.7).strip()
+    return f"""
+WITH RECURSIVE p AS ({inner}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS id, least(src, min(dst)) AS component
+         FROM reach GROUP BY src),
+keyed AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key,
+         (CASE WHEN c.component IS NOT NULL THEN 1 ELSE 0 END) AS is_grouped
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+folds AS (
+  SELECT *, CASE WHEN substring(md5(split_key::VARCHAR || '|#42'), 1, 4) < 'cccc'
+                 THEN 'train' ELSE 'test' END AS split
+  FROM keyed)
+SELECT split, is_grouped::INT AS is_grouped, count(*)::BIGINT AS n_docs,
+       count(DISTINCT split_key)::BIGINT AS n_groups
+FROM folds GROUP BY 1, 2"""
+
+
 def minhash_lsh_sql() -> str:
     # LSH candidates ∩ exact-verify == exact pairs when recall is 100%,
     # which holds on this corpus (asserted continuously by the harness —
@@ -1618,6 +1646,7 @@ def registry() -> dict[str, str]:
         "dedup_simhash_pairs": simhash_pairs_sql(),
         "dedup_components": dedup_components_sql(),
         "dedup_apply": dedup_apply_sql(),
+        "leakage_safe_split": leakage_safe_split_sql(),
         "regression_imputation": """
 WITH base AS (
   SELECT CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_quantity END AS q,

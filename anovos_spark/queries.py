@@ -467,6 +467,32 @@ def q_dedup_apply(spark, sf_dir):
     )
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Cross-operator composition: near-dup components feed hash_split so
+    every member of a dup group lands in the SAME fold (no train/test
+    leakage through near-duplicates) — the correct order of operations a
+    training pipeline must use.  Output: per (fold, is_grouped) doc
+    counts; the oracle replays closure + the identical md5 fold CASE."""
+    from anovos_spark.operators.dedup import near_dup_components, ngram_jaccard_pairs
+    from anovos_spark.operators.ingest import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.7)
+    comp = near_dup_components(pairs).select(
+        F.col("id").alias("__cid__"), "component"
+    )
+    keyed = docs.join(comp, docs["doc_id"] == F.col("__cid__"), "left_outer").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("split_key"),
+        F.col("component").isNotNull().cast("int").alias("is_grouped"),
+    )
+    out = hash_split(keyed, "split_key", {"train": 0.8, "test": 0.2}, seed=42)
+    return out.groupBy("split", "is_grouped").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("split_key").alias("n_groups"),
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Banded-segment candidate generation (pigeonhole: hamming<=k implies
     an exact match on one of k+1 disjoint segments) verified against the
@@ -2069,6 +2095,7 @@ _APPROX_COST = {
     "q4_priority_semi_join": 0.7, "q12_shipmode_case_agg": 0.7,
     "q19_disjunctive_predicates": 0.6, "q22_inactive_customers": 0.6,
     "null_columns_detection": 0.8, "dedup_components": 3.5, "dedup_apply": 3.6,
+    "leakage_safe_split": 3.6,
     "q2_min_cost_supplier": 0.9, "q7_volume_shipping": 0.8, "q8_market_share": 0.9,
     "q9_product_profit": 0.9, "q11_important_parts": 0.8, "q13_customer_distribution": 0.6,
     "q15_top_supplier": 0.7, "q16_supplier_part_counts": 0.8,
@@ -2196,6 +2223,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         "hash_split": q_hash_split,
         "dedup_apply": q_dedup_apply,
+        "leakage_safe_split": q_leakage_safe_split,
         "vocabulary": q_vocabulary,
         "pack_sequences": q_pack_sequences,
         "pii_redaction": q_pii_redaction,
