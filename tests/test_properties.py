@@ -174,3 +174,53 @@ def test_no_raw_control_bytes_in_source():
             if bad:
                 offenders.append((str(p), bad[:3]))
     assert not offenders, f"raw control bytes in source: {offenders}"
+
+
+asof_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3"]),
+        st.integers(min_value=0, max_value=10_000),  # seconds offset
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left_rows=asof_rows, right_rows=asof_rows,
+       direction=st.sampled_from(["backward", "forward"]))
+def test_asof_join_matches_pandas_property(spark, left_rows, right_rows, direction):
+    """asof_join ≡ pandas.merge_asof on arbitrary key/time/value data,
+    both directions.  Right-side (key, ts) duplicates are pre-aggregated
+    (max) because both engines leave the tie choice unspecified."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from anovos_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def frame(rows, vcol):
+        seen = {}
+        for k, s, v in rows:
+            key = (k, s)
+            seen[key] = max(v, seen.get(key, float("-inf")))
+        data = [(k, base + dt.timedelta(seconds=s), v) for (k, s), v in seen.items()]
+        return data
+
+    ldata = frame(left_rows, "lv")
+    rdata = frame(right_rows, "rv")
+    ldf = spark.createDataFrame(ldata, ["k", "ts", "lv"])
+    rdf = spark.createDataFrame(rdata, ["k", "ts", "rv"])
+    got = (
+        asof_join(ldf, rdf, on="ts", by="k", direction=direction)
+        .orderBy("k", "ts")
+        .toPandas()
+    )
+    lp = pd.DataFrame(ldata, columns=["k", "ts", "lv"]).sort_values(["ts", "k"]).reset_index(drop=True)
+    rp = pd.DataFrame(rdata, columns=["k", "ts", "rv"]).sort_values(["ts", "k"]).reset_index(drop=True)
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction=direction)
+    exp = exp.sort_values(["k", "ts"]).reset_index(drop=True)
+    assert list(got["rv_matched"].fillna(-1e18)) == list(exp["rv"].fillna(-1e18))
