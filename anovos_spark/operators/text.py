@@ -466,3 +466,47 @@ def contamination_check(
             6,
         ).alias("contamination_frac"),
     )
+
+
+def line_repetition_stats(
+    idf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher's duplicate-line filters per document →
+    [id, n_lines, distinct_lines, dup_line_frac, dup_line_char_frac].
+
+    dup_line_frac = duplicated lines / total lines; dup_line_char_frac =
+    characters inside duplicated lines / total line characters (the two
+    published thresholds are 0.30 / 0.20).  Same explode + doc-keyed
+    aggregate shape as repetition_stats; blank lines are ignored, lines
+    compare after trim."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    per_line = idf.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(lines).alias("line"),
+    ).groupBy("id", "line").agg(
+        F.count(F.when(F.col("line").isNotNull(), F.lit(1))).alias("cnt"),
+        F.length(F.coalesce(F.col("line"), F.lit(""))).alias("chars"),
+    )
+    dup_lines = F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+    dup_chars = F.sum(
+        F.when(F.col("cnt") > 1, F.col("cnt") * F.col("chars")).otherwise(0)
+    )
+    tot_lines = F.sum(F.when(F.col("line").isNotNull(), F.col("cnt")).otherwise(0))
+    tot_chars = F.sum(
+        F.when(F.col("line").isNotNull(), F.col("cnt") * F.col("chars")).otherwise(0)
+    )
+    return per_line.groupBy("id").agg(
+        tot_lines.alias("n_lines"),
+        F.count(F.when(F.col("line").isNotNull(), F.lit(1))).alias("distinct_lines"),
+        F.round(
+            F.when(tot_lines > 0, dup_lines / tot_lines).otherwise(0.0), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(tot_chars > 0, dup_chars / tot_chars).otherwise(0.0), 6
+        ).alias("dup_line_char_frac"),
+    )

@@ -382,3 +382,22 @@ def test_apply_dedup(spark):
     # without quality: canonical min id survives
     out2 = {r["doc_id"] for r in apply_dedup(docs, comp, "doc_id").collect()}
     assert out2 == {1, 4, 5}
+
+
+def test_line_repetition_stats(spark):
+    from anovos_spark.operators.text import line_repetition_stats
+
+    rows = [
+        (1, "hello world\nfoo bar\nhello world\nbaz\n\n  hello world  "),
+        (2, "a\nb\nc"),
+        (3, "only one line"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in line_repetition_stats(df, "text", "doc_id").collect()}
+    # doc1: lines = [hello world x3, foo bar, baz] -> 5 lines, 3 distinct
+    assert out[1]["n_lines"] == 5 and out[1]["distinct_lines"] == 3
+    assert abs(out[1]["dup_line_frac"] - 3 / 5) < 1e-6
+    # dup chars = 3*11; total = 3*11 + 7 + 3
+    assert abs(out[1]["dup_line_char_frac"] - 33 / 43) < 1e-6
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[3]["n_lines"] == 1
