@@ -458,3 +458,108 @@ def ivf_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index: fit the coarse quantizer ONCE and write
+    ``{path}/centroids`` (cell → centroid) plus ``{path}/vectors``
+    partitioned by cell — so queries never re-fit KMeans (the per-call
+    fit in ivf_topk is fine for one-shots, unaffordable when the same
+    100 TB corpus serves many query batches).
+
+    The cell-partitioned layout means a query batch's probed cells
+    become a partition-pruning filter at scan time: a batch probing 4 of
+    1024 cells reads ~4/1024 of the index bytes."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corp = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm2(F.col(vec_col)).alias("cn"),
+        array_to_vector(F.col(vec_col)).alias("__v__"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__v__", predictionCol="cell")
+    model = km.fit(corp)
+    spark = corpus.sparkSession
+    cent_rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    model.transform(corp).select("neighbor_id", "cv", "cn", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/vectors")
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    prune_partitions: bool = True,
+) -> DataFrame:
+    """Probe a persisted IVF index (see ivf_build_index) — same
+    [query_id, neighbor_id, cos_sim, rank] contract as ivf_topk.
+
+    ``prune_partitions=True`` collects the query batch's probed cell set
+    (≤ Q × n_probe ints) and pushes it as a partition filter on the
+    vectors scan — correct because only probed cells can produce
+    candidates; turn it off for huge streaming query loads where the
+    probed set approaches all cells anyway."""
+    from pyspark.sql import Window
+
+    centroids_df = spark.read.parquet(f"{path}/centroids").orderBy("cell")
+    centroids = [list(map(float, r["centroid"])) for r in centroids_df.collect()]
+
+    def probe_cells(vc):
+        cands = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(float(sum(x * x for x in cen)))
+                        - 2.0 * _dot_const(vc, cen)
+                    ).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, cen in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.array_sort(cands), 1, min(n_probe, len(centroids)))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm2(F.col(vec_col)).alias("qn"),
+        F.explode(probe_cells(F.col(vec_col)).getField("cell")).alias("cell"),
+    )
+    vectors = spark.read.parquet(f"{path}/vectors")
+    if prune_partitions:
+        probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+        vectors = vectors.where(F.col("cell").isin(probed))
+    cand = vectors.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.try_divide(_dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

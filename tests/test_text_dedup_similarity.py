@@ -401,3 +401,34 @@ def test_line_repetition_stats(spark):
     assert abs(out[1]["dup_line_char_frac"] - 33 / 43) < 1e-6
     assert out[2]["dup_line_frac"] == 0.0
     assert out[3]["n_lines"] == 1
+
+
+def test_ivf_index_roundtrip(spark, sf_dir, tmp_path):
+    from anovos_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(8)
+    direct = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=3).collect()
+    }
+    path = str(tmp_path / "ivf")
+    ivf_build_index(emb, path, n_centroids=8)
+    via_index = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_query_index(spark, path, queries, k=3, n_probe=3).collect()
+    }
+    # same seed -> same centroids -> identical results
+    assert via_index == direct and len(via_index) > 0
+    # pruning off gives the same answer
+    via_noprune = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_query_index(
+            spark, path, queries, k=3, n_probe=3, prune_partitions=False
+        ).collect()
+    }
+    assert via_noprune == direct
