@@ -224,3 +224,48 @@ def range_join(
         if c not in unmatched.columns:
             unmatched = unmatched.withColumn(c, F.lit(None).cast(ivs.schema[c].dataType))
     return matched.unionByName(unmatched.select(*matched.columns)).drop("__bucket__")
+
+
+def sessionize(
+    idf: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch sessionization: events of a user strictly closer than
+    ``gap_seconds`` merge into one session (a gap >= the threshold opens
+    a new one — session_window's convention) → [user, session_id, session_start,
+    session_end, n_events].  The batch face of
+    streaming/ops.sessionize (session_window) — proven equivalent
+    semantics via the shared lag+cumsum oracle.
+
+    Classic closed form, one window partition per user: a session opens
+    where the gap from the previous event exceeds the threshold
+    (lag + comparison), session index = running sum of opens, then one
+    aggregation on (user, session index).  Two user-keyed shuffles total,
+    no iteration, no state."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col))
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col, 1).over(w)
+    )
+    opens = F.when(gap.isNull() | (gap >= gap_seconds), 1).otherwise(0)
+    tagged = idf.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.sum(opens).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__sidx__"),
+    )
+    return tagged.groupBy(user_col, "__sidx__").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        F.col(user_col),
+        F.concat_ws("-", F.col(user_col).cast("string"), F.col("__sidx__").cast("string")).alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )

@@ -1756,6 +1756,7 @@ FROM t FULL OUTER JOIN s ON t.k = s.k""",
         "streaming_window_agg": streaming_window_sql(),
         "streaming_drift": streaming_drift_sql(),
         "streaming_sessions": streaming_sessions_sql(),
+        "batch_sessionize": streaming_sessions_sql(),
         "q14_promo_revenue": q14_sql(),
         "null_columns_detection": """
 WITH inj AS (

@@ -467,6 +467,22 @@ def q_dedup_apply(spark, sf_dir):
     )
 
 
+def q_batch_sessionize(spark, sf_dir):
+    """Batch sessionization (lag + cumsum window, 30-min gap) rolled up
+    per user — the SAME oracle as the streaming session_window query, so
+    the batch window formulation and the streaming state machine are
+    checked against one truth."""
+    from anovos_spark.operators.temporal import sessionize
+
+    ev = table(spark, sf_dir, "events")
+    sess = sessionize(ev, "ts", "user_id", gap_seconds=1800)
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Cross-operator composition: near-dup components feed hash_split so
     every member of a dup group lands in the SAME fold (no train/test
@@ -2095,7 +2111,7 @@ _APPROX_COST = {
     "q4_priority_semi_join": 0.7, "q12_shipmode_case_agg": 0.7,
     "q19_disjunctive_predicates": 0.6, "q22_inactive_customers": 0.6,
     "null_columns_detection": 0.8, "dedup_components": 3.5, "dedup_apply": 3.6,
-    "leakage_safe_split": 3.6,
+    "leakage_safe_split": 3.6, "batch_sessionize": 0.6,
     "q2_min_cost_supplier": 0.9, "q7_volume_shipping": 0.8, "q8_market_share": 0.9,
     "q9_product_profit": 0.9, "q11_important_parts": 0.8, "q13_customer_distribution": 0.6,
     "q15_top_supplier": 0.7, "q16_supplier_part_counts": 0.8,
@@ -2224,6 +2240,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "dedup_apply": q_dedup_apply,
         "leakage_safe_split": q_leakage_safe_split,
+        "batch_sessionize": q_batch_sessionize,
         "vocabulary": q_vocabulary,
         "pack_sequences": q_pack_sequences,
         "pii_redaction": q_pii_redaction,

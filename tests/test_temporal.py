@@ -135,3 +135,25 @@ def test_range_join_bucket_inference_spans_buckets(spark):
     )
     out = range_join(pts, ivs, "ts", "start", "end", by="uid", bucket_seconds=3600)
     assert {r["pt_id"] for r in out.collect()} == {1, 2, 3, 4}
+
+
+def test_batch_sessionize(spark):
+    from anovos_spark.operators.temporal import sessionize
+
+    rows = [
+        ("u1", _ts(1, 9, 0)),
+        ("u1", _ts(1, 9, 20)),   # 20 min gap < 30 -> same session
+        ("u1", _ts(1, 9, 50)),   # exactly 30 min -> NEW session (>= gap)
+        ("u1", _ts(1, 12, 0)),
+        ("u2", _ts(1, 9, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sessionize(df, "ts", "user_id", gap_seconds=1800).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user["u1"]) == [1, 1, 2]
+    assert per_user["u2"] == [1]
+    s = {r["session_id"]: r for r in out}
+    first = [r for r in out if r["user_id"] == "u1" and r["n_events"] == 2][0]
+    assert first["session_start"] == _ts(1, 9, 0) and first["session_end"] == _ts(1, 9, 20)
