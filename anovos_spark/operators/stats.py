@@ -378,3 +378,41 @@ def measures_of_shape(idf: DataFrame, list_of_cols="all", drop_cols=()) -> DataF
         aggs.append(F.round(F.skewness(c), 6).alias(f"{c}__skewness"))
         aggs.append(F.round(F.kurtosis(c), 6).alias(f"{c}__kurtosis"))
     return _stack_wide_row(idf.agg(*aggs), cols, ["skewness", "kurtosis"])
+
+
+def key_skew_report(
+    idf: DataFrame, list_of_cols="all", drop_cols=(), top_k: int = 3
+) -> DataFrame:
+    """Join/shuffle-key skew diagnosis per candidate key column →
+    [attribute, n_keys, n_rows, max_rows, avg_rows, skew_ratio,
+    top1_share] (no reference analogue — this is the pre-flight check
+    for the salted-join / AQE-skew decisions SCALE.md describes: a
+    skew_ratio of 50 means the hottest key's partition does 50× the
+    average work, the straggler profile that decides between a plain
+    shuffle join, AQE skew split, and ingest.salted_join).
+
+    Shape: melt once, ONE (attribute, value) aggregation, one per-
+    attribute rollup — 2 shuffles for ALL columns (same battery pattern
+    as mode/IV/IG), never a per-column job loop.
+    """
+    from anovos_spark.core.utils import melt
+
+    cols = resolve_columns(idf, list_of_cols, drop_cols)
+    long_df = melt(
+        idf.select(*[F.col(c).cast("string").alias(c) for c in cols]),
+        [],
+        cols,
+        "attribute",
+        "value",
+    )
+    per_key = long_df.groupBy("attribute", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_key.groupBy("attribute").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_rows"),
+        F.round(F.avg("cnt"), 6).alias("avg_rows"),
+        F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_ratio"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top1_share"),
+    )

@@ -1757,6 +1757,24 @@ FROM t FULL OUTER JOIN s ON t.k = s.k""",
         "streaming_drift": streaming_drift_sql(),
         "streaming_sessions": streaming_sessions_sql(),
         "batch_sessionize": streaming_sessions_sql(),
+        "key_skew_report": """
+WITH pk AS (
+  SELECT attribute, value, count(*) AS cnt
+  FROM (
+    SELECT 'l_orderkey' AS attribute, l_orderkey::VARCHAR AS value FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', l_suppkey::VARCHAR FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', l_returnflag FROM lineitem)
+  GROUP BY 1, 2)
+SELECT attribute,
+       count(*)::BIGINT AS n_keys,
+       sum(cnt)::BIGINT AS n_rows,
+       max(cnt)::BIGINT AS max_rows,
+       round(avg(cnt), 6) AS avg_rows,
+       round(max(cnt) / avg(cnt), 6) AS skew_ratio,
+       round(max(cnt) * 1.0 / sum(cnt), 6) AS top1_share
+FROM pk GROUP BY 1""",
         "q14_promo_revenue": q14_sql(),
         "null_columns_detection": """
 WITH inj AS (

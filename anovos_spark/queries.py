@@ -467,6 +467,15 @@ def q_dedup_apply(spark, sf_dir):
     )
 
 
+def q_key_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnosis over candidate lineitem join keys —
+    melt + two aggregations for all columns (no per-column jobs)."""
+    from anovos_spark.operators.stats import key_skew_report
+
+    li = table(spark, sf_dir, "lineitem")
+    return key_skew_report(li, ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+
 def q_batch_sessionize(spark, sf_dir):
     """Batch sessionization (lag + cumsum window, 30-min gap) rolled up
     per user — the SAME oracle as the streaming session_window query, so
@@ -2111,7 +2120,7 @@ _APPROX_COST = {
     "q4_priority_semi_join": 0.7, "q12_shipmode_case_agg": 0.7,
     "q19_disjunctive_predicates": 0.6, "q22_inactive_customers": 0.6,
     "null_columns_detection": 0.8, "dedup_components": 3.5, "dedup_apply": 3.6,
-    "leakage_safe_split": 3.6, "batch_sessionize": 0.6,
+    "leakage_safe_split": 3.6, "batch_sessionize": 0.6, "key_skew_report": 0.9,
     "q2_min_cost_supplier": 0.9, "q7_volume_shipping": 0.8, "q8_market_share": 0.9,
     "q9_product_profit": 0.9, "q11_important_parts": 0.8, "q13_customer_distribution": 0.6,
     "q15_top_supplier": 0.7, "q16_supplier_part_counts": 0.8,
@@ -2241,6 +2250,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": q_dedup_apply,
         "leakage_safe_split": q_leakage_safe_split,
         "batch_sessionize": q_batch_sessionize,
+        "key_skew_report": q_key_skew_report,
         "vocabulary": q_vocabulary,
         "pack_sequences": q_pack_sequences,
         "pii_redaction": q_pii_redaction,
