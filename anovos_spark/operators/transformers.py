@@ -549,3 +549,46 @@ def expression_parser(
             ex = ex[:idx]
         out.append(F.expr(ex).alias(alias or f"f{i}{postfix}"))
     return idf.select(*out)
+
+
+def feature_hashing(
+    idf: DataFrame,
+    list_of_cols,
+    n_features: int = 1024,
+    output_mode: str = "append",
+    suffix: str = "_hashed",
+) -> DataFrame:
+    """Hashing-trick categorical encoding: value → stable bucket index in
+    [0, n_features) via the first 8 hex digits of md5(col || '|' || value)
+    mod n_features.  The 100 TB-native alternative to label/one-hot
+    encoding: ZERO driver state (no distinct collection, no vocabulary,
+    no fit), a pure projection that is identical on any cluster size or
+    engine — the column name is salted in so the same value in different
+    columns gets independent buckets, as in scikit/Vowpal feature
+    hashing.  Collisions are the accepted trade (p ≈ n_distinct²/2n) and
+    why n_features should be ~10× expected cardinality.
+
+    No reference analogue (its cat_to_num paths all collect a mapping —
+    transformers.py:808-1065); this exists for the cardinalities where
+    that collection itself is the scale problem.
+    """
+    from anovos_spark.core.utils import ensure_list
+
+    cols = ensure_list(list_of_cols)
+    if output_mode not in ("append", "replace"):
+        raise ValueError("output_mode must be append|replace")
+
+    def bucket(c: str):
+        key = F.concat_ws("|", F.lit(c), F.col(c).cast("string"))
+        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        return F.when(
+            F.col(c).isNull(), F.lit(None).cast("int")
+        ).otherwise((h % n_features).cast("int"))
+
+    if output_mode == "replace":
+        return idf.select(
+            *[bucket(c).alias(c) if c in cols else F.col(c) for c in idf.columns]
+        )
+    return idf.select(
+        *idf.columns, *[bucket(c).alias(f"{c}{suffix}") for c in cols]
+    )

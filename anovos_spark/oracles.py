@@ -1757,6 +1757,18 @@ FROM t FULL OUTER JOIN s ON t.k = s.k""",
         "streaming_drift": streaming_drift_sql(),
         "streaming_sessions": streaming_sessions_sql(),
         "batch_sessionize": streaming_sessions_sql(),
+        "feature_hashing": """
+WITH h AS (
+  SELECT l_returnflag,
+         ((('0x' || substring(md5('l_returnflag' || '|' || l_returnflag), 1, 8))::UBIGINT
+           % 64))::INT AS bucket,
+         ((('0x' || substring(md5('l_linestatus' || '|' || l_linestatus), 1, 8))::UBIGINT
+           % 64))::INT AS ls_bucket
+  FROM lineitem)
+SELECT bucket, count(*)::BIGINT AS n_rows,
+       count(DISTINCT l_returnflag)::BIGINT AS n_values,
+       count(DISTINCT ls_bucket)::BIGINT AS n_ls_buckets
+FROM h GROUP BY 1""",
         "key_skew_report": """
 WITH pk AS (
   SELECT attribute, value, count(*) AS cnt

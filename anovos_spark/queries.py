@@ -476,6 +476,25 @@ def q_key_skew_report(spark, sf_dir):
     return key_skew_report(li, ["l_orderkey", "l_suppkey", "l_returnflag"])
 
 
+def q_feature_hashing(spark, sf_dir):
+    """Hashing-trick encoding of l_returnflag/l_linestatus into 64
+    buckets — zero
+    driver state, pure projection; the bucket histogram plus per-bucket
+    distinct-value counts pin both the hash values and the collision
+    structure against the portable SQL oracle."""
+    from anovos_spark.operators.transformers import feature_hashing
+
+    li = table(spark, sf_dir, "lineitem")
+    out = feature_hashing(li, ["l_returnflag", "l_linestatus"], n_features=64)
+    return out.groupBy(
+        F.col("l_returnflag_hashed").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_returnflag").alias("n_values"),
+        F.countDistinct("l_linestatus_hashed").alias("n_ls_buckets"),
+    )
+
+
 def q_batch_sessionize(spark, sf_dir):
     """Batch sessionization (lag + cumsum window, 30-min gap) rolled up
     per user — the SAME oracle as the streaming session_window query, so
@@ -2120,7 +2139,7 @@ _APPROX_COST = {
     "q4_priority_semi_join": 0.7, "q12_shipmode_case_agg": 0.7,
     "q19_disjunctive_predicates": 0.6, "q22_inactive_customers": 0.6,
     "null_columns_detection": 0.8, "dedup_components": 3.5, "dedup_apply": 3.6,
-    "leakage_safe_split": 3.6, "batch_sessionize": 0.6, "key_skew_report": 0.9,
+    "leakage_safe_split": 3.6, "batch_sessionize": 0.6, "key_skew_report": 0.9, "feature_hashing": 0.5,
     "q2_min_cost_supplier": 0.9, "q7_volume_shipping": 0.8, "q8_market_share": 0.9,
     "q9_product_profit": 0.9, "q11_important_parts": 0.8, "q13_customer_distribution": 0.6,
     "q15_top_supplier": 0.7, "q16_supplier_part_counts": 0.8,
@@ -2251,6 +2270,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "batch_sessionize": q_batch_sessionize,
         "key_skew_report": q_key_skew_report,
+        "feature_hashing": q_feature_hashing,
         "vocabulary": q_vocabulary,
         "pack_sequences": q_pack_sequences,
         "pii_redaction": q_pii_redaction,

@@ -123,3 +123,30 @@ def test_expression_parser(tdf):
     odf = T.expression_parser(tdf, ["x * 2 as dbl", "id + 100 as idplus"])
     r = odf.where(F.col("id") == 1).collect()[0]
     assert r["dbl"] == 20.0 and r["idplus"] == 101
+
+
+def test_feature_hashing(spark):
+    from anovos_spark.operators.transformers import feature_hashing
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "a", "x")],
+        ["id", "c1", "c2"],
+    )
+    out = feature_hashing(df, ["c1", "c2"], n_features=16)
+    rows = {r["id"]: r for r in out.collect()}
+    # deterministic, equal values -> equal buckets
+    assert rows[1]["c1_hashed"] == rows[3]["c1_hashed"]
+    assert rows[1]["c2_hashed"] == rows[3]["c2_hashed"]
+    assert 0 <= rows[1]["c1_hashed"] < 16
+    # nulls stay null, not bucket-0
+    assert rows[2]["c2_hashed"] is None
+    # same VALUE in different columns gets independent buckets (column salt)
+    df2 = spark.createDataFrame([(1, "a", "a")], ["id", "c1", "c2"])
+    r2 = feature_hashing(df2, ["c1", "c2"], n_features=1 << 20).collect()[0]
+    assert r2["c1_hashed"] != r2["c2_hashed"]
+    # replace mode swaps columns in place
+    rep = feature_hashing(df, ["c1"], n_features=16, output_mode="replace")
+    assert rep.schema["c1"].dataType.simpleString() == "int"
+    with _pt.raises(ValueError):
+        feature_hashing(df, ["c1"], output_mode="bogus")
