@@ -256,3 +256,34 @@ def attribute_type_recommendation(
         schema="attribute string, current_type string, recommended_type string, "
         "distinct_count long, numeric_rate double",
     )
+
+
+def cap_per_group(
+    idf: DataFrame,
+    group_cols,
+    id_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-group row cap: keep at most ``k`` rows per group,
+    chosen by md5(id || seed) order — the domain-balancing step of a
+    training pipeline (cap documents per source/domain so no single
+    crawl dominates), reproducible across engines/cluster sizes because
+    the 'random' order is a pure hash of the row id (same construction
+    as hash_split; a seeded rand() would depend on partitioning).
+
+    One window per group key; group sizes are data-dependent, so for
+    pathological single-group skew pre-split the group key upstream.
+    """
+    from pyspark.sql.window import Window
+
+    group_cols = ensure_list(group_cols)
+    order = F.md5(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        idf.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )

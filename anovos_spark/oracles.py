@@ -1757,6 +1757,12 @@ FROM t FULL OUTER JOIN s ON t.k = s.k""",
         "streaming_drift": streaming_drift_sql(),
         "streaming_sessions": streaming_sessions_sql(),
         "batch_sessionize": streaming_sessions_sql(),
+        "cap_per_group": """
+SELECT source, doc_id
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY md5(doc_id::VARCHAR || '|' || '42') ASC, doc_id ASC) <= 15""",
         "feature_hashing": """
 WITH h AS (
   SELECT l_returnflag,

@@ -476,6 +476,17 @@ def q_key_skew_report(spark, sf_dir):
     return key_skew_report(li, ["l_orderkey", "l_suppkey", "l_returnflag"])
 
 
+def q_cap_per_group(spark, sf_dir):
+    """Domain balancing: cap documents at 15 per source, hash-ordered so
+    the survivors are engine-independent; output the surviving doc ids
+    per source (the oracle replays the same md5 order in QUALIFY)."""
+    from anovos_spark.operators.ingest import cap_per_group
+
+    docs = table(spark, sf_dir, "documents")
+    out = cap_per_group(docs, "source", "doc_id", k=15, seed=42)
+    return out.select("source", "doc_id")
+
+
 def q_feature_hashing(spark, sf_dir):
     """Hashing-trick encoding of l_returnflag/l_linestatus into 64
     buckets — zero
@@ -2139,7 +2150,7 @@ _APPROX_COST = {
     "q4_priority_semi_join": 0.7, "q12_shipmode_case_agg": 0.7,
     "q19_disjunctive_predicates": 0.6, "q22_inactive_customers": 0.6,
     "null_columns_detection": 0.8, "dedup_components": 3.5, "dedup_apply": 3.6,
-    "leakage_safe_split": 3.6, "batch_sessionize": 0.6, "key_skew_report": 0.9, "feature_hashing": 0.5,
+    "leakage_safe_split": 3.6, "batch_sessionize": 0.6, "key_skew_report": 0.9, "feature_hashing": 0.5, "cap_per_group": 0.5,
     "q2_min_cost_supplier": 0.9, "q7_volume_shipping": 0.8, "q8_market_share": 0.9,
     "q9_product_profit": 0.9, "q11_important_parts": 0.8, "q13_customer_distribution": 0.6,
     "q15_top_supplier": 0.7, "q16_supplier_part_counts": 0.8,
@@ -2271,6 +2282,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_sessionize": q_batch_sessionize,
         "key_skew_report": q_key_skew_report,
         "feature_hashing": q_feature_hashing,
+        "cap_per_group": q_cap_per_group,
         "vocabulary": q_vocabulary,
         "pack_sequences": q_pack_sequences,
         "pii_redaction": q_pii_redaction,

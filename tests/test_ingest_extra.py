@@ -105,3 +105,24 @@ def test_hash_split(spark):
     assert all(r["d"] == 1 for r in per_group)
     with _pt.raises(ValueError):
         hash_split(df, "k", {"train": 0.5, "test": 0.4})
+
+
+def test_cap_per_group(spark):
+    from anovos_spark.operators.ingest import cap_per_group
+
+    df = spark.range(0, 100).select(
+        (F.col("id") % 4).alias("grp"), F.col("id").alias("k")
+    )
+    out = cap_per_group(df, "grp", "k", k=5, seed=1)
+    sizes = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v == 5 for v in sizes.values())
+    # deterministic under repartitioning
+    a = {(r["grp"], r["k"]) for r in out.collect()}
+    b = {(r["grp"], r["k"]) for r in cap_per_group(df.repartition(7), "grp", "k", k=5, seed=1).collect()}
+    assert a == b
+    # different seed -> different survivors
+    c = {(r["grp"], r["k"]) for r in cap_per_group(df, "grp", "k", k=5, seed=2).collect()}
+    assert a != c
+    # groups smaller than k keep everything
+    small = spark.createDataFrame([(1, 10), (1, 11)], ["grp", "k"])
+    assert cap_per_group(small, "grp", "k", k=5).count() == 2
