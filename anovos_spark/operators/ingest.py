@@ -287,3 +287,64 @@ def cap_per_group(
         .where(F.col("__rn__") <= k)
         .drop("__rn__")
     )
+
+
+def temperature_sample(
+    idf: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    target_total: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based group rebalancing: sample group g with expected
+    size proportional to ``n_g ** alpha`` (alpha < 1 upweights small
+    groups — the standard multilingual/source-balancing scheme).
+
+    Deterministic: a row survives iff its md5-hash fraction is below its
+    group's keep-rate, so the sample is identical on any cluster size or
+    engine (same construction as hash_split), and expected sizes follow
+    the temperature law with per-row independence — no shuffle of the
+    data at all.  The only aggregation is the per-group count (one agg,
+    #groups rows to the driver); keep-rates ride back in as a literal
+    CASE.  target_total defaults to the input row count (pure
+    rebalancing); rates cap at 1 (small groups can't be upsampled
+    without replacement — callers repeat epochs for that).
+    """
+    counts = {
+        r["g"]: r["n"]
+        for r in idf.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return idf
+    total = sum(counts.values())
+    target = total if target_total is None else int(target_total)
+    weight = {g: n**alpha for g, n in counts.items()}
+    wsum = sum(weight.values())
+    rate = {
+        g: min(1.0, (weight[g] / wsum) * target / counts[g]) for g in counts
+    }
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col(id_col).cast("string"), F.lit(str(seed))
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    expr = None
+    for g, r in rate.items():
+        cond = F.col(group_col) == F.lit(g)
+        expr = F.when(cond, F.lit(r)) if expr is None else expr.when(cond, F.lit(r))
+    expr = expr.otherwise(F.lit(0.0))
+    return idf.where(frac < expr)

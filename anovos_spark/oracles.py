@@ -1763,6 +1763,19 @@ FROM documents
 QUALIFY row_number() OVER (
   PARTITION BY source
   ORDER BY md5(doc_id::VARCHAR || '|' || '42') ASC, doc_id ASC) <= 15""",
+        "temperature_sample": """
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+w AS (SELECT source, n, pow(n, 0.5) AS wt FROM counts),
+tot AS (SELECT sum(wt) AS wsum, sum(n) AS total FROM w),
+rates AS (SELECT source, least(1.0, (wt / wsum) * total / n) AS rate FROM w, tot),
+f AS (
+  SELECT d.source,
+         (('0x' || substring(md5(d.doc_id::VARCHAR || '|' || '42'), 1, 8))::UBIGINT
+           / 4294967296.0) AS frac,
+         r.rate
+  FROM documents d JOIN rates r USING (source))
+SELECT source, count(*)::BIGINT AS n_kept
+FROM f WHERE frac < rate GROUP BY 1""",
         "feature_hashing": """
 WITH h AS (
   SELECT l_returnflag,

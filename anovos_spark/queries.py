@@ -487,6 +487,17 @@ def q_cap_per_group(spark, sf_dir):
     return out.select("source", "doc_id")
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Temperature rebalancing (alpha=0.5) of documents across sources —
+    per-row hash-fraction against per-group keep-rates, no data shuffle;
+    the oracle recomputes rates and the identical hash fraction in SQL."""
+    from anovos_spark.operators.ingest import temperature_sample
+
+    docs = table(spark, sf_dir, "documents")
+    out = temperature_sample(docs, "source", "doc_id", alpha=0.5)
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 def q_feature_hashing(spark, sf_dir):
     """Hashing-trick encoding of l_returnflag/l_linestatus into 64
     buckets — zero
@@ -2150,7 +2161,7 @@ _APPROX_COST = {
     "q4_priority_semi_join": 0.7, "q12_shipmode_case_agg": 0.7,
     "q19_disjunctive_predicates": 0.6, "q22_inactive_customers": 0.6,
     "null_columns_detection": 0.8, "dedup_components": 3.5, "dedup_apply": 3.6,
-    "leakage_safe_split": 3.6, "batch_sessionize": 0.6, "key_skew_report": 0.9, "feature_hashing": 0.5, "cap_per_group": 0.5,
+    "leakage_safe_split": 3.6, "batch_sessionize": 0.6, "key_skew_report": 0.9, "feature_hashing": 0.5, "cap_per_group": 0.5, "temperature_sample": 0.6,
     "q2_min_cost_supplier": 0.9, "q7_volume_shipping": 0.8, "q8_market_share": 0.9,
     "q9_product_profit": 0.9, "q11_important_parts": 0.8, "q13_customer_distribution": 0.6,
     "q15_top_supplier": 0.7, "q16_supplier_part_counts": 0.8,
@@ -2283,6 +2294,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": q_key_skew_report,
         "feature_hashing": q_feature_hashing,
         "cap_per_group": q_cap_per_group,
+        "temperature_sample": q_temperature_sample,
         "vocabulary": q_vocabulary,
         "pack_sequences": q_pack_sequences,
         "pii_redaction": q_pii_redaction,

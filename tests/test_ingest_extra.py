@@ -126,3 +126,26 @@ def test_cap_per_group(spark):
     # groups smaller than k keep everything
     small = spark.createDataFrame([(1, 10), (1, 11)], ["grp", "k"])
     assert cap_per_group(small, "grp", "k", k=5).count() == 2
+
+
+def test_temperature_sample(spark):
+    from anovos_spark.operators.ingest import temperature_sample
+
+    # skewed groups: 400 'big', 40 'small'
+    df = spark.range(0, 440).select(
+        F.when(F.col("id") < 400, "big").otherwise("small").alias("g"),
+        F.col("id").alias("k"),
+    )
+    out = temperature_sample(df, "g", "k", alpha=0.5, seed=3)
+    sizes = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # alpha<1 upweights the small group: expected keep-rate for 'small' is
+    # min(1, (sqrt40/(sqrt400+sqrt40)) * 440/40) = 1.0 -> all kept
+    assert sizes["small"] == 40
+    # 'big' downsampled: expected ~ (sqrt400/(sqrt400+sqrt40))*440 = 335
+    assert 250 < sizes["big"] < 400
+    # deterministic under repartitioning
+    a = {(r["g"], r["k"]) for r in out.collect()}
+    b = {(r["g"], r["k"]) for r in temperature_sample(df.repartition(5), "g", "k", alpha=0.5, seed=3).collect()}
+    assert a == b
+    # alpha=1 is a no-op rebalance (rates all 1)
+    assert temperature_sample(df, "g", "k", alpha=1.0).count() == 440
