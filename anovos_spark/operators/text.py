@@ -510,3 +510,47 @@ def line_repetition_stats(
             F.when(tot_chars > 0, dup_chars / tot_chars).otherwise(0.0), 6
         ).alias("dup_line_char_frac"),
     )
+
+
+def ngram_counts(
+    idf: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top_k: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-level n-gram frequency table → [gram, count], top_k by
+    count (ties broken by gram).  Same wordcount shape as vocabulary —
+    map-side partial counting keeps the shuffle at O(distinct grams per
+    partition)."""
+    grams = idf.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    agg = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("count"))
+    return (
+        agg.where(F.col("count") >= min_count)
+        .orderBy(F.col("count").desc(), F.col("gram").asc())
+        .limit(top_k)
+    )
+
+
+def normalize_text(
+    idf: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    output_col: str | None = None,
+) -> DataFrame:
+    """Named text normalization (the preprocessing every text operator
+    here applies inline): lowercase, strip C0/C1 control characters,
+    collapse whitespace runs, trim.  Pure expressions, scan speed."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    if strip_control:
+        t = F.regexp_replace(t, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    if collapse_whitespace:
+        t = F.regexp_replace(F.trim(t), _WS, " ")
+    out = output_col or text_col
+    return idf.select(
+        *[c for c in idf.columns if c != out], t.alias(out)
+    )

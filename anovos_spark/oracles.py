@@ -1763,6 +1763,16 @@ FROM documents
 QUALIFY row_number() OVER (
   PARTITION BY source
   ORDER BY md5(doc_id::VARCHAR || '|' || '42') ASC, doc_id ASC) <= 15""",
+        "ngram_counts": """
+WITH tok AS (
+  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT array_to_string(w[i:i+1], ' ') AS gram
+  FROM tok, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i))
+SELECT gram, count(*)::BIGINT AS "count"
+FROM grams GROUP BY 1 HAVING count(*) >= 2
+ORDER BY 2 DESC, 1 ASC LIMIT 100""",
         "temperature_sample": """
 WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
 w AS (SELECT source, n, pow(n, 0.5) AS wt FROM counts),

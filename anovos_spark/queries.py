@@ -487,6 +487,15 @@ def q_cap_per_group(spark, sf_dir):
     return out.select("source", "doc_id")
 
 
+def q_ngram_counts(spark, sf_dir):
+    """Corpus top bigrams — wordcount shape over exploded n-grams."""
+    from anovos_spark.operators.text import ngram_counts
+
+    return ngram_counts(
+        table(spark, sf_dir, "documents"), "text", n=2, top_k=100, min_count=2
+    )
+
+
 def q_temperature_sample(spark, sf_dir):
     """Temperature rebalancing (alpha=0.5) of documents across sources —
     per-row hash-fraction against per-group keep-rates, no data shuffle;
@@ -2161,7 +2170,7 @@ _APPROX_COST = {
     "q4_priority_semi_join": 0.7, "q12_shipmode_case_agg": 0.7,
     "q19_disjunctive_predicates": 0.6, "q22_inactive_customers": 0.6,
     "null_columns_detection": 0.8, "dedup_components": 3.5, "dedup_apply": 3.6,
-    "leakage_safe_split": 3.6, "batch_sessionize": 0.6, "key_skew_report": 0.9, "feature_hashing": 0.5, "cap_per_group": 0.5, "temperature_sample": 0.6,
+    "leakage_safe_split": 3.6, "batch_sessionize": 0.6, "key_skew_report": 0.9, "feature_hashing": 0.5, "cap_per_group": 0.5, "temperature_sample": 0.6, "ngram_counts": 0.8,
     "q2_min_cost_supplier": 0.9, "q7_volume_shipping": 0.8, "q8_market_share": 0.9,
     "q9_product_profit": 0.9, "q11_important_parts": 0.8, "q13_customer_distribution": 0.6,
     "q15_top_supplier": 0.7, "q16_supplier_part_counts": 0.8,
@@ -2295,6 +2304,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hashing": q_feature_hashing,
         "cap_per_group": q_cap_per_group,
         "temperature_sample": q_temperature_sample,
+        "ngram_counts": q_ngram_counts,
         "vocabulary": q_vocabulary,
         "pack_sequences": q_pack_sequences,
         "pii_redaction": q_pii_redaction,

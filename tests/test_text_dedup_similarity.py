@@ -432,3 +432,17 @@ def test_ivf_index_roundtrip(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert via_noprune == direct
+
+
+def test_ngram_counts_and_normalize(spark):
+    from anovos_spark.operators.text import ngram_counts, normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = {r["gram"]: r["count"] for r in ngram_counts(df, "text", n=2, top_k=10).collect()}
+    assert out["a b"] == 3 and out["b a"] == 1 and out["b c"] == 1
+    norm = normalize_text(
+        spark.createDataFrame([(1, "  Hello\x01\tWORLD  ")], ["doc_id", "text"])
+    ).collect()[0]["text"]
+    assert norm == "hello world"
