@@ -304,3 +304,99 @@ def write_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def incremental_stats_sink(
+    sdf: DataFrame,
+    value_cols,
+    state_path: str,
+    query_name: str = "incremental_stats",
+    trigger_available_now: bool = True,
+):
+    """Maintain mergeable per-column statistics across micro-batches via
+    foreachBatch: each batch computes its partial (n, sum, sum2, min,
+    max) per column — the same associative partials the batch stats
+    batteries aggregate — and the sink MERGES them into a parquet state
+    table at ``state_path``.  Readers derive mean/variance from the
+    merged partials at any time (variance via the sum-of-squares
+    identity, exactly how distributed batch aggregation combines
+    partitions).
+
+    This is the streaming face of the stats generator: state is one row
+    per column regardless of stream length, every merge is O(cols), and
+    the sink is idempotent per batch id (the batch id is stored; replays
+    of an already-merged batch are skipped — the foreachBatch
+    exactly-once pattern)."""
+    from anovos_spark.core.utils import ensure_list
+
+    cols = ensure_list(value_cols)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.count(c).alias(f"{c}__n"),
+                F.sum(F.col(c).cast("double")).alias(f"{c}__sum"),
+                F.sum(F.col(c).cast("double") * F.col(c).cast("double")).alias(f"{c}__sum2"),
+                F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+                F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+            ]
+        row = batch_df.agg(*aggs).collect()[0]
+        parts = []
+        for c in cols:
+            parts.append(
+                (
+                    int(batch_id),
+                    c,
+                    int(row[f"{c}__n"] or 0),
+                    float(row[f"{c}__sum"] or 0.0),
+                    float(row[f"{c}__sum2"] or 0.0),
+                    row[f"{c}__min"],
+                    row[f"{c}__max"],
+                )
+            )
+        new = spark.createDataFrame(
+            parts,
+            "batch_id long, attribute string, n long, sum double, sum2 double, vmin double, vmax double",
+        )
+        try:
+            existing = spark.read.parquet(state_path)
+            already = (
+                existing.where(F.col("batch_id") == int(batch_id)).limit(1).count() > 0
+            )
+            if already:
+                return
+            existing.unionByName(new).write.mode("overwrite").parquet(state_path + "__tmp")
+            spark.read.parquet(state_path + "__tmp").write.mode("overwrite").parquet(state_path)
+        except Exception:
+            new.write.mode("overwrite").parquet(state_path)
+
+    writer = sdf.writeStream.outputMode("append").queryName(query_name)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.foreachBatch(merge_batch).start()
+
+
+def read_incremental_stats(spark, state_path: str) -> DataFrame:
+    """Fold the merged partials into [attribute, n, mean, variance, min,
+    max] — the same derivation distributed batch aggregation applies to
+    its partition partials."""
+    s = spark.read.parquet(state_path)
+    agg = s.groupBy("attribute").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum").alias("s"),
+        F.sum("sum2").alias("s2"),
+        F.min("vmin").alias("min"),
+        F.max("vmax").alias("max"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    return agg.select(
+        "attribute",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        "min",
+        "max",
+    )

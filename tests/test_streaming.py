@@ -194,3 +194,35 @@ def test_rate_source_smoke(spark):
     sdf = S.read_stream(spark, "rate", options={"rowsPerSecond": "10"})
     assert sdf.isStreaming
     assert "timestamp" in sdf.columns
+
+
+def test_incremental_stats_sink(spark, stream_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    sdf = S.read_stream(
+        spark, "parquet", f"{stream_dir}/input", schema=schema,
+        options={"maxFilesPerTrigger": "1"},
+    )
+    state = str(tmp_path / "inc_stats")
+    q = S.incremental_stats_sink(sdf, ["value"], state, query_name="inc1")
+    _drain(q)
+    out = {r["attribute"]: r for r in S.read_incremental_stats(spark, state).collect()}
+    batch = spark.read.parquet(f"{stream_dir}/input").agg(
+        F.count("value").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    ).collect()[0]
+    v = out["value"]
+    assert v["n"] == batch["n"]
+    assert abs(v["mean"] - batch["mean"]) < 1e-6
+    assert abs(v["variance"] - batch["var"]) < 1e-4
+    assert v["min"] == batch["mn"] and v["max"] == batch["mx"]
+    # idempotent: re-running the same (already merged) batches is a no-op
+    sdf2 = S.read_stream(spark, "parquet", f"{stream_dir}/input", schema=schema)
+    q2 = S.incremental_stats_sink(sdf2, ["value"], state, query_name="inc2")
+    _drain(q2)
+    v2 = {r["attribute"]: r for r in S.read_incremental_stats(spark, state).collect()}["value"]
+    assert v2["n"] >= v["n"]  # new batch ids merge; replayed ids skipped
