@@ -264,11 +264,45 @@ def run_pipeline(
     tp = config.get("text_pipeline") or {}
     if tp:
         from anovos_spark.operators import text as TX
-        from anovos_spark.operators.ingest import hash_split
+        from anovos_spark.operators.ingest import (
+            cap_per_group,
+            hash_split,
+            temperature_sample,
+        )
 
+        if "normalize_text" in tp:  # mutating
+            kw = dict(tp["normalize_text"] or {})
+            df = timed("text.normalize", lambda: TX.normalize_text(df, **kw))
         if "pii_redact" in tp:  # mutating
             kw = dict(tp["pii_redact"] or {})
             df = timed("text.pii_redact", lambda: TX.pii_redact(df, **kw))
+        if "dedup" in tp:  # mutating: detect -> components -> keep survivors
+            from anovos_spark.operators.dedup import (
+                apply_dedup,
+                near_dup_components,
+                ngram_jaccard_pairs,
+            )
+
+            kw = dict(tp["dedup"])
+            id_col = kw.pop("id_col", "doc_id")
+            quality_col = kw.pop("quality_col", None)
+
+            def dedup_stage():
+                pairs = ngram_jaccard_pairs(df, **kw)
+                comp = near_dup_components(pairs)
+                return apply_dedup(df, comp, id_col, quality_col).drop(
+                    "component", "group_size"
+                )
+
+            df = timed("text.dedup", dedup_stage)
+        if "cap_per_group" in tp:  # mutating: domain balancing
+            kw = dict(tp["cap_per_group"])
+            df = timed("text.cap_per_group", lambda: cap_per_group(df, **kw))
+        if "temperature_sample" in tp:  # mutating: source rebalancing
+            kw = dict(tp["temperature_sample"])
+            df = timed(
+                "text.temperature_sample", lambda: temperature_sample(df, **kw)
+            )
         if "hash_split" in tp:  # mutating (adds the fold column)
             kw = dict(tp["hash_split"])
             df = timed("text.hash_split", lambda: hash_split(df, **kw))
@@ -282,6 +316,10 @@ def run_pipeline(
             kw = dict(tp["vocabulary"] or {})
             frame = timed("text.vocabulary", lambda: TX.vocabulary(df, **kw))
             result.stats.put("main", "vocabulary", frame, persist=False)
+        if "ngram_counts" in tp:  # analytical
+            kw = dict(tp["ngram_counts"] or {})
+            frame = timed("text.ngram_counts", lambda: TX.ngram_counts(df, **kw))
+            result.stats.put("main", "ngram_counts", frame, persist=False)
         if "contamination_check" in tp:  # analytical, needs a benchmark read
             kw = dict(tp["contamination_check"])
             bench = read_dataset(spark, **kw.pop("benchmark_read"))

@@ -212,7 +212,23 @@ def test_pipeline_text_stages(spark, sf_dir):
             "read": {"file_path": f"{sf_dir}/documents.parquet", "file_type": "parquet"}
         },
         "text_pipeline": {
+            "normalize_text": {"text_col": "text"},
             "pii_redact": {"text_col": "text", "id_col": "doc_id"},
+            "dedup": {
+                "id_col": "doc_id",
+                "quality_col": "n_chars",
+                "threshold": 0.7,
+            },
+            "cap_per_group": {
+                "group_cols": "source",
+                "id_col": "doc_id",
+                "k": 20,
+            },
+            "temperature_sample": {
+                "group_col": "source",
+                "id_col": "doc_id",
+                "alpha": 0.7,
+            },
             "hash_split": {
                 "on_cols": "doc_id",
                 "fractions": {"train": 0.9, "test": 0.1},
@@ -231,6 +247,10 @@ def test_pipeline_text_stages(spark, sf_dir):
     }
     res = run_pipeline(spark, cfg)
     assert "split" in res.df.columns and "n_redactions" in res.df.columns
+    n_docs = res.df.count()
+    assert 0 < n_docs <= 500  # dedup + caps only ever shrink
+    caps = res.df.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+    assert caps <= 20
     assert set(res.stats.get("main", "vocabulary").columns) == {"token", "count", "doc_freq"}
     rep = res.stats.get("main", "repetition_stats")
     assert "top_gram_frac" in rep.columns
