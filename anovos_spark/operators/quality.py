@@ -150,7 +150,7 @@ def outlier_fit(
     min_validation: int = 2,
     sample_size: int = 1_000_000,
     seed: int = 11,
-    exact: bool = True,
+    exact: bool = False,
 ) -> dict[str, tuple[float | None, float | None]]:
     """Fit per-column (lower, upper) outlier bounds by 3-method voting
     (reference: quality_checker.py:550-1045).
@@ -224,7 +224,7 @@ def outlier_detection(
     pre_computed_bounds: dict | None = None,
     sample_size: int = 1_000_000,
     seed: int = 11,
-    exact: bool = True,
+    exact: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Detect/treat outliers per numeric column
     (reference: quality_checker.py:550-1045).
@@ -313,7 +313,7 @@ def idness_detection(
     drop_cols=(),
     treatment: bool = False,
     treatment_threshold: float = 0.8,
-    exact: bool = True,
+    exact: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Flag (and optionally drop) columns whose distinct/non-null ratio ≥
     threshold (reference: quality_checker.py:1048-1182).

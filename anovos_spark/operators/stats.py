@@ -135,7 +135,7 @@ def mode_computation(idf: DataFrame, list_of_cols="all", drop_cols=()) -> DataFr
 
 
 def unique_count(
-    idf: DataFrame, list_of_cols="all", drop_cols=(), exact: bool = True, rsd: float = 0.05
+    idf: DataFrame, list_of_cols="all", drop_cols=(), exact: bool = False, rsd: float = 0.05
 ) -> DataFrame:
     """[attribute, unique_values] distinct counts, exact or HLL++ approx
     (reference: stats_generator.py:529-620)."""
@@ -151,7 +151,7 @@ def unique_count(
 
 
 def measures_of_cardinality(
-    idf: DataFrame, list_of_cols="all", drop_cols=(), exact: bool = True
+    idf: DataFrame, list_of_cols="all", drop_cols=(), exact: bool = False
 ) -> DataFrame:
     """[attribute, unique_values, IDness] where IDness = distinct/non-null
     (reference: stats_generator.py:623-733) — one pass, no join."""
@@ -200,7 +200,7 @@ def measures_of_counts(idf: DataFrame, list_of_cols="all", drop_cols=()) -> Data
 
 
 def measures_of_central_tendency(
-    idf: DataFrame, list_of_cols="all", drop_cols=(), exact: bool = True
+    idf: DataFrame, list_of_cols="all", drop_cols=(), exact: bool = False
 ) -> DataFrame:
     """[attribute, mean, median, mode, mode_pct]
     (reference: stats_generator.py:424-526).
@@ -266,7 +266,7 @@ def measures_of_central_tendency(
 
 
 def measures_of_dispersion(
-    idf: DataFrame, list_of_cols="all", drop_cols=(), exact: bool = True
+    idf: DataFrame, list_of_cols="all", drop_cols=(), exact: bool = False
 ) -> DataFrame:
     """[attribute, stddev, variance, cov, IQR, range] for numeric cols
     (reference: stats_generator.py:736-829) — one agg pass."""
@@ -341,7 +341,7 @@ _PCT_NAMES = ["min", "1%", "5%", "10%", "25%", "50%", "75%", "90%", "95%", "99%"
 
 
 def measures_of_percentiles(
-    idf: DataFrame, list_of_cols="all", drop_cols=(), exact: bool = True
+    idf: DataFrame, list_of_cols="all", drop_cols=(), exact: bool = False
 ) -> DataFrame:
     """[attribute, min, 1%, 5%, 10%, 25%, 50%, 75%, 90%, 95%, 99%, max]
     (reference: stats_generator.py:832-916) — one agg pass, array percentile."""

@@ -215,11 +215,20 @@ def range_join(
     if how == "inner":
         return pts.join(ivs, on=keys, how="inner").where(contained).drop("__bucket__")
     # left: inner-match first (cheap), then reattach unmatched points via
-    # anti-join — still all equi-joins.
+    # anti-join — still all equi-joins.  The anti-join compares every
+    # point column with NULL-SAFE equality (<=>): plain `on=pts.columns`
+    # equality would make a matched row containing a null payload value
+    # fail to match itself and be emitted twice (once matched, once as a
+    # fabricated unmatched row).  EqualNullSafe keys still plan as a hash
+    # equi-join.
     matched = pts.join(ivs, on=keys, how="inner").where(contained)
-    unmatched = pts.join(
-        matched.select(*pts.columns).distinct(), on=pts.columns, how="left_anti"
-    )
+    m_pts = matched.select(*pts.columns).distinct().alias("__m__")
+    p_al = pts.alias("__p__")
+    anti_cond = None
+    for c in pts.columns:
+        eq = F.col(f"__p__.{c}").eqNullSafe(F.col(f"__m__.{c}"))
+        anti_cond = eq if anti_cond is None else anti_cond & eq
+    unmatched = p_al.join(m_pts, on=anti_cond, how="left_anti")
     for c in ivs.columns:
         if c not in unmatched.columns:
             unmatched = unmatched.withColumn(c, F.lit(None).cast(ivs.schema[c].dataType))

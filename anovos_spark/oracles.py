@@ -114,6 +114,16 @@ def cardinality_sql() -> str:
     return _union(parts)
 
 
+def approx_stats_band_sql() -> str:
+    # the Spark query asserts its own approx-vs-exact error bands and emits
+    # indicator columns; the oracle is the all-ones literal per attribute
+    parts = [
+        f"SELECT '{c}' AS attribute, 1 AS pctl_within_band, 1 AS distinct_within_band"
+        for c in sorted(LINEITEM_NUM)
+    ]
+    return _union(parts) + " ORDER BY attribute"
+
+
 def dispersion_sql() -> str:
     # decimal-exact s1/s2 then the same double expression the engine uses:
     # var = (s2 − s1²/n)/(n−1) — bit-identical at any parallelism
@@ -1611,6 +1621,7 @@ def registry() -> dict[str, str]:
         "nonzero_count": nonzero_sql(),
         "central_tendency": central_tendency_sql(),
         "cardinality": cardinality_sql(),
+        "approx_stats_band": approx_stats_band_sql(),
         "dispersion": dispersion_sql(),
         "percentiles": percentiles_sql(),
         "shape": shape_sql(),

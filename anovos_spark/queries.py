@@ -95,6 +95,45 @@ def q_shape(spark, sf_dir):
     return stats.measures_of_shape(table(spark, sf_dir, "lineitem"))
 
 
+def q_approx_stats_band(spark, sf_dir):
+    """Approx-mode accuracy gate: the production default is
+    percentile_approx(acc 100) / HLL(rsd 0.05) (the reference's own
+    envelope — stats_generator.py:566-567, quality_checker.py:847), so
+    this query runs BOTH modes in one aggregation and emits whether the
+    approx answers sit inside the documented error bands.  The oracle is
+    the all-ones literal — a hash mismatch means the approx path drifted
+    out of its contract."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in LINEITEM_NUM:
+        aggs += [
+            F.expr(f"percentile_approx({c}, 0.5, 100)").cast("double").alias(f"{c}__ap"),
+            F.expr(f"percentile({c}, 0.5)").cast("double").alias(f"{c}__ep"),
+            F.approx_count_distinct(c, 0.05).alias(f"{c}__ad"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ed"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__ap, {c}__ep, cast({c}__ad as double), cast({c}__ed as double)"
+        for c in LINEITEM_NUM
+    )
+    long = wide.selectExpr(
+        f"stack({len(LINEITEM_NUM)}, {stack}) as (attribute, ap, ep, ad, ed)"
+    )
+    # bands: acc=100 → rank error <= 1% of rows (value band: 5% rel or one
+    # unit on these integer-ish domains); HLL rsd 0.05 → 3*sigma = 15%
+    return long.select(
+        "attribute",
+        (
+            F.abs(F.col("ap") - F.col("ep"))
+            <= F.greatest(F.abs(F.col("ep")) * 0.05, F.lit(1.0))
+        ).cast("int").alias("pctl_within_band"),
+        (F.abs(F.col("ad") - F.col("ed")) <= F.col("ed") * 0.15)
+        .cast("int")
+        .alias("distinct_within_band"),
+    ).orderBy("attribute")
+
+
 # --------------------------------------------------------------------------- #
 # quality checker
 # --------------------------------------------------------------------------- #
@@ -2179,6 +2218,7 @@ _APPROX_COST = {
     "asof_join_events": 0.7, "range_join_events": 0.7, "streaming_join": 7.0,
     "hash_split": 0.4, "vocabulary": 0.8, "pack_sequences": 0.5,
     "pii_redaction": 0.6, "repetition_stats": 0.9, "contamination_check": 0.9,
+    "approx_stats_band": 2.4,
 }
 
 
@@ -2189,6 +2229,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nonzero_count": q_nonzero,
         "central_tendency": q_central_tendency,
         "cardinality": q_cardinality,
+        "approx_stats_band": q_approx_stats_band,
         "dispersion": q_dispersion,
         "percentiles": q_percentiles,
         "shape": q_shape,

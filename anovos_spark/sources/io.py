@@ -75,9 +75,16 @@ def write_dataset(
     odf = idf.select(column_order) if column_order else idf
     if n_parts is not None:
         n_parts = int(n_parts)
-        # Catalyst size estimate avoids the RDD-conversion job a
+        # Catalyst size estimate avoids the RDD-conversion work a
         # .rdd.getNumPartitions() probe would trigger (same pattern as
-        # core.utils.fan_out); RDD probe only as fallback.
+        # core.utils.fan_out).  But Catalyst sizes are grossly
+        # OVERestimated after joins (and default to huge values for
+        # unknown leaves), and picking coalesce off an overestimate is
+        # harmful: coalesce can only shrink, so a request to repartition
+        # UP silently becomes a no-op.  Repartition off an underestimate
+        # is merely one extra shuffle.  So: reject implausible estimates,
+        # and confirm the cheap-path coalesce decision with the real
+        # partition count before committing to it.
         try:
             size = int(odf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
             max_pb = int(
@@ -85,8 +92,12 @@ def write_dataset(
                     "spark.sql.files.maxPartitionBytes", "134217728b"
                 ).rstrip("b")
             )
+            if size <= 0 or size >= (1 << 50):  # >1 PiB: stats default/unknown
+                raise ValueError("implausible Catalyst size estimate")
             current = max(1, size // max_pb)
         except Exception:
+            current = odf.rdd.getNumPartitions()
+        if n_parts < current:
             current = odf.rdd.getNumPartitions()
         odf = odf.coalesce(n_parts) if n_parts < current else odf.repartition(n_parts)
 

@@ -266,9 +266,20 @@ def stream_stream_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     joined = lw.join(rw, cond, how)
-    # drop the duplicated right-side key columns (kept once from the left)
-    for k in keys:
-        joined = joined.drop(rw[k])
+    # Keep the key columns exactly once.  For rightOuter/fullOuter the
+    # unmatched right rows carry null LEFT keys, so the kept key must be
+    # coalesce(left, right) or those rows' key values are lost; for
+    # inner/leftOuter the left key is always populated and a plain drop
+    # of the right duplicate suffices.
+    if how in ("rightOuter", "fullOuter"):
+        keep = [F.coalesce(lw[k], rw[k]).alias(k) for k in keys]
+        # joined.columns contains each key twice (left + right); select the
+        # coalesced key once plus every non-key column (unique by contract).
+        non_key = [c for c in joined.columns if c not in keys]
+        joined = joined.select(*keep, *[F.col(c) for c in non_key])
+    else:
+        for k in keys:
+            joined = joined.drop(rw[k])
     return joined
 
 
@@ -306,30 +317,106 @@ def write_stream(
     )
 
 
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _list_batch_ids(spark, run_dir: str) -> list[int]:
+    """Batch-partition directory names under a run dir (empty if absent)."""
+    fs, jpath, _ = _hadoop_fs(spark, run_dir)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if name.startswith("batch_id="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return out
+
+
 def incremental_stats_sink(
     sdf: DataFrame,
     value_cols,
     state_path: str,
     query_name: str = "incremental_stats",
     trigger_available_now: bool = True,
+    run_id: str = "run0",
+    checkpoint: str | None = None,
+    compact_every: int = 64,
 ):
     """Maintain mergeable per-column statistics across micro-batches via
     foreachBatch: each batch computes its partial (n, sum, sum2, min,
     max) per column — the same associative partials the batch stats
-    batteries aggregate — and the sink MERGES them into a parquet state
-    table at ``state_path``.  Readers derive mean/variance from the
-    merged partials at any time (variance via the sum-of-squares
-    identity, exactly how distributed batch aggregation combines
-    partitions).
+    batteries aggregate — and writes them into a partitioned parquet
+    state table at ``state_path/run_id=<run_id>/batch_id=<n>``.  Readers
+    (read_incremental_stats) derive mean/variance from the merged
+    partials at any time (variance via the sum-of-squares identity,
+    exactly how distributed batch aggregation combines partitions).
 
-    This is the streaming face of the stats generator: state is one row
-    per column regardless of stream length, every merge is O(cols), and
-    the sink is idempotent per batch id (the batch id is stored; replays
-    of an already-merged batch are skipped — the foreachBatch
-    exactly-once pattern)."""
+    Exactly-once / crash-safety design (no read-union-overwrite):
+    - Each batch OVERWRITES only its own ``batch_id=<n>`` directory, so a
+      replayed batch rewrites identical content — idempotent without any
+      read of existing state, and no failure mode can clobber other
+      batches' partials (the old overwrite-via-tmp rewrite could lose the
+      whole table on a transient read failure).
+    - Spark's batch ids are only unique per query/checkpoint, so state is
+      additionally keyed by ``run_id``: pass a fresh run_id (or a stable
+      checkpoint) per logical run; a restarted query with a new run_id
+      can never silently drop batches that collide with stored ids.
+    - State stays bounded: once more than ``compact_every`` live batch
+      directories exist, they are folded into ONE row per column, written
+      to a new compact generation directory whose ``merged_through``
+      column is the commit record (readers ignore batch dirs at or below
+      the highest committed merged_through), and only then are the
+      superseded directories garbage-collected.  A crash at any point
+      between those steps leaves a state readers still merge correctly.
+    """
     from anovos_spark.core.utils import ensure_list
 
     cols = ensure_list(value_cols)
+    run_dir = f"{state_path}/run_id={run_id}"
+    schema = (
+        "attribute string, n long, sum double, sum2 double, "
+        "vmin double, vmax double, merged_through long"
+    )
+
+    def _compact(spark, upto: int):
+        st = spark.read.parquet(run_dir)
+        compacts = st.where(F.col("batch_id") < 0)
+        m_row = compacts.agg(F.max("merged_through")).collect()[0][0]
+        merged_floor = -1 if m_row is None else int(m_row)
+        live = st.where(
+            ((F.col("batch_id") >= 0) & (F.col("batch_id") > merged_floor))
+            | ((F.col("batch_id") < 0) & (F.col("merged_through") == merged_floor))
+        )
+        merged = (
+            live.groupBy("attribute")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum").alias("sum"),
+                F.sum("sum2").alias("sum2"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+            )
+            .withColumn("merged_through", F.lit(int(upto)).cast("long"))
+        )
+        # unique generation dir: -(upto)-1 — never overwrites a previous
+        # compact generation, so the write is atomic-per-directory and the
+        # merged_through value inside is the commit record
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{run_dir}/batch_id={-(upto) - 1}"
+        )
+        # GC superseded dirs (safe any time after the commit record lands)
+        fs, _, jvm = _hadoop_fs(spark, run_dir)
+        for bid in _list_batch_ids(spark, run_dir):
+            superseded = (0 <= bid <= upto) or (bid < 0 and bid != -(upto) - 1)
+            if superseded:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{run_dir}/batch_id={bid}"), True)
 
     def merge_batch(batch_df: DataFrame, batch_id: int):
         spark = batch_df.sparkSession
@@ -347,32 +434,29 @@ def incremental_stats_sink(
         for c in cols:
             parts.append(
                 (
-                    int(batch_id),
                     c,
                     int(row[f"{c}__n"] or 0),
                     float(row[f"{c}__sum"] or 0.0),
                     float(row[f"{c}__sum2"] or 0.0),
                     row[f"{c}__min"],
                     row[f"{c}__max"],
+                    None,
                 )
             )
-        new = spark.createDataFrame(
-            parts,
-            "batch_id long, attribute string, n long, sum double, sum2 double, vmin double, vmax double",
+        new = spark.createDataFrame(parts, schema)
+        new.coalesce(1).write.mode("overwrite").parquet(
+            f"{run_dir}/batch_id={int(batch_id)}"
         )
-        try:
-            existing = spark.read.parquet(state_path)
-            already = (
-                existing.where(F.col("batch_id") == int(batch_id)).limit(1).count() > 0
-            )
-            if already:
-                return
-            existing.unionByName(new).write.mode("overwrite").parquet(state_path + "__tmp")
-            spark.read.parquet(state_path + "__tmp").write.mode("overwrite").parquet(state_path)
-        except Exception:
-            new.write.mode("overwrite").parquet(state_path)
+        live = [b for b in _list_batch_ids(spark, run_dir) if b >= 0]
+        if len(live) > compact_every:
+            # best-effort maintenance: a transient failure here never
+            # loses data (per-batch dirs remain authoritative) and the
+            # next batch retries; only genuine compaction bugs surface
+            _compact(spark, max(live))
 
     writer = sdf.writeStream.outputMode("append").queryName(query_name)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.foreachBatch(merge_batch).start()
@@ -381,9 +465,28 @@ def incremental_stats_sink(
 def read_incremental_stats(spark, state_path: str) -> DataFrame:
     """Fold the merged partials into [attribute, n, mean, variance, min,
     max] — the same derivation distributed batch aggregation applies to
-    its partition partials."""
+    its partition partials.
+
+    Per run, the authoritative rows are the newest compact generation
+    (highest committed ``merged_through``) plus every batch directory
+    above it; superseded directories that a crash left behind are simply
+    ignored, which is what makes the sink's compaction crash-safe."""
     s = spark.read.parquet(state_path)
-    agg = s.groupBy("attribute").agg(
+    data_cols = ["attribute", "n", "sum", "sum2", "vmin", "vmax"]
+    compacts = s.where(F.col("batch_id") < 0)
+    m = compacts.groupBy("run_id").agg(F.max("merged_through").alias("__M__"))
+    live_batches = (
+        s.where(F.col("batch_id") >= 0)
+        .join(m, "run_id", "left")
+        .where(F.col("__M__").isNull() | (F.col("batch_id") > F.col("__M__")))
+        .select(*data_cols)
+    )
+    live_compacts = (
+        compacts.join(m, "run_id")
+        .where(F.col("merged_through") == F.col("__M__"))
+        .select(*data_cols)
+    )
+    agg = live_batches.unionByName(live_compacts).groupBy("attribute").agg(
         F.sum("n").alias("n"),
         F.sum("sum").alias("s"),
         F.sum("sum2").alias("s2"),

@@ -84,7 +84,7 @@ def test_dispersion_huge_values_fall_back_to_double(spark):
     silent-null corruption of an unguarded decimal cast."""
     data = [(float(2e12),), (float(3e12),), (float(4e12),)]
     df = spark.createDataFrame(data, schema="x double")
-    d = _as_dict(stats.measures_of_dispersion(df))
+    d = _as_dict(stats.measures_of_dispersion(df, exact=True))
     assert d["x"]["variance"] == pytest.approx(1e24, rel=1e-6)
     assert d["x"]["stddev"] == pytest.approx(1e12, rel=1e-6)
 

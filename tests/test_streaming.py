@@ -190,6 +190,30 @@ def test_stream_stream_join(spark, stream_dir):
         )
 
 
+def test_stream_stream_join_outer_keeps_right_keys(spark):
+    # regression: rightOuter/fullOuter used to drop the right-side key
+    # columns, losing the key of unmatched right rows entirely.  The
+    # column logic is identical for batch frames (withWatermark is a
+    # no-op there), which lets us assert the final emitted rows exactly.
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, base, "l1")], "user_id long, l_ts timestamp, l_tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=1), "r1"), (99, base, "r99")],
+        "user_id long, r_ts timestamp, r_tag string",
+    )
+    out = S.stream_stream_join(
+        left, right, on="user_id", left_ts="l_ts", right_ts="r_ts",
+        within="5 minutes", how="fullOuter",
+    )
+    assert out.columns.count("user_id") == 1
+    rows = {(r["user_id"], r["l_tag"], r["r_tag"]) for r in out.collect()}
+    assert rows == {(1, "l1", "r1"), (99, None, "r99")}
+
+
 def test_rate_source_smoke(spark):
     sdf = S.read_stream(spark, "rate", options={"rowsPerSecond": "10"})
     assert sdf.isStreaming
@@ -200,15 +224,25 @@ def test_incremental_stats_sink(spark, stream_dir, tmp_path):
     import pyspark.sql.functions as F
 
     schema = "event_id long, ts timestamp, user_id long, value double"
-    sdf = S.read_stream(
-        spark, "parquet", f"{stream_dir}/input", schema=schema,
-        options={"maxFilesPerTrigger": "1"},
-    )
+    # multi-file input so maxFilesPerTrigger=1 yields several micro-batches
+    multi = str(tmp_path / "multi_input")
+    spark.read.parquet(f"{stream_dir}/input").repartition(6).write.parquet(multi)
+
+    def run(state, run_id, qn, compact_every=64):
+        sdf = S.read_stream(
+            spark, "parquet", multi, schema=schema,
+            options={"maxFilesPerTrigger": "1"},
+        )
+        q = S.incremental_stats_sink(
+            sdf, ["value"], state, query_name=qn, run_id=run_id,
+            compact_every=compact_every,
+        )
+        _drain(q)
+
     state = str(tmp_path / "inc_stats")
-    q = S.incremental_stats_sink(sdf, ["value"], state, query_name="inc1")
-    _drain(q)
+    run(state, "runA", "inc1")
     out = {r["attribute"]: r for r in S.read_incremental_stats(spark, state).collect()}
-    batch = spark.read.parquet(f"{stream_dir}/input").agg(
+    batch = spark.read.parquet(multi).agg(
         F.count("value").alias("n"),
         F.round(F.avg("value"), 6).alias("mean"),
         F.round(F.var_samp("value"), 6).alias("var"),
@@ -220,9 +254,55 @@ def test_incremental_stats_sink(spark, stream_dir, tmp_path):
     assert abs(v["mean"] - batch["mean"]) < 1e-6
     assert abs(v["variance"] - batch["var"]) < 1e-4
     assert v["min"] == batch["mn"] and v["max"] == batch["mx"]
-    # idempotent: re-running the same (already merged) batches is a no-op
-    sdf2 = S.read_stream(spark, "parquet", f"{stream_dir}/input", schema=schema)
-    q2 = S.incremental_stats_sink(sdf2, ["value"], state, query_name="inc2")
+    # replay the SAME run (same run_id, same batch sequence): each batch
+    # overwrites its own directory with identical content → stats unchanged
+    run(state, "runA", "inc1_replay")
+    v2 = {r["attribute"]: r for r in S.read_incremental_stats(spark, state).collect()}["value"]
+    assert v2["n"] == v["n"] and v2["mean"] == v["mean"]
+    # a genuinely NEW logical run gets its own run_id → contributes fully
+    run(state, "runB", "inc2")
+    v3 = {r["attribute"]: r for r in S.read_incremental_stats(spark, state).collect()}["value"]
+    assert v3["n"] == 2 * v["n"]
+
+
+def test_incremental_stats_sink_compaction(spark, stream_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    multi = str(tmp_path / "multi_input")
+    spark.read.parquet(f"{stream_dir}/input").repartition(6).write.parquet(multi)
+    state = str(tmp_path / "inc_stats_c")
+    sdf = S.read_stream(
+        spark, "parquet", multi, schema=schema, options={"maxFilesPerTrigger": "1"},
+    )
+    q = S.incremental_stats_sink(
+        sdf, ["value"], state, query_name="inc_c", run_id="runC", compact_every=2,
+    )
+    _drain(q)
+    # compaction folded old batches: live dirs bounded by compact_every+1,
+    # independent of the 6 micro-batches that ran
+    bids = S._list_batch_ids(spark, f"{state}/run_id=runC")
+    assert any(b < 0 for b in bids)  # a compact generation exists
+    assert len([b for b in bids if b >= 0]) <= 3
+    # and the folded stats are still exact
+    v = {r["attribute"]: r for r in S.read_incremental_stats(spark, state).collect()}["value"]
+    batch = spark.read.parquet(multi).agg(
+        F.count("value").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    ).collect()[0]
+    assert v["n"] == batch["n"] and abs(v["mean"] - batch["mean"]) < 1e-6
+    assert v["min"] == batch["mn"] and v["max"] == batch["mx"]
+    # replaying an already-compacted batch id writes a superseded dir the
+    # reader must ignore (crash-safety contract): simulate by re-running
+    # the same run — totals must not change
+    sdf2 = S.read_stream(
+        spark, "parquet", multi, schema=schema, options={"maxFilesPerTrigger": "1"},
+    )
+    q2 = S.incremental_stats_sink(
+        sdf2, ["value"], state, query_name="inc_c2", run_id="runC", compact_every=100,
+    )
     _drain(q2)
     v2 = {r["attribute"]: r for r in S.read_incremental_stats(spark, state).collect()}["value"]
-    assert v2["n"] >= v["n"]  # new batch ids merge; replayed ids skipped
+    assert v2["n"] == batch["n"]

@@ -123,6 +123,24 @@ def test_range_join_brute_force_and_plan(spark):
     assert got == {(10, 1), (10, 2), (11, 2), (13, 3), (12, None), (14, None)}
 
 
+def test_range_join_left_null_payload_not_duplicated(spark):
+    # regression: a matched point carrying a NULL payload column used to
+    # fail the (null-unsafe) anti-join against itself and be emitted a
+    # second time as a fabricated unmatched row
+    ivs = spark.createDataFrame(
+        [("u1", 1, _ts(1, 9), _ts(1, 11))], ["uid", "iv_id", "start", "end"]
+    )
+    pts = spark.createDataFrame(
+        [("u1", 10, _ts(1, 10), None), ("u1", 11, _ts(1, 8), None)],
+        "uid string, pt_id long, ts timestamp, payload string",
+    )
+    left = range_join(pts, ivs, "ts", "start", "end", by="uid", how="left")
+    rows = sorted(
+        [(r["pt_id"], r["iv_id"]) for r in left.collect()], key=lambda t: t[0]
+    )
+    assert rows == [(10, 1), (11, None)]
+
+
 def test_range_join_bucket_inference_spans_buckets(spark):
     # interval longer than the inferred bucket must still match points in
     # every covered bucket (explode covers the grid)
