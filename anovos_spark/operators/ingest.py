@@ -130,24 +130,42 @@ def data_sample(
     strata_cols=None,
     fraction: float = 0.1,
     method_type: str = "random",
+    stratified_type: str = "population",
     seed: int = 12,
 ) -> DataFrame:
-    """Random or stratified-proportionate sampling
+    """Random or stratified sampling
     (reference: data_ingest/data_sampling.py:8-149; seed 12 per :20).
 
-    Stratified uses sampleBy on a concatenated strata key — one scan, no
-    per-stratum jobs.
+    ``stratified_type='population'`` is proportionate allocation: every
+    stratum sampled at ``fraction``.  ``'balanced'`` is the reference's
+    optimum-allocation mode (data_sampling.py:58-63, 128-146): each
+    stratum's fraction becomes ``fraction * smallest_count /
+    stratum_count``, so every stratum yields the SAME expected sample
+    size (``fraction × |smallest stratum|``).
+
+    Both modes use sampleBy on a concatenated strata key — one bounded
+    groupBy count (strata are dimension-sized by contract) plus one
+    sampling scan, no per-stratum jobs.
     """
     if method_type == "random":
         return idf.sample(withReplacement=False, fraction=fraction, seed=seed)
+    if stratified_type not in ("population", "balanced"):
+        raise ValueError("stratified_type must be 'population' or 'balanced'")
     strata_cols = ensure_list(strata_cols)
     if not strata_cols:
         raise ValueError("stratified sampling requires strata_cols")
     keyed = idf.withColumn(
         "__strata__", F.concat_ws("\u0001", *[F.col(c).cast("string") for c in strata_cols])
     )
-    strata = [r["__strata__"] for r in keyed.select("__strata__").distinct().collect()]
-    fractions = {s: fraction for s in strata}
+    counts = {
+        r["__strata__"]: r["n"]
+        for r in keyed.groupBy("__strata__").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if stratified_type == "balanced":
+        smallest = min(counts.values())
+        fractions = {s: min(1.0, fraction * smallest / n) for s, n in counts.items()}
+    else:
+        fractions = {s: fraction for s in counts}
     return keyed.sampleBy("__strata__", fractions, seed=seed).drop("__strata__")
 
 

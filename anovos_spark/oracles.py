@@ -1733,7 +1733,9 @@ FROM fullg GROUP BY 1, 2""",
 SELECT 'overall:random' AS stratum, 0.1 AS ratio
 UNION ALL SELECT 'overall:stratified', 0.1
 UNION ALL
-SELECT 'stratum:' || l_returnflag, 0.1 FROM lineitem GROUP BY l_returnflag""",
+SELECT 'stratum:' || l_returnflag, 0.1 FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'balanced:' || l_returnflag, 1.0 FROM lineitem GROUP BY l_returnflag""",
         "comparative_drift_frame": """
 WITH t AS (
   SELECT coalesce(o_orderpriority, 'Missing') AS k,

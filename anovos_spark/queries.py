@@ -1180,7 +1180,29 @@ def q_data_sample(spark, sf_dir):
             F.round(F.col("n") / F.col("nt"), 2).alias("ratio"),
         )
     )
-    return overall.unionByName(per_stratum)
+    # balanced mode: every stratum's sample ≈ fraction × |smallest stratum|.
+    # Binomial σ ≤ sqrt(fraction·smallest)/smallest, so a 5σ indicator band
+    # is deterministic-in-practice at every SF (unlike 2-decimal rounding,
+    # which sits on the boundary at sf0.001's small strata).
+    bal = data_sample(
+        li, strata_cols=["l_returnflag"], fraction=0.1,
+        method_type="stratified", stratified_type="balanced", seed=12,
+    )
+    smallest = (
+        li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("nt"))
+        .agg(F.min("nt")).collect()[0][0]
+    )
+    band = 5.0 * (0.1 / float(smallest)) ** 0.5
+    per_balanced = (
+        bal.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(F.lit("balanced:"), F.col("l_returnflag")).alias("stratum"),
+            (
+                F.abs(F.col("n") / F.lit(float(smallest)) - F.lit(0.1)) <= F.lit(band)
+            ).cast("double").alias("ratio"),
+        )
+    )
+    return overall.unionByName(per_stratum).unionByName(per_balanced)
 
 
 def q_concatenate(spark, sf_dir):

@@ -149,3 +149,32 @@ def test_temperature_sample(spark):
     assert a == b
     # alpha=1 is a no-op rebalance (rates all 1)
     assert temperature_sample(df, "g", "k", alpha=1.0).count() == 440
+
+
+def test_data_sample_balanced(spark):
+    from anovos_spark.operators.ingest import data_sample
+
+    # 3 strata with very different sizes: balanced mode should yield
+    # roughly equal sample counts (fraction x smallest) per stratum
+    # (reference behavior spec: data_sampling.py:128-146,
+    # test_data_sampling.py's balanced branch)
+    rows = [("a", i) for i in range(2000)] + [("b", i) for i in range(500)] + [
+        ("c", i) for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    out = data_sample(
+        df, strata_cols=["g"], fraction=0.4,
+        method_type="stratified", stratified_type="balanced", seed=12,
+    )
+    sizes = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # expected 100 per stratum; 5 sigma ~ 50
+    for g in ("a", "b", "c"):
+        assert 50 < sizes[g] < 150, sizes
+    # population mode keeps proportions instead
+    prop = data_sample(
+        df, strata_cols=["g"], fraction=0.4, method_type="stratified", seed=12,
+    )
+    psizes = {r["g"]: r["n"] for r in prop.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert psizes["a"] > 3 * psizes["c"]
+    with pytest.raises(ValueError):
+        data_sample(df, strata_cols=["g"], method_type="stratified", stratified_type="bogus")
