@@ -314,6 +314,7 @@ def temperature_sample(
     alpha: float = 0.7,
     target_total: int | None = None,
     seed: int = 42,
+    max_literal_groups: int = 10_000,
 ) -> DataFrame:
     """Temperature-based group rebalancing: sample group g with expected
     size proportional to ``n_g ** alpha`` (alpha < 1 upweights small
@@ -323,27 +324,20 @@ def temperature_sample(
     group's keep-rate, so the sample is identical on any cluster size or
     engine (same construction as hash_split), and expected sizes follow
     the temperature law with per-row independence — no shuffle of the
-    data at all.  The only aggregation is the per-group count (one agg,
-    #groups rows to the driver); keep-rates ride back in as a literal
-    CASE.  target_total defaults to the input row count (pure
-    rebalancing); rates cap at 1 (small groups can't be upsampled
-    without replacement — callers repeat epochs for that).
-    """
-    counts = {
-        r["g"]: r["n"]
-        for r in idf.groupBy(F.col(group_col).alias("g"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    if not counts:
-        return idf
-    total = sum(counts.values())
-    target = total if target_total is None else int(target_total)
-    weight = {g: n**alpha for g, n in counts.items()}
-    wsum = sum(weight.values())
-    rate = {
-        g: min(1.0, (weight[g] / wsum) * target / counts[g]) for g in counts
-    }
+    data at all.
+
+    Two keep-rate delivery paths, picked by cardinality:
+    - ≤ ``max_literal_groups`` groups (one bounded collect): rates ride
+      in as a literal CASE — zero joins, stays in the scan's codegen.
+    - above that (e.g. 1M web domains): collecting 1M counts and
+      compiling a 1M-branch CASE would melt the driver, so the rates are
+      computed IN-PLAN (per-group count + group-count-sized global
+      window for the normalizing sums) and broadcast-joined back —
+      one BroadcastHashJoin, data never shuffles.
+
+    target_total defaults to the input row count (pure rebalancing);
+    rates cap at 1 (small groups can't be upsampled without replacement
+    — callers repeat epochs for that)."""
     frac = (
         F.conv(
             F.substring(
@@ -360,9 +354,48 @@ def temperature_sample(
         ).cast("double")
         / F.lit(4294967296.0)
     )
-    expr = None
-    for g, r in rate.items():
-        cond = F.col(group_col) == F.lit(g)
-        expr = F.when(cond, F.lit(r)) if expr is None else expr.when(cond, F.lit(r))
-    expr = expr.otherwise(F.lit(0.0))
-    return idf.where(frac < expr)
+    counts_df = idf.groupBy(F.col(group_col).alias("__g__")).agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    # limit(k+1) tells us whether the full set fits without a count job:
+    # if it returned ≤ k rows, that IS the complete group list
+    rows = counts_df.limit(max_literal_groups + 1).collect()
+    if len(rows) <= max_literal_groups:
+        counts = {r["__g__"]: r["__n__"] for r in rows}
+        if not counts:
+            return idf
+        total = sum(counts.values())
+        target = total if target_total is None else int(target_total)
+        weight = {g: n**alpha for g, n in counts.items()}
+        wsum = sum(weight.values())
+        rate = {
+            g: min(1.0, (weight[g] / wsum) * target / counts[g]) for g in counts
+        }
+        expr = None
+        for g, r in rate.items():
+            cond = F.col(group_col) == F.lit(g)
+            expr = F.when(cond, F.lit(r)) if expr is None else expr.when(cond, F.lit(r))
+        expr = expr.otherwise(F.lit(0.0))
+        return idf.where(frac < expr)
+    # scale path — in-plan rates, broadcast-joined.  The empty-partition
+    # window runs over the GROUP-COUNT-sized frame (bounded metadata, not
+    # the data frame), the one shape where a global window is acceptable.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    n_d = F.col("__n__").cast("double")
+    wsum = F.sum(F.pow(n_d, F.lit(float(alpha)))).over(w)
+    total = F.sum("__n__").over(w).cast("double")
+    target = F.lit(float(target_total)) if target_total is not None else total
+    rates = counts_df.select(
+        "__g__",
+        F.least(
+            F.lit(1.0), F.pow(n_d, F.lit(float(alpha))) / wsum * target / n_d
+        ).alias("__rate__"),
+    )
+    # plain equality: null-group rows drop out, matching the literal-CASE
+    # path (null never satisfies `group == lit(g)` so it falls to rate 0)
+    joined = idf.join(
+        F.broadcast(rates), idf[group_col] == rates["__g__"], "inner"
+    )
+    return joined.where(frac < F.col("__rate__")).drop("__g__", "__rate__")

@@ -178,3 +178,44 @@ def test_data_sample_balanced(spark):
     assert psizes["a"] > 3 * psizes["c"]
     with pytest.raises(ValueError):
         data_sample(df, strata_cols=["g"], method_type="stratified", stratified_type="bogus")
+
+
+def test_temperature_sample_scale_path(spark):
+    from anovos_spark.operators.ingest import temperature_sample
+
+    # 2k groups of 3 rows + one huge group; force the broadcast-join path
+    # with a low max_literal_groups and check it matches the CASE path
+    df = spark.range(0, 16_000).select(
+        F.when(F.col("id") < 6_000, (F.col("id") % 2_000).cast("string"))
+        .otherwise(F.lit("mega")).alias("g"),
+        F.col("id").alias("k"),
+    )
+    out = temperature_sample(df, "g", "k", alpha=0.5, seed=7, max_literal_groups=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("WHEN") < 50  # rates are NOT a per-group CASE chain
+    lit_out = temperature_sample(df, "g", "k", alpha=0.5, seed=7, max_literal_groups=5_000)
+    a = {(r["g"], r["k"]) for r in out.collect()}
+    b = {(r["g"], r["k"]) for r in lit_out.collect()}
+    assert a == b and len(a) > 0
+    # temperature law: mega group downsampled, tiny groups kept whole
+    sizes = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes["mega"] < 10_000
+    assert sum(v for g, v in sizes.items() if g != "mega") == 6_000
+    # deterministic under repartitioning
+    c = {
+        (r["g"], r["k"])
+        for r in temperature_sample(
+            df.repartition(7), "g", "k", alpha=0.5, seed=7, max_literal_groups=100
+        ).collect()
+    }
+    assert a == c
+    # 100k-group cardinality would OOM the driver as a literal CASE (the
+    # exact failure mode the join path removes) — join path handles it
+    big = spark.range(0, 200_000).select(
+        (F.col("id") % 100_000).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    big_out = temperature_sample(big, "g", "k", alpha=0.7, seed=3)
+    assert "BroadcastHashJoin" in big_out._jdf.queryExecution().executedPlan().toString()
+    n = big_out.count()
+    assert 190_000 <= n <= 200_000  # alpha≈1 on equal-ish groups keeps nearly all
