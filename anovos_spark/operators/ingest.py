@@ -97,6 +97,63 @@ def join_dataset(
     return pairwise_reduce(_join, list(idfs))
 
 
+def join_dataset_auto(
+    left: DataFrame,
+    right: DataFrame,
+    join_cols,
+    join_type: str = "inner",
+    skew_threshold: float = 50.0,
+    salt_buckets: int = 16,
+    sample_fraction: float | None = None,
+    broadcast_smaller: bool = False,
+):
+    """Skew-aware join: consult ``key_skew_report`` on the left side's
+    composite join key and pick the physical strategy — the pre-flight
+    advisor SCALE.md describes, wired as one call (and as the YAML
+    pipeline's ``join_dataset: {skew: auto}`` mode).
+
+    If the hottest key does more than ``skew_threshold``× the average
+    key's work (the straggler profile AQE's skew split often can't fix
+    when one key exceeds a whole partition), the join runs salted;
+    otherwise the plain Catalyst/AQE join.  ``sample_fraction`` bounds
+    the probe's cost on huge inputs (skew ratios of hot keys survive
+    uniform sampling).  Salting supports inner/left; other join types
+    always take the plain path.
+
+    Returns ``(odf, decision)`` where decision carries the skew report
+    row plus the chosen strategy, so pipelines can log the reasoning.
+    """
+    from anovos_spark.operators.stats import key_skew_report
+
+    join_cols = ensure_list(join_cols)
+    probe = left.select(
+        F.concat_ws(
+            "", *[F.col(c).cast("string") for c in join_cols]
+        ).alias("__joinkey__")
+    )
+    if sample_fraction:
+        probe = probe.sample(fraction=float(sample_fraction), seed=42)
+    rows = key_skew_report(probe, ["__joinkey__"]).collect()
+    rep = rows[0].asDict() if rows else {}
+    ratio = rep.get("skew_ratio")
+    saltable = join_type in ("inner", "left")
+    decision = dict(rep)
+    if ratio is not None and ratio > skew_threshold and saltable:
+        decision["strategy"] = f"salted[{salt_buckets}]"
+        return salted_join(left, right, join_cols, join_type, salt_buckets), decision
+    decision["strategy"] = "plain"
+    return (
+        join_dataset(
+            left,
+            right,
+            join_cols=join_cols,
+            join_type=join_type,
+            broadcast_smaller=broadcast_smaller,
+        ),
+        decision,
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -82,6 +82,7 @@ class PipelineResult:
         self.stats = None
         self.timings: dict[str, float] = {}
         self.quality_reports: dict[str, DataFrame] = {}
+        self.join_decision: dict | None = None
 
 
 def run_pipeline(
@@ -127,16 +128,36 @@ def run_pipeline(
     if "join_dataset" in config:
         jc = dict(config["join_dataset"])
         other = read_dataset(spark, **jc.pop("read"))
-        df = timed(
-            "join",
-            lambda: ingest.join_dataset(
-                df,
-                other,
-                join_cols=jc["join_cols"],
-                join_type=jc.get("join_type", "inner"),
-                broadcast_smaller=jc.get("broadcast", False),
-            ),
-        )
+        skew = jc.get("skew")
+        if skew:  # 'auto' or {mode: auto, threshold: .., salt_buckets: ..}
+            opts = dict(skew) if isinstance(skew, dict) else {}
+
+            def _auto_join():
+                odf, decision = ingest.join_dataset_auto(
+                    df,
+                    other,
+                    join_cols=jc["join_cols"],
+                    join_type=jc.get("join_type", "inner"),
+                    skew_threshold=float(opts.get("threshold", 50.0)),
+                    salt_buckets=int(opts.get("salt_buckets", 16)),
+                    sample_fraction=opts.get("sample_fraction"),
+                    broadcast_smaller=jc.get("broadcast", False),
+                )
+                result.join_decision = decision
+                return odf
+
+            df = timed("join", _auto_join)
+        else:
+            df = timed(
+                "join",
+                lambda: ingest.join_dataset(
+                    df,
+                    other,
+                    join_cols=jc["join_cols"],
+                    join_type=jc.get("join_type", "inner"),
+                    broadcast_smaller=jc.get("broadcast", False),
+                ),
+            )
 
     # ---- quality checker (mutating) ----------------------------------- #
     for name, kwargs in (config.get("quality_checker") or {}).items():

@@ -258,3 +258,42 @@ def test_pipeline_text_stages(spark, sf_dir):
     cont = res.stats.get("main", "contamination_check")
     row = cont.agg(F.min("contamination_frac")).collect()[0][0]
     assert row == 1.0
+
+
+def test_pipeline_skew_auto_join(spark, tmp_path):
+    # skewed fact: one key holds 90% of rows -> skew:auto must salt
+    fact = spark.range(0, 5000).select(
+        F.when(F.col("id") < 4500, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim_val")
+    )
+    fp, dp = str(tmp_path / "fact"), str(tmp_path / "dim")
+    fact.write.parquet(fp)
+    dim.write.parquet(dp)
+    config = {
+        "input_dataset": {"read": {"file_path": fp, "file_type": "parquet"}},
+        "join_dataset": {
+            "read": {"file_path": dp, "file_type": "parquet"},
+            "join_cols": "k",
+            "join_type": "inner",
+            "skew": {"mode": "auto", "threshold": 50, "salt_buckets": 8},
+        },
+    }
+    res = run_pipeline(spark, config)
+    assert res.join_decision["strategy"] == "salted[8]"
+    assert res.join_decision["skew_ratio"] > 50
+    # salted plan: the join key set includes the salt column
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt__" in plan
+    assert res.df.count() == 5000
+    # uniform key -> plain join, no salt in plan
+    uni = spark.range(0, 5000).select(F.col("id").alias("k"), F.col("id").alias("payload"))
+    up = str(tmp_path / "uni")
+    uni.write.parquet(up)
+    config["input_dataset"]["read"]["file_path"] = up
+    res2 = run_pipeline(spark, config)
+    assert res2.join_decision["strategy"] == "plain"
+    assert "__salt__" not in res2.df._jdf.queryExecution().executedPlan().toString()
+    assert res2.df.count() == 5000
