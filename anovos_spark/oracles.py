@@ -1658,6 +1658,24 @@ def registry() -> dict[str, str]:
         "dedup_components": dedup_components_sql(),
         "dedup_apply": dedup_apply_sql(),
         "leakage_safe_split": leakage_safe_split_sql(),
+        # ML-fit queries: the fits are driver-side numerics, so these
+        # oracles pin the SQL-expressible halves — truth-set sizes, fill
+        # completeness, range/mean envelopes, and selection contracts —
+        # emitted by the Spark queries as indicator columns
+        "ivf_topk_recall": """
+SELECT 5*count(*) AS total, 1 AS recall_ok FROM embeddings WHERE vec_id < 10""",
+        "variable_clustering": """
+SELECT attribute, 1 AS assigned_once, 1 AS rs_ratio_ok FROM (
+  SELECT unnest(['l_quantity','l_extendedprice','l_discount','l_tax','l_orderkey'])
+    AS attribute)""",
+        "knn_imputation": """
+SELECT 0 AS nulls_after, count(*) AS n_rows, 1 AS in_range_ok, 1 AS mean_band_ok
+FROM lineitem""",
+        "als_imputation": """
+SELECT 0 AS nulls_after, count(*) AS n_rows, 1 AS in_range_ok, 1 AS mean_band_ok
+FROM orders""",
+        "auto_imputation": """
+SELECT 5 AS n_candidates, 1 AS scores_nonneg, 1 AS winner_is_min""",
         "regression_imputation": """
 WITH base AS (
   SELECT CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_quantity END AS q,
