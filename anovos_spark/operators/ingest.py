@@ -128,7 +128,7 @@ def join_dataset_auto(
     join_cols = ensure_list(join_cols)
     probe = left.select(
         F.concat_ws(
-            "", *[F.col(c).cast("string") for c in join_cols]
+            "\x01", *[F.col(c).cast("string") for c in join_cols]
         ).alias("__joinkey__")
     )
     if sample_fraction:

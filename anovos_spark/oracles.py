@@ -1044,13 +1044,24 @@ def _hav(lat1, lon1, lat2, lon2):
 
 
 def geo_distance_sql() -> str:
+    from anovos_spark.operators.geospatial import vincenty_steps
+
     d = _hav("lat", "lon", "lat2", "lon2")
+    # replay the engine's exact unrolled Vincenty program as a CTE chain —
+    # identical expression text on both engines (geospatial.vincenty_steps)
+    steps = vincenty_steps("lat", "lon", "lat2", "lon2")
+    ctes = [f"s0 AS (SELECT * FROM {_COORDS} pts)"]
+    for i, (name, expr) in enumerate(steps):
+        ctes.append(f"s{i + 1} AS (SELECT *, {expr} AS {name} FROM s{i})")
     return f"""
+WITH {', '.join(ctes)}
 SELECT c_nationkey, count(*)::BIGINT AS n,
        round(avg({d}), 6) AS avg_dist_km,
        round(min({d}), 6) AS min_dist_km,
-       round(max({d}), 6) AS max_dist_km
-FROM {_COORDS} pts GROUP BY 1"""
+       round(max({d}), 6) AS max_dist_km,
+       round(avg(v_dist_m/1000.0), 6) AS avg_vinc_km,
+       round(max(v_dist_m/1000.0), 6) AS max_vinc_km
+FROM s{len(steps)} GROUP BY 1"""
 
 
 def reverse_geocoding_sql() -> str:

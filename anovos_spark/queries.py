@@ -872,11 +872,16 @@ def q_geo_distance(spark, sf_dir):
     from anovos_spark.operators.geospatial import location_distance
 
     df = location_distance(_cust_coords(spark, sf_dir), "lat", "lon", "lat2", "lon2")
+    df = location_distance(
+        df, "lat", "lon", "lat2", "lon2", method="vincenty", result_col="vinc_km"
+    )
     return df.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("distance_km"), 6).alias("avg_dist_km"),
         F.round(F.min("distance_km"), 6).alias("min_dist_km"),
         F.round(F.max("distance_km"), 6).alias("max_dist_km"),
+        F.round(F.avg("vinc_km"), 6).alias("avg_vinc_km"),
+        F.round(F.max("vinc_km"), 6).alias("max_vinc_km"),
     )
 
 

@@ -24,6 +24,43 @@ def test_haversine(spark):
     assert abs(out["distance_km"] - 343.5) < 2.0  # Paris-London ≈ 343-344 km
 
 
+def test_vincenty_canonical_vector(spark):
+    # GDA technical manual test line: Flinders Peak -> Buninyong is
+    # 54 972.271 m on the WGS-84/GRS-80 ellipsoid (sub-mm agreement
+    # expected from the 6-iteration unroll).
+    def dms(d, m, s):
+        sign = -1 if d < 0 else 1
+        return sign * (abs(d) + m / 60 + s / 3600)
+
+    rows = [
+        (dms(-37, 57, 3.72030), dms(144, 25, 29.52440),
+         dms(-37, 39, 10.15610), dms(143, 55, 35.38390)),
+        (10.0, 20.0, 10.0, 20.0),  # coincident -> exactly 0
+        (0.0, 0.0, 0.0, 90.0),     # equatorial quarter arc (sin_alpha=±1 branch)
+    ]
+    df = spark.createDataFrame(rows, schema="a double, b double, c double, d double")
+    out = GEO.location_distance(df, "a", "b", "c", "d", method="vincenty").collect()
+    got = [r["distance_km"] for r in out]
+    assert abs(got[0] - 54.972271) < 1e-6
+    assert got[1] == 0.0
+    assert abs(got[2] - 10018.754171) < 1e-5  # WGS-84 equatorial quarter
+
+
+def test_vincenty_vs_haversine_band(spark):
+    # ellipsoidal vs spherical distance differ by < 0.6% for mid-latitude pairs
+    df = spark.createDataFrame(
+        [(48.8566, 2.3522, 51.5074, -0.1278),
+         (40.7128, -74.0060, 34.0522, -118.2437)],
+        schema="a double, b double, c double, d double",
+    )
+    hav = GEO.location_distance(df, "a", "b", "c", "d")
+    both = GEO.location_distance(
+        hav, "a", "b", "c", "d", method="vincenty", result_col="vinc_km"
+    ).collect()
+    for r in both:
+        assert abs(r["vinc_km"] / r["distance_km"] - 1.0) < 0.006
+
+
 def test_geohash_encode(spark):
     df = spark.createDataFrame([(57.64911, 10.40744)], schema="lat double, lon double")
     out = GEO.geohash_encode(df, "lat", "lon", precision=11).collect()[0]
