@@ -1587,11 +1587,19 @@ def q_feature_recommender(spark, sf_dir):
     column names — rows-only (token-level TF-IDF in SQL isn't practical)."""
     from anovos_spark.operators.featrec import feature_recommender_match
 
+    from anovos_spark.operators.featrec import feature_recommender_match_embedded
+
     cols = []
     for t in ("lineitem", "orders", "customer"):
         cols += table(spark, sf_dir, t).columns
     attrs = spark.createDataFrame([(c,) for c in sorted(set(cols))], "attribute string")
-    return feature_recommender_match(attrs, top_k=1)
+    tfidf = feature_recommender_match(attrs, top_k=1).withColumn(
+        "method", F.lit("tfidf")
+    )
+    embedded = feature_recommender_match_embedded(attrs, top_k=1).withColumn(
+        "method", F.lit("hashed_embedding")
+    )
+    return tfidf.unionByName(embedded)
 
 
 def q_sql_window_topk(spark, sf_dir):

@@ -245,6 +245,56 @@ def test_feature_recommender_match(spark):
     assert r and r[0]["feature_name"] == "velocity_kmh"
 
 
+def test_feature_recommender_embedded_paths(spark):
+    from anovos_spark.operators.featrec import (
+        feature_recommender_match_embedded,
+        hashed_token_embedding,
+    )
+    from pyspark.sql import functions as F
+
+    attrs = spark.createDataFrame(
+        [("cust_income",), ("acct_balance",), ("order_price_total",)],
+        schema="attribute string",
+    )
+    # hashed-token provider (default): same contract as the TF-IDF path
+    out = feature_recommender_match_embedded(attrs, top_k=2, min_score=0.0).collect()
+    assert {r["attribute"] for r in out} == {
+        "cust_income", "acct_balance", "order_price_total"
+    }
+    assert all(-1.0 <= r["score"] <= 1.0 for r in out)
+    assert {"attribute", "feature_name", "industry", "usecase", "score", "rank"} <= set(
+        out[0].asDict()
+    )
+    best = {r["attribute"]: r["feature_name"] for r in out if r["rank"] == 1}
+    assert best["acct_balance"] == "account_balance"
+
+    # precomputed-embedding provider: identical vectors -> score 1.0 match
+    corpus = spark.createDataFrame(
+        [("speed_kmh", "auto", "telemetry", "vehicle speed", [1.0, 0.0, 0.0]),
+         ("mass_kg", "auto", "telemetry", "vehicle mass", [0.0, 1.0, 0.0])],
+        schema="feature_name string, industry string, usecase string, "
+        "description string, emb array<double>",
+    )
+    a2 = spark.createDataFrame(
+        [("velocity", [2.0, 0.0, 0.0])], schema="attribute string, emb array<double>"
+    )
+    r = feature_recommender_match_embedded(
+        a2, corpus, attr_emb_col="emb", corpus_emb_col="emb", top_k=1
+    ).collect()
+    assert r[0]["feature_name"] == "speed_kmh" and r[0]["score"] == 1.0
+
+    # model_dir provider is import-gated in this environment
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="sentence-transformers"):
+        feature_recommender_match_embedded(attrs, model_dir="/nonexistent")
+
+    # hashed embeddings are deterministic content functions
+    e1 = hashed_token_embedding(attrs, F.col("attribute"), ["attribute"], dim=16)
+    e2 = hashed_token_embedding(attrs, F.col("attribute"), ["attribute"], dim=16)
+    assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e2.collect()))
+
+
 def test_vocabulary(spark):
     from anovos_spark.operators.text import vocabulary
 
