@@ -350,6 +350,13 @@ def run_pipeline(
             )
             result.stats.put("main", "contamination_check", frame, persist=False)
 
+    # ---- reference-layout report artifact tree -------------------------- #
+    if "report_bundle" in config:
+        from anovos_spark.plans.report import report_bundle
+
+        rb = dict(config["report_bundle"])
+        timed("report.bundle", lambda: report_bundle(df, **rb))
+
     # ---- output -------------------------------------------------------- #
     if "write_main" in config:
         wm = dict(config["write_main"])

@@ -60,3 +60,80 @@ def basic_report(
             else:
                 frame.write.mode("overwrite").parquet(dest)
     return battery
+
+
+# rebuild battery key -> the reference function __name__ used as the CSV
+# file stem (basic_report_generation.py:199-200 writes
+# `<output_path>/<func.__name__>.csv` per section)
+_REFERENCE_STEMS = {
+    "global_summary": "global_summary",
+    "measures_of_counts": "measures_of_counts",
+    "measures_of_central_tendency": "measures_of_centralTendency",
+    "measures_of_cardinality": "measures_of_cardinality",
+    "measures_of_dispersion": "measures_of_dispersion",
+    "measures_of_percentiles": "measures_of_percentiles",
+    "measures_of_shape": "measures_of_shape",
+    "duplicate_detection": "duplicate_detection",
+    "null_rows_detection": "nullRows_detection",
+    "null_columns_detection": "nullColumns_detection",
+    "outlier_detection": "outlier_detection",
+    "idness_detection": "IDness_detection",
+    "biasedness_detection": "biasedness_detection",
+    "invalid_entries_detection": "invalidEntries_detection",
+    "correlation_matrix": "correlation_matrix",
+    "variable_clustering": "variable_clustering",
+    "iv_calculation": "IV_calculation",
+    "ig_calculation": "IG_calculation",
+}
+
+
+def report_bundle(
+    idf: DataFrame,
+    output_path: str,
+    label_col: str | None = None,
+    event_label=1,
+    skip_corr_matrix: bool = True,
+    invalid_entries_cols=None,
+) -> dict[str, str]:
+    """Write the reference's basic-report artifact tree: one
+    ``<output_path>/<reference_func_name>.csv`` per section, reference
+    naming (camelCase stems included), so downstream consumers of the
+    reference's report directory can point at this engine unchanged
+    (basic_report_generation.py:143-230).
+
+    Stats frames are driver-sized (one row per column or a scalar
+    battery), so pandas ``to_csv`` writes a single plain file per
+    section — matching the reference's toPandas().to_csv, not a Spark
+    part-file directory.  Returns {reference_stem: written_path}.
+    """
+    from anovos_spark.operators import quality
+    from anovos_spark.operators.association import correlation_matrix
+    from anovos_spark.operators.varclus import variable_clustering
+
+    battery = basic_report(idf, label_col=label_col, event_label=event_label)
+    if invalid_entries_cols:
+        _, battery["invalid_entries_detection"] = quality.invalid_entries_detection(
+            idf, list_of_cols=invalid_entries_cols
+        )
+    num_cols = [
+        f.name
+        for f in idf.schema.fields
+        if f.dataType.typeName()
+        in ("integer", "long", "double", "float", "short", "decimal")
+    ]
+    if not skip_corr_matrix and len(num_cols) >= 2:
+        battery["correlation_matrix"] = correlation_matrix(idf, num_cols)
+    if len(num_cols) >= 3:
+        try:
+            battery["variable_clustering"] = variable_clustering(idf, num_cols)
+        except Exception:
+            pass  # degenerate frames (constant columns) have no clustering
+
+    os.makedirs(output_path, exist_ok=True)
+    written: dict[str, str] = {}
+    for key, frame in battery.items():
+        stem = _REFERENCE_STEMS.get(key, key)
+        dest = os.path.join(output_path, f"{stem}.csv")
+        frame.toPandas().to_csv(dest, index=False)
+        written[stem] = dest
+    return written

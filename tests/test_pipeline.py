@@ -129,6 +129,41 @@ def test_basic_report(spark, sf_dir):
     assert battery["measures_of_counts"].count() == len(od.columns)
 
 
+def test_report_bundle_reference_tree(spark, sf_dir, tmp_path):
+    from anovos_spark.plans.report import report_bundle
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "report_stats")
+    written = report_bundle(
+        od,
+        out,
+        label_col="o_orderstatus",
+        event_label="F",
+        skip_corr_matrix=False,
+        invalid_entries_cols=["o_orderpriority"],
+    )
+    # the reference's exact file stems (basic_report_generation.py:199-200:
+    # one <func.__name__>.csv per section, camelCase preserved)
+    expected = {
+        "global_summary", "measures_of_counts", "measures_of_centralTendency",
+        "measures_of_cardinality", "measures_of_dispersion",
+        "measures_of_percentiles", "measures_of_shape",
+        "duplicate_detection", "nullRows_detection", "nullColumns_detection",
+        "outlier_detection", "IDness_detection", "biasedness_detection",
+        "invalidEntries_detection", "IV_calculation", "IG_calculation",
+        "correlation_matrix",
+    }
+    assert expected <= set(written)
+    import csv
+
+    for stem in expected:
+        path = os.path.join(out, f"{stem}.csv")
+        assert os.path.isfile(path), stem
+        with open(path) as fh:
+            header = next(csv.reader(fh))
+        assert header, stem  # non-empty single plain CSV, not a part-dir
+
+
 def test_feature_export(spark, tmp_path):
     df = spark.createDataFrame([(1, 2.0, "x")], "uid bigint, score double, seg string")
     stamped = add_timestamp_columns(df)
