@@ -392,35 +392,74 @@ def repetition_stats(
     top_gram_frac = tokens covered by the single most frequent n-gram /
     total tokens (the published \"fraction of chars in top n-gram\"
     filter, on tokens); dup_gram_frac = 1 - distinct/total grams.
-    Explode + two-level aggregate keyed by (doc, gram) then doc — both
-    shuffles are on the document key, so the op scales like wordcount."""
+    Counting is row-local (per document), so it runs as one Arrow batch
+    pass inside the scan — zero shuffles, no gram explode."""
+    import pandas as pd
+
     toks_n = F.size(F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " "), " "))
-    grams = idf.select(
+    base = idf.select(
         F.col(id_col).alias("id"),
         toks_n.alias("n_tokens"),
-        F.explode_outer(word_ngrams(F.col(text_col), ngram)).alias("gram"),
+        word_ngrams(F.col(text_col), ngram).alias("__grams__"),
     )
-    per_gram = grams.groupBy("id", "n_tokens", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
+    id_type = base.schema["id"].dataType.simpleString()
+
+    # per-document counting is row-local, so it runs inside the scan as an
+    # Arrow batch pass — ZERO shuffles, versus exploding every gram
+    # (~n_tokens× the text volume) through two doc-keyed exchanges.  Gram
+    # content comes from the SAME word_ngrams expression as before, so
+    # values are oracle-identical; the final fractions keep Spark-side
+    # F.round (HALF_UP — python round() is banker's and would diverge).
+    def count_blocks(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_grams, distinct, max_cnt = [], [], []
+            for grams in pdf["__grams__"]:
+                g = list(grams)
+                n_grams.append(len(g))
+                if g:
+                    counts = Counter(g)
+                    distinct.append(len(counts))
+                    max_cnt.append(max(counts.values()))
+                else:
+                    distinct.append(0)
+                    max_cnt.append(0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_tokens": pdf["n_tokens"],
+                    "n_grams": pd.Series(n_grams, dtype="int64"),
+                    "distinct_grams": pd.Series(distinct, dtype="int64"),
+                    "max_cnt": pd.Series(max_cnt, dtype="int64"),
+                }
+            )
+
+    counted = base.mapInPandas(
+        count_blocks,
+        schema=(
+            f"id {id_type}, n_tokens int, n_grams bigint, "
+            "distinct_grams bigint, max_cnt bigint"
+        ),
     )
-    return per_gram.groupBy("id", "n_tokens").agg(
-        F.sum(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0)).alias("n_grams"),
-        F.count(F.when(F.col("gram").isNotNull(), F.lit(1))).alias("distinct_grams"),
+    return counted.select(
+        "id",
+        "n_tokens",
+        "n_grams",
+        "distinct_grams",
         F.round(
             F.when(
-                F.sum(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0)) > 0,
-                1.0
-                - F.count(F.when(F.col("gram").isNotNull(), F.lit(1)))
-                / F.sum(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0)),
+                F.col("n_grams") > 0,
+                1.0 - F.col("distinct_grams") / F.col("n_grams"),
             ).otherwise(0.0),
             6,
         ).alias("dup_gram_frac"),
         F.round(
             F.when(
                 F.col("n_tokens") > 0,
-                F.max(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0))
-                * F.lit(ngram)
-                / F.col("n_tokens"),
+                F.col("max_cnt") * F.lit(ngram) / F.col("n_tokens"),
             ).otherwise(0.0),
             6,
         ).alias("top_gram_frac"),
