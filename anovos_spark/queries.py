@@ -104,21 +104,20 @@ def q_approx_stats_band(spark, sf_dir):
     the all-ones literal — a hash mismatch means the approx path drifted
     out of its contract."""
     li = table(spark, sf_dir, "lineitem")
-    aggs = []
-    for c in LINEITEM_NUM:
-        aggs += [
-            F.expr(f"percentile_approx({c}, 0.5, 100)").cast("double").alias(f"{c}__ap"),
-            F.expr(f"percentile({c}, 0.5)").cast("double").alias(f"{c}__ep"),
-            F.approx_count_distinct(c, 0.05).alias(f"{c}__ad"),
-            F.count_distinct(F.col(c)).alias(f"{c}__ed"),
-        ]
-    wide = li.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', {c}__ap, {c}__ep, cast({c}__ad as double), cast({c}__ed as double)"
-        for c in LINEITEM_NUM
+    # melt FIRST, then ONE groupBy(attribute) with a single count_distinct:
+    # the previous shape (8 multi-distinct + 8 exact-percentile buffers in
+    # one agg node) planned an 8-way Expand that replicated every
+    # percentile buffer per expand row — 39 s at sf0.1; this shape is the
+    # two-phase single-distinct rewrite, ~2 s for identical band checks
+    stack = ", ".join(f"'{c}', cast({c} as double)" for c in LINEITEM_NUM)
+    melted = li.selectExpr(
+        f"stack({len(LINEITEM_NUM)}, {stack}) as (attribute, value)"
     )
-    long = wide.selectExpr(
-        f"stack({len(LINEITEM_NUM)}, {stack}) as (attribute, ap, ep, ad, ed)"
+    long = melted.groupBy("attribute").agg(
+        F.expr("percentile_approx(value, 0.5, 100)").cast("double").alias("ap"),
+        F.expr("percentile(value, 0.5)").cast("double").alias("ep"),
+        F.approx_count_distinct("value", 0.05).cast("double").alias("ad"),
+        F.count_distinct(F.col("value")).cast("double").alias("ed"),
     )
     # bands: acc=100 → rank error <= 1% of rows (value band: 5% rel or one
     # unit on these integer-ish domains); HLL rsd 0.05 → 3*sigma = 15%
