@@ -138,3 +138,117 @@ def write_bucketed_table(
         s_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         writer = writer.sortBy(*s_cols)
     writer.saveAsTable(table_name)
+
+
+def zorder_key(
+    idf: DataFrame,
+    cols,
+    bits: int = 8,
+    binning: str = "quantile",
+    out_col: str = "__zorder__",
+) -> DataFrame:
+    """Attach a Z-order (Morton) curve key interleaving ``bits`` bits per
+    column — the multi-column clustering key behind write-time file
+    skipping (the OPTIMIZE ZORDER layout idea, built from public Spark
+    primitives only).
+
+    Each column quantizes to an integer cell in [0, 2^bits):
+    - ``quantile`` (default): cell = rank bucket from 2^bits
+      approxQuantile cuts (one driver-bounded job per call) — equal
+      POPULATION per cell, which is what makes min/max skipping
+      effective under skew;
+    - ``minmax``: linear scale from one min/max agg — cheaper fit, fine
+      for uniform-ish domains.
+
+    The key itself is a pure bit-interleave expression (no UDF).  Nulls
+    map to cell 0 (they sort first, clustering nulls together)."""
+    from pyspark.sql import functions as F
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    n = len(cols)
+    if n < 1 or bits * n > 62:
+        raise ValueError("need >=1 column and bits*len(cols) <= 62")
+    cells = 1 << bits
+
+    cell_exprs: list = []
+    if binning == "quantile":
+        probs = [i / cells for i in range(1, cells)]
+        for c in cols:
+            cuts = idf.stat.approxQuantile(c, probs, 0.001)
+            # strictly increasing split points; duplicates collapse
+            splits = []
+            for v in cuts:
+                if not splits or v > splits[-1]:
+                    splits.append(v)
+            expr = F.lit(0)
+            for i, s in enumerate(splits):
+                expr = expr + F.when(F.col(c).cast("double") > s, 1).otherwise(0)
+            cell_exprs.append(F.coalesce(expr, F.lit(0)))
+    elif binning == "minmax":
+        aggs = []
+        for c in cols:
+            aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
+        row = idf.agg(*aggs).collect()[0]
+        for i, c in enumerate(cols):
+            lo, hi = row[2 * i], row[2 * i + 1]
+            if lo is None or hi is None or hi <= lo:
+                cell_exprs.append(F.lit(0))
+                continue
+            scaled = F.floor(
+                (F.col(c).cast("double") - F.lit(float(lo)))
+                / F.lit(float(hi - lo))
+                * F.lit(float(cells))
+            )
+            cell_exprs.append(
+                F.coalesce(
+                    F.greatest(F.least(scaled, F.lit(cells - 1)), F.lit(0)), F.lit(0)
+                ).cast("long")
+            )
+    else:
+        raise ValueError("binning must be quantile|minmax")
+
+    tmp_cols = [f"__zc{i}__" for i in range(n)]
+    out = idf
+    for t, e in zip(tmp_cols, cell_exprs):
+        out = out.withColumn(t, e.cast("long"))
+    # interleave: bit b of column c lands at position b*n + (n-1-c),
+    # msb-first, so the curve alternates columns at every bit level
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for ci, t in enumerate(tmp_cols):
+            key = key + F.shiftleft(
+                F.shiftright(F.col(t), b).bitwiseAND(F.lit(1)), b * n + (n - 1 - ci)
+            ).cast("long")
+    return out.withColumn(out_col, key).drop(*tmp_cols)
+
+
+def write_zordered(
+    idf: DataFrame,
+    file_path: str,
+    cols,
+    n_files: int,
+    bits: int = 8,
+    binning: str = "quantile",
+    file_type: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write ``idf`` clustered along a Z-order curve over ``cols`` into
+    ``n_files`` range-partitioned files.
+
+    Every output file then covers a tight hyper-rectangle of the curve,
+    so its parquet min/max footer stats are NARROW on every z-ordered
+    column simultaneously — a reader filtering on ANY of them skips
+    whole files/row-groups, not just on the single lead sort column a
+    plain sort gives.  At 100 TB this is the difference between scanning
+    a table and scanning the 1-2% of files a selective multi-column
+    filter actually touches.  One range shuffle + in-partition sort;
+    the curve key is dropped before writing."""
+    keyed = zorder_key(idf, cols, bits=bits, binning=binning)
+    (
+        keyed.repartitionByRange(int(n_files), "__zorder__")
+        .sortWithinPartitions("__zorder__")
+        .drop("__zorder__")
+        .write.format(file_type.lower())
+        .mode(mode)
+        .save(file_path)
+    )

@@ -96,3 +96,61 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bkt_a")
         spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_zorder_layout_tightens_file_stats(spark, sf_dir, tmp_path):
+    import glob
+    import os
+
+    from anovos_spark.sources.io import write_zordered
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files = 8
+    plain = str(tmp_path / "plain")
+    od.repartition(n_files).write.mode("overwrite").parquet(plain)
+    zord = str(tmp_path / "zord")
+    write_zordered(od, zord, ["o_custkey", "o_totalprice"], n_files=n_files)
+
+    assert spark.read.parquet(zord).count() == od.count()
+
+    def mean_span(path, col):
+        lo, hi, spans = None, None, []
+        for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+            r = (
+                spark.read.parquet(f)
+                .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+                .collect()[0]
+            )
+            if r["lo"] is None:
+                continue
+            spans.append(float(r["hi"]) - float(r["lo"]))
+            lo = float(r["lo"]) if lo is None else min(lo, float(r["lo"]))
+            hi = float(r["hi"]) if hi is None else max(hi, float(r["hi"]))
+        return (sum(spans) / len(spans)) / max(hi - lo, 1e-9)
+
+    # each z-ordered file must cover a much narrower slice of BOTH curve
+    # dimensions than round-robin files (which all span ~the full domain)
+    for col in ("o_custkey", "o_totalprice"):
+        assert mean_span(plain, col) > 0.9
+        assert mean_span(zord, col) < 0.55, col
+
+
+def test_zorder_key_bit_interleave(spark):
+    from anovos_spark.sources.io import zorder_key
+
+    df = spark.createDataFrame(
+        [(i, float(j)) for i in range(16) for j in range(16)], "a int, b double"
+    )
+    out = zorder_key(df, ["a", "b"], bits=4, binning="minmax").collect()
+    keys = {(r["a"], int(r["b"])): r["__zorder__"] for r in out}
+    # distinct cells -> distinct keys, and the curve is monotone on the
+    # diagonal (larger cells in both dims -> strictly larger key)
+    assert len(set(keys.values())) == 256
+    diag = [keys[(i, i)] for i in range(16)]
+    assert diag == sorted(diag)
+    # nulls cluster at cell 0
+    dfn = spark.createDataFrame([(None, None), (0, 0.0)], "a int, b double")
+    kn = zorder_key(dfn, ["a", "b"], bits=4, binning="minmax").collect()
+    assert {r["__zorder__"] for r in kn} == {0}
