@@ -456,3 +456,116 @@ def temperature_sample(
         F.broadcast(rates), idf[group_col] == rates["__g__"], "inner"
     )
     return joined.where(frac < F.col("__rate__")).drop("__g__", "__rate__")
+
+
+def token_budget_sample(
+    idf: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group token-budget cap: walk each group's rows in a
+    deterministic md5(id||seed) order and keep rows while the running
+    token total stays within ``budget`` (the first row that would
+    overflow — and everything after it in that group — is dropped, so a
+    kept set never exceeds the budget).
+
+    This is the token-denominated sibling of cap_per_group: training
+    mixtures are budgeted in tokens, not documents, so capping a crawl
+    at "2B tokens of src X" needs the cumulative sum, not a row count.
+
+    Deterministic and engine-portable (pure-hash order, same
+    construction as hash_split) — the DuckDB oracle replays the
+    identical window arithmetic.  One window per group key: a single
+    keyed shuffle, running sum computed streaming within each partition
+    (ROWS UNBOUNDED PRECEDING — no frame re-scan).  Group sizes are
+    data-dependent; for a pathologically dominant group pre-split the
+    key upstream (same caveat as cap_per_group).
+    """
+    from pyspark.sql.window import Window
+
+    order = F.md5(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        idf.withColumn("__cum__", F.sum(F.col(token_col)).over(w))
+        .where(F.col("__cum__") <= F.lit(int(budget)))
+        .drop("__cum__")
+    )
+
+
+def mixture_plan(
+    idf: DataFrame,
+    group_col: str,
+    token_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Training-mixture planning: given target token proportions per
+    group (language/source/domain), compute — entirely in-plan — the
+    per-group sampling rate that realizes the target mixture at the
+    maximum feasible volume without upsampling:
+
+        T* = min over targeted groups of (available_g / target_g)
+        rate_g = target_g * T* / available_g      (the binding group gets 1.0)
+
+    Returns one row per group: [group, n_docs, tokens, natural_frac,
+    target_frac, rate, planned_tokens].  Groups absent from ``targets``
+    report rate 0 (excluded from the mix but still inventoried).
+
+    Scale: one group-keyed aggregation over the corpus; the min/sum
+    windows then run over the GROUP-COUNT-sized result (bounded
+    metadata, the acceptable global-window shape — same posture as
+    temperature_sample's scale path).  Feed the rates to
+    hash-fraction filtering (temperature_sample's frac construction)
+    to materialize the mixture.
+    """
+    from pyspark.sql.window import Window
+
+    if not targets:
+        raise ValueError("targets must be a non-empty dict of group -> fraction")
+    if abs(sum(targets.values()) - 1.0) > 1e-9:
+        raise ValueError("target fractions must sum to 1.0")
+
+    g = idf.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col)).cast("bigint").alias("tokens"),
+    )
+    tmap = F.create_map(
+        *[x for k, v in targets.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    g = g.withColumn(
+        "target_frac", F.coalesce(tmap[F.col(group_col)], F.lit(0.0))
+    )
+    w = Window.partitionBy()
+    tstar = F.min(
+        F.when(
+            F.col("target_frac") > 0,
+            F.col("tokens").cast("double") / F.col("target_frac"),
+        )
+    ).over(w)
+    total = F.sum("tokens").over(w).cast("double")
+    return g.select(
+        group_col,
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") / total, 6).alias("natural_frac"),
+        F.round("target_frac", 6).alias("target_frac"),
+        F.round(
+            F.when(
+                F.col("target_frac") > 0,
+                F.least(
+                    F.lit(1.0),
+                    F.col("target_frac") * tstar / F.col("tokens"),
+                ),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rate"),
+        F.floor(F.col("target_frac") * tstar).cast("long").alias("planned_tokens"),
+    )

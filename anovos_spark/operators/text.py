@@ -593,3 +593,83 @@ def normalize_text(
     return idf.select(
         *[c for c in idf.columns if c != out], t.alias(out)
     )
+
+
+def boilerplate_removal(
+    idf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_doc_count: int | None = None,
+    min_doc_frac: float | None = None,
+    total_docs: int | None = None,
+) -> DataFrame:
+    """Cross-document line dedup (RefinedWeb/CCNet-style boilerplate
+    removal): delete every line whose normalized form (lower+trim)
+    appears in at least ``min_doc_count`` distinct documents — or in at
+    least ``min_doc_frac`` of the corpus — and reassemble each document
+    with line order preserved.
+
+    Returns [id_col, text (cleaned), n_lines, removed_lines, kept_chars,
+    clean_md5] where clean_md5 fingerprints the reassembled text so a
+    differential oracle can assert byte-exact reassembly without
+    shipping the full strings.
+
+    Scale design (100 TB posture):
+    - the line-frequency aggregate is wordcount-shaped (map-side partial
+      count-distinct per key, shuffle O(distinct lines per partition));
+    - the frequent-line set — only lines above the threshold, i.e. the
+      boilerplate itself — is SMALL by construction (Zipf head), so it
+      rides back as a **broadcast** left join: the corpus-sized line
+      table never shuffles for the membership test;
+    - reassembly is one doc-keyed aggregation (array_sort over the
+      per-doc line structs, bounded by document size).
+    Blank lines are never counted or removed.  A document whose every
+    line is boilerplate still yields a row (empty text), unlike a naive
+    filter-then-group which would drop it.
+    """
+    if (min_doc_count is None) == (min_doc_frac is None):
+        raise ValueError("pass exactly one of min_doc_count / min_doc_frac")
+    if min_doc_frac is not None:
+        total = total_docs if total_docs is not None else idf.count()
+        threshold = float(min_doc_frac) * float(total)
+    else:
+        threshold = float(min_doc_count)
+
+    other = [c for c in idf.columns if c not in (text_col, id_col)]
+    lines = idf.select(
+        F.col(id_col).alias("__id__"),
+        *other,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos__", "__line__"),
+    ).withColumn("__k__", F.lower(F.trim(F.col("__line__"))))
+
+    freq = (
+        lines.where(F.col("__k__") != "")
+        .groupBy("__k__")
+        .agg(F.count_distinct("__id__").alias("__df__"))
+        .where(F.col("__df__") >= F.lit(threshold))
+        .select("__k__", F.lit(True).alias("__bad__"))
+    )
+
+    joined = lines.join(F.broadcast(freq), "__k__", "left")
+    kept_struct = F.when(
+        F.col("__bad__").isNull(), F.struct("__pos__", "__line__")
+    )
+    clean = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept_struct)), lambda s: s["__line__"]
+        ),
+        sep,
+    )
+    return (
+        joined.groupBy(F.col("__id__").alias(id_col), *other)
+        .agg(
+            clean.alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("__bad__").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("removed_lines"),
+        )
+        .withColumn("kept_chars", F.length(text_col).cast("long"))
+        .withColumn("clean_md5", F.md5(F.col(text_col)))
+    )

@@ -2168,4 +2168,61 @@ FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
 JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
   ON s.user_id = e.user_id
  AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 2 HOUR""",
+        "boilerplate_removal": """
+WITH planted AS (
+  SELECT doc_id,
+         text || chr(10) || 'Subscribe to our newsletter' || chr(10) ||
+         CASE WHEN doc_id % 5 = 0 THEN 'weekly digest promo'
+              ELSE 'footer id ' || doc_id::VARCHAR END AS text
+  FROM documents),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS s FROM planted),
+lines AS (
+  SELECT doc_id, i AS pos, s[i] AS line, lower(trim(s[i])) AS k
+  FROM split, unnest(range(1, len(s) + 1)) AS t(i)),
+freq AS (
+  SELECT k, count(DISTINCT doc_id) AS df FROM lines WHERE k <> '' GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM documents),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (f.df IS NOT NULL AND f.df >= 0.5 * tot.n) AS bad
+  FROM lines l LEFT JOIN freq f USING (k) CROSS JOIN tot)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS removed_lines,
+       length(string_agg(CASE WHEN NOT bad THEN line END, chr(10) ORDER BY pos))::BIGINT
+         AS kept_chars,
+       md5(string_agg(CASE WHEN NOT bad THEN line END, chr(10) ORDER BY pos))
+         AS clean_md5
+FROM flagged GROUP BY 1""",
+        "token_budget_sample": """
+WITH ranked AS (
+  SELECT source, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id::VARCHAR || '|' || '7') ASC, doc_id ASC
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS tokens_kept
+FROM ranked WHERE cum <= 1500 GROUP BY 1""",
+        "mixture_plan": """
+WITH g AS (
+  SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS tokens
+  FROM documents GROUP BY 1),
+t(lang, tf) AS (VALUES ('en', 0.5::DOUBLE), ('de', 0.15::DOUBLE),
+                       ('es', 0.15::DOUBLE), ('fr', 0.1::DOUBLE),
+                       ('zh', 0.1::DOUBLE)),
+j AS (
+  SELECT g.lang, n_docs, tokens, coalesce(t.tf, 0.0::DOUBLE) AS tf
+  FROM g LEFT JOIN t USING (lang)),
+s AS (
+  SELECT min(CASE WHEN tf > 0 THEN tokens::DOUBLE / tf END) AS tstar,
+         sum(tokens)::DOUBLE AS total
+  FROM j)
+SELECT lang, n_docs, tokens,
+       round(tokens / total, 6) AS natural_frac,
+       round(tf, 6) AS target_frac,
+       round(CASE WHEN tf > 0 THEN least(1.0, tf * tstar / tokens)
+                  ELSE 0.0 END, 6) AS rate,
+       floor(tf * tstar)::BIGINT AS planned_tokens
+FROM j, s""",
     }

@@ -2244,6 +2244,62 @@ def q_contamination_check(spark, sf_dir):
     return contamination_check(targets, bench, "text", "doc_id", ngram=5)
 
 
+def q_boilerplate_removal(spark, sf_dir):
+    """Cross-document line dedup (RefinedWeb-style boilerplate removal):
+    the corpus is single-line synthetic text, so the query plants a
+    universal footer line + a 20%-frequency promo line + a unique
+    per-doc line (same honest pattern as pii_redaction), then removes
+    lines appearing in >= 50% of documents.  Frequent-line set rides
+    back as a broadcast join — the corpus line table never shuffles for
+    the membership test; clean_md5 proves byte-exact reassembly."""
+    from anovos_spark.operators.text import boilerplate_removal
+
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSubscribe to our newsletter\n"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("weekly digest promo")).otherwise(
+                F.concat(F.lit("footer id "), F.col("doc_id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    out = boilerplate_removal(planted, "text", "doc_id", min_doc_frac=0.5)
+    return out.select(
+        "doc_id", "n_lines", "removed_lines", "kept_chars", "clean_md5"
+    )
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Token-denominated per-source budget cap: deterministic
+    hash-ordered cumulative sum per source, keep while <= 1500 chars —
+    one keyed window, portable-hash order, oracle replays the identical
+    window arithmetic."""
+    from anovos_spark.operators.ingest import token_budget_sample
+
+    docs = table(spark, sf_dir, "documents")
+    kept = token_budget_sample(docs, "source", "doc_id", "n_chars", 1500, seed=7)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("tokens_kept"),
+    )
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Training-mixture planning: per-language token inventory + the
+    in-plan max-feasible-volume sampling rates for a fixed target
+    mixture (en .5 / de .15 / es .15 / fr .1 / zh .1) — one corpus
+    aggregation, windows over the bounded group-count frame only."""
+    from anovos_spark.operators.ingest import mixture_plan
+
+    docs = table(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs, "lang", "n_chars",
+        {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1},
+    )
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2441,4 +2497,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "contamination_check": q_contamination_check,
+        "boilerplate_removal": q_boilerplate_removal,
+        "token_budget_sample": q_token_budget_sample,
+        "mixture_plan": q_mixture_plan,
     }

@@ -219,3 +219,47 @@ def test_temperature_sample_scale_path(spark):
     assert "BroadcastHashJoin" in big_out._jdf.queryExecution().executedPlan().toString()
     n = big_out.count()
     assert 190_000 <= n <= 200_000  # alpha≈1 on equal-ish groups keeps nearly all
+
+
+def test_token_budget_sample(spark):
+    from pyspark.sql import functions as F
+
+    from anovos_spark.operators.ingest import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 2), 100) for i in range(20)],
+        "id int, grp string, toks int",
+    )
+    out = token_budget_sample(df, "grp", "id", "toks", budget=450)
+    per = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # 100-token docs against a 450 budget -> exactly 4 kept per group
+    assert per == {"g0": 4, "g1": 4}
+    # deterministic: same seed, same rows
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in token_budget_sample(df, "grp", "id", "toks", 450).collect())
+    assert a == b
+    # group under budget keeps everything
+    out2 = token_budget_sample(df, "grp", "id", "toks", budget=10_000)
+    assert out2.count() == 20
+
+
+def test_mixture_plan(spark):
+    from anovos_spark.operators.ingest import mixture_plan
+
+    df = spark.createDataFrame(
+        [("en", 600), ("en", 400), ("de", 300), ("fr", 100), ("xx", 50)],
+        "lang string, toks int",
+    )
+    out = {r["lang"]: r for r in mixture_plan(df, "lang", "toks",
+           {"en": 0.5, "de": 0.3, "fr": 0.2}).collect()}
+    # binding group: fr has 100 tokens for a 0.2 target -> T* = 500
+    assert out["fr"]["rate"] == 1.0
+    assert out["en"]["planned_tokens"] == 250 and out["de"]["planned_tokens"] == 150
+    assert abs(out["en"]["rate"] - 0.25) < 1e-9
+    assert abs(out["de"]["rate"] - 0.5) < 1e-9
+    # untargeted group inventoried at rate 0
+    assert out["xx"]["rate"] == 0.0 and out["xx"]["tokens"] == 50
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_plan(df, "lang", "toks", {"en": 0.5})

@@ -496,3 +496,37 @@ def test_ngram_counts_and_normalize(spark):
         spark.createDataFrame([(1, "  Hello\x01\tWORLD  ")], ["doc_id", "text"])
     ).collect()[0]["text"]
     assert norm == "hello world"
+
+
+def test_boilerplate_removal(spark):
+    from anovos_spark.operators.text import boilerplate_removal
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique alpha\nSubscribe Now\nbody one"),
+            (2, "unique beta\nsubscribe now\nbody two"),
+            (3, "unique gamma\nSUBSCRIBE NOW \nbody three"),
+            (4, "unique delta\nbody four"),
+        ],
+        "doc_id int, text string",
+    )
+    out = boilerplate_removal(df, "text", "doc_id", min_doc_count=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # 'subscribe now' normalizes identically across 3 docs -> removed
+    assert rows[1]["text"] == "unique alpha\nbody one"
+    assert rows[1]["removed_lines"] == 1 and rows[1]["n_lines"] == 3
+    assert rows[4]["text"] == "unique delta\nbody four"
+    assert rows[4]["removed_lines"] == 0
+    # frac threshold path: 3/4 docs >= 0.5 -> same removal
+    out2 = boilerplate_removal(df, "text", "doc_id", min_doc_frac=0.5)
+    rows2 = {r["doc_id"]: r for r in out2.collect()}
+    assert rows2[2]["text"] == "unique beta\nbody two"
+    # a doc made entirely of boilerplate still yields a row (empty text)
+    df3 = spark.createDataFrame(
+        [(1, "same line"), (2, "same line"), (3, "same line")],
+        "doc_id int, text string",
+    )
+    out3 = boilerplate_removal(df3, "text", "doc_id", min_doc_count=2)
+    rows3 = {r["doc_id"]: r for r in out3.collect()}
+    assert len(rows3) == 3 and rows3[1]["text"] == ""
+    assert rows3[1]["removed_lines"] == 1
