@@ -357,6 +357,14 @@ def run_pipeline(
         rb = dict(config["report_bundle"])
         timed("report.bundle", lambda: report_bundle(df, **rb))
 
+    # ---- self-contained HTML report (reference: ml_anovos_report.html) -- #
+    if "report_html" in config:
+        from anovos_spark.plans.report_html import anovos_report
+
+        rh = dict(config["report_html"])
+        out_dir = rh.pop("output_path")
+        timed("report.html", lambda: anovos_report(df, out_dir, **rh))
+
     # ---- output -------------------------------------------------------- #
     if "write_main" in config:
         wm = dict(config["write_main"])

@@ -1,0 +1,248 @@
+"""Self-contained HTML report assembly (no datapane/plotly dependency).
+
+Reference parity: data_report/report_generation.anovos_report
+(report_generation.py:3984-4416) writes ``ml_anovos_report.html`` — a
+tabbed document with executive-summary / descriptive-statistics /
+quality-check / attribute-associations / drift sections built from the
+analyzer battery.  The reference renders via datapane + plotly (neither
+is in this environment, and both are presentation-layer); this module
+produces the same artifact — one self-contained HTML file with the same
+section structure — from the engine's own stats frames, using only the
+standard library: inline CSS, HTML tables, and hand-built SVG bar charts.
+
+Everything data-shaped stays in Spark: the frames rendered here are the
+driver-sized stats outputs (one row per attribute), never the data.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+
+_CSS = """
+body { font-family: -apple-system, 'Segoe UI', Roboto, sans-serif; margin: 0;
+       color: #1a1a24; background: #f6f7f9; }
+header { background: #1f2a44; color: #fff; padding: 18px 32px; }
+header h1 { margin: 0; font-size: 20px; font-weight: 600; }
+header p { margin: 4px 0 0; font-size: 12px; opacity: .75; }
+nav { background: #fff; border-bottom: 1px solid #e2e5ea; padding: 0 32px;
+      position: sticky; top: 0; }
+nav a { display: inline-block; padding: 10px 14px; font-size: 13px;
+        color: #1f2a44; text-decoration: none; }
+nav a:hover { background: #eef1f6; }
+main { padding: 24px 32px; max-width: 1100px; }
+section { background: #fff; border: 1px solid #e2e5ea; border-radius: 6px;
+          margin-bottom: 24px; padding: 18px 22px; }
+section h2 { margin: 0 0 4px; font-size: 16px; }
+section h3 { margin: 18px 0 6px; font-size: 13px; color: #4a5568;
+             text-transform: uppercase; letter-spacing: .04em; }
+table { border-collapse: collapse; font-size: 12.5px; margin-top: 6px; }
+th, td { border: 1px solid #e2e5ea; padding: 4px 10px; text-align: left; }
+th { background: #f0f2f6; font-weight: 600; }
+td.num { text-align: right; font-variant-numeric: tabular-nums; }
+.kpi { display: inline-block; margin: 6px 18px 6px 0; }
+.kpi b { display: block; font-size: 20px; }
+.kpi span { font-size: 11px; color: #4a5568; text-transform: uppercase; }
+.note { font-size: 11.5px; color: #6b7280; margin: 2px 0 0; }
+"""
+
+
+def _fmt(v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, float):
+        return f"{v:,.6g}"
+    return str(v)
+
+
+def _table(pdf, max_rows: int = 200) -> str:
+    """Render a driver-sized pandas frame as an escaped HTML table."""
+    cols = list(pdf.columns)
+    head = "".join(f"<th>{_html.escape(str(c))}</th>" for c in cols)
+    body = []
+    for _, r in pdf.head(max_rows).iterrows():
+        cells = []
+        for c in cols:
+            v = r[c]
+            klass = ' class="num"' if isinstance(v, (int, float)) else ""
+            cells.append(f"<td{klass}>{_html.escape(_fmt(v))}</td>")
+        body.append("<tr>" + "".join(cells) + "</tr>")
+    more = (
+        f'<p class="note">… {len(pdf) - max_rows} more rows omitted</p>'
+        if len(pdf) > max_rows
+        else ""
+    )
+    return (
+        f"<table><thead><tr>{head}</tr></thead>"
+        f"<tbody>{''.join(body)}</tbody></table>{more}"
+    )
+
+
+def _svg_bars(items: list[tuple[str, float]], title: str, unit: str = "") -> str:
+    """Horizontal bar chart as inline SVG — no charting library."""
+    items = [(k, v) for k, v in items if v is not None][:20]
+    if not items:
+        return ""
+    vmax = max((abs(v) for _, v in items), default=0.0) or 1.0
+    bar_h, gap, label_w, plot_w = 16, 6, 180, 420
+    height = len(items) * (bar_h + gap) + 28
+    rows = []
+    for i, (k, v) in enumerate(items):
+        y = 24 + i * (bar_h + gap)
+        w = max(1.0, abs(v) / vmax * plot_w)
+        rows.append(
+            f'<text x="{label_w - 8}" y="{y + 12}" text-anchor="end" '
+            f'font-size="11" fill="#1a1a24">{_html.escape(str(k)[:28])}</text>'
+            f'<rect x="{label_w}" y="{y}" width="{w:.1f}" height="{bar_h}" '
+            f'fill="#3b6fd4" rx="2"></rect>'
+            f'<text x="{label_w + w + 6:.1f}" y="{y + 12}" font-size="10.5" '
+            f'fill="#4a5568">{_fmt(v)}{unit}</text>'
+        )
+    return (
+        f'<svg width="{label_w + plot_w + 90}" height="{height}" '
+        f'xmlns="http://www.w3.org/2000/svg" role="img">'
+        f'<text x="0" y="14" font-size="12" font-weight="600" '
+        f'fill="#1a1a24">{_html.escape(title)}</text>{"".join(rows)}</svg>'
+    )
+
+
+def _section(anchor: str, title: str, parts: list[str]) -> str:
+    inner = "".join(p for p in parts if p)
+    return f'<section id="{anchor}"><h2>{_html.escape(title)}</h2>{inner}</section>'
+
+
+def anovos_report(
+    idf: DataFrame,
+    output_path: str,
+    label_col: str | None = None,
+    event_label=1,
+    drift_frames: dict[str, DataFrame] | None = None,
+    extra_frames: dict[str, DataFrame] | None = None,
+    report_name: str = "ml_anovos_report.html",
+) -> str:
+    """Assemble the full HTML report from the analyzer battery and write
+    ``<output_path>/ml_anovos_report.html`` (reference naming,
+    report_generation.py:4391).  Returns the written path.
+
+    Sections mirror the reference's tabs: Executive Summary, Descriptive
+    Statistics, Quality Check, Attribute Associations (when a label is
+    given), Drift & Stability (when drift frames are passed).  Charts are
+    inline SVG; tables are the stats frames themselves — all driver-sized
+    (one row per attribute), so the report never pulls data rows.
+    """
+    from anovos_spark.plans.report import basic_report
+
+    battery = basic_report(idf, label_col=label_col, event_label=event_label)
+    if extra_frames:
+        battery.update(extra_frames)
+    pd_frames = {k: v.toPandas() for k, v in battery.items()}
+
+    n_cols = len(idf.columns)
+    gs = pd_frames.get("global_summary")
+    n_rows = None
+    if gs is not None and {"metric", "value"} <= set(gs.columns):
+        hit = gs.loc[gs["metric"] == "rows_count", "value"]
+        n_rows = None if hit.empty else int(float(hit.iloc[0]))
+
+    # --- executive summary -------------------------------------------------
+    kpis = [
+        f'<div class="kpi"><b>{n_rows if n_rows is not None else "—":,}</b>'
+        f"<span>rows</span></div>"
+        if isinstance(n_rows, int)
+        else f'<div class="kpi"><b>—</b><span>rows</span></div>',
+        f'<div class="kpi"><b>{n_cols}</b><span>columns</span></div>',
+    ]
+    mc = pd_frames.get("measures_of_counts")
+    missing_chart = ""
+    if mc is not None and "missing_pct" in mc.columns:
+        worst = mc.sort_values("missing_pct", ascending=False)
+        missing_chart = _svg_bars(
+            list(zip(worst["attribute"], worst["missing_pct"] * 100)),
+            "Missing values by attribute",
+            unit="%",
+        )
+    exec_parts = ["".join(kpis), missing_chart]
+
+    # --- descriptive statistics -------------------------------------------
+    stat_keys = [
+        ("global_summary", "Global summary"),
+        ("measures_of_counts", "Measures of counts"),
+        ("measures_of_central_tendency", "Central tendency"),
+        ("measures_of_cardinality", "Cardinality"),
+        ("measures_of_dispersion", "Dispersion"),
+        ("measures_of_percentiles", "Percentiles"),
+        ("measures_of_shape", "Shape"),
+    ]
+    stats_parts = [
+        f"<h3>{t}</h3>{_table(pd_frames[k])}" for k, t in stat_keys if k in pd_frames
+    ]
+
+    # --- quality check -----------------------------------------------------
+    quality_keys = [
+        ("duplicate_detection", "Duplicate detection"),
+        ("null_rows_detection", "Null rows"),
+        ("null_columns_detection", "Null columns"),
+        ("idness_detection", "IDness"),
+        ("biasedness_detection", "Biasedness"),
+        ("outlier_detection", "Outliers"),
+        ("invalid_entries_detection", "Invalid entries"),
+    ]
+    quality_parts = [
+        f"<h3>{t}</h3>{_table(pd_frames[k])}"
+        for k, t in quality_keys
+        if k in pd_frames
+    ]
+
+    # --- attribute associations -------------------------------------------
+    assoc_parts = []
+    iv = pd_frames.get("iv_calculation")
+    if iv is not None and {"attribute", "iv"} <= set(iv.columns):
+        ranked = iv.sort_values("iv", ascending=False)
+        assoc_parts.append(
+            _svg_bars(list(zip(ranked["attribute"], ranked["iv"])),
+                      "Information value by attribute")
+        )
+        assoc_parts.append(f"<h3>Information value</h3>{_table(iv)}")
+    ig = pd_frames.get("ig_calculation")
+    if ig is not None:
+        assoc_parts.append(f"<h3>Information gain</h3>{_table(ig)}")
+    for k, t in [("correlation_matrix", "Correlation matrix"),
+                 ("variable_clustering", "Variable clustering")]:
+        if k in pd_frames:
+            assoc_parts.append(f"<h3>{t}</h3>{_table(pd_frames[k])}")
+
+    # --- drift & stability -------------------------------------------------
+    drift_parts = []
+    for name, frame in (drift_frames or {}).items():
+        drift_parts.append(f"<h3>{_html.escape(name)}</h3>{_table(frame.toPandas())}")
+
+    sections, nav = [], []
+    for anchor, title, parts in [
+        ("summary", "Executive Summary", exec_parts),
+        ("stats", "Descriptive Statistics", stats_parts),
+        ("quality", "Quality Check", quality_parts),
+        ("assoc", "Attribute Associations", assoc_parts),
+        ("drift", "Drift & Stability", drift_parts),
+    ]:
+        if parts:
+            sections.append(_section(anchor, title, parts))
+            nav.append(f'<a href="#{anchor}">{title}</a>')
+
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    doc = (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        "<title>Anovos Report</title>"
+        f"<style>{_CSS}</style></head><body>"
+        "<header><h1>Anovos Data Report</h1>"
+        f"<p>generated {stamp} · {n_cols} columns</p></header>"
+        f"<nav>{''.join(nav)}</nav><main>{''.join(sections)}</main>"
+        "</body></html>"
+    )
+    os.makedirs(output_path, exist_ok=True)
+    dest = os.path.join(output_path, report_name)
+    with open(dest, "w", encoding="utf-8") as fh:
+        fh.write(doc)
+    return dest

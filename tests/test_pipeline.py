@@ -332,3 +332,27 @@ def test_pipeline_skew_auto_join(spark, tmp_path):
     assert res2.join_decision["strategy"] == "plain"
     assert "__salt__" not in res2.df._jdf.queryExecution().executedPlan().toString()
     assert res2.df.count() == 5000
+
+
+def test_anovos_report_html(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from anovos_spark.plans.report_html import anovos_report
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "label", (F.col("o_orderstatus") == "F").cast("int")
+    )
+    dest = anovos_report(od, str(tmp_path / "html_report"), label_col="label")
+    assert dest.endswith("ml_anovos_report.html")
+    txt = open(dest).read()
+    for needle in [
+        "Executive Summary",
+        "Descriptive Statistics",
+        "Quality Check",
+        "Attribute Associations",
+        "<svg",          # charts render without any plotting dependency
+        "o_totalprice",  # a real attribute row made it into the tables
+    ]:
+        assert needle in txt
+    # tables are escaped — no raw angle brackets from data can leak
+    assert "<script" not in txt
