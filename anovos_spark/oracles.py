@@ -1625,6 +1625,82 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey"""
 
 
+
+
+def feature_recommender_sql() -> str:
+    """Token-level TF-IDF replay: word + character-trigram tokenization,
+    ln(1 + N/df) idf, sparse-dot cosine, top-1 rank — built from the SAME
+    DEFAULT_CORPUS the operator uses (imported, not duplicated, so the
+    oracle cannot drift from the engine).  Attribute list = the sorted
+    distinct column names of lineitem/orders/customer, fixed by schema."""
+    from anovos_spark.operators.featrec import DEFAULT_CORPUS
+
+    attrs = [
+        "c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey",
+        "l_discount", "l_extendedprice", "l_linenumber", "l_linestatus",
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate",
+        "l_suppkey", "l_tax", "o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice",
+    ]
+    attr_vals = ", ".join(f"('{a}')" for a in attrs)
+    corp_vals = ", ".join(
+        "(" + ", ".join("'" + s.replace("'", "''") + "'" for s in row) + ")"
+        for row in DEFAULT_CORPUS
+    )
+    n = len(DEFAULT_CORPUS)
+    return f"""
+WITH attrs(attribute) AS (VALUES {attr_vals}),
+corpus(feature_name, industry, usecase, description) AS (VALUES {corp_vals}),
+cn0 AS (
+  SELECT feature_name, industry, usecase,
+         list_filter(string_split(trim(regexp_replace(lower(feature_name || ' ' || description),
+           '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w
+  FROM corpus),
+cs AS (SELECT *, array_to_string(w, '') AS sq FROM cn0),
+ctok AS (
+  SELECT DISTINCT feature_name, industry, usecase, token FROM (
+    SELECT feature_name, industry, usecase, unnest(w) AS token FROM cs
+    UNION ALL
+    SELECT feature_name, industry, usecase, substring(sq, i, 3) AS token
+    FROM cs, unnest(range(1, greatest(len(sq) - 2, 1) + 1)) AS t(i)
+    WHERE length(substring(sq, i, 3)) = 3)),
+idf AS (
+  SELECT token, ln(1.0 + {n}.0 / count(DISTINCT feature_name)) AS idf
+  FROM ctok GROUP BY 1),
+cw AS (SELECT c.*, idf.idf AS w FROM ctok c JOIN idf USING (token)),
+cnorm AS (SELECT feature_name, sqrt(sum(w * w)) AS cn FROM cw GROUP BY 1),
+an0 AS (
+  SELECT attribute,
+         list_filter(string_split(trim(regexp_replace(lower(attribute),
+           '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w
+  FROM attrs),
+asq AS (SELECT *, array_to_string(w, '') AS sq FROM an0),
+atok AS (
+  SELECT DISTINCT attribute, token FROM (
+    SELECT attribute, unnest(w) AS token FROM asq
+    UNION ALL
+    SELECT attribute, substring(sq, i, 3) AS token
+    FROM asq, unnest(range(1, greatest(len(sq) - 2, 1) + 1)) AS t(i)
+    WHERE length(substring(sq, i, 3)) = 3)),
+aw AS (SELECT a.*, idf.idf AS w2 FROM atok a JOIN idf USING (token)),
+anorm AS (SELECT attribute, sqrt(sum(w2 * w2)) AS an FROM aw GROUP BY 1),
+scored AS (
+  SELECT aw.attribute, cw.feature_name, cw.industry, cw.usecase,
+         round(sum(cw.w * aw.w2) / (any_value(anorm.an) * any_value(cnorm.cn)), 6) AS score
+  FROM aw JOIN cw USING (token)
+  JOIN anorm ON anorm.attribute = aw.attribute
+  JOIN cnorm ON cnorm.feature_name = cw.feature_name
+  GROUP BY 1, 2, 3, 4
+  HAVING round(sum(cw.w * aw.w2) / (any_value(anorm.an) * any_value(cnorm.cn)), 6) >= 0.05)
+SELECT attribute, feature_name, industry, usecase, score, rank, 'tfidf' AS method
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY attribute ORDER BY score DESC, feature_name ASC) AS rank
+  FROM scored)
+WHERE rank <= 1"""
+
+
+
 def registry() -> dict[str, str]:
     return {
         "global_summary": global_summary_sql(),
@@ -2168,6 +2244,7 @@ FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
 JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
   ON s.user_id = e.user_id
  AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 2 HOUR""",
+        "feature_recommender": feature_recommender_sql(),
         "boilerplate_removal": """
 WITH planted AS (
   SELECT doc_id,

@@ -1583,22 +1583,36 @@ def q_streaming_sessions(spark, sf_dir):
 
 def q_feature_recommender(spark, sf_dir):
     """TF-IDF attribute→feature-corpus matching over the star schema's
-    column names — rows-only (token-level TF-IDF in SQL isn't practical)."""
+    column names — ORACLE-BACKED: the DuckDB oracle replays the full
+    token-level pipeline (word + trigram tokenization, ln(1+N/df) idf,
+    sparse-dot cosine, top-1 rank) built from the same DEFAULT_CORPUS,
+    so the recommender contract is hash-verified end to end."""
     from anovos_spark.operators.featrec import feature_recommender_match
 
+    cols = []
+    for t in ("lineitem", "orders", "customer"):
+        cols += table(spark, sf_dir, t).columns
+    attrs = spark.createDataFrame([(c,) for c in sorted(set(cols))], "attribute string")
+    return feature_recommender_match(attrs, top_k=1).withColumn(
+        "method", F.lit("tfidf")
+    )
+
+
+def q_feature_recommender_embedded(spark, sf_dir):
+    """Hashed-token-embedding recommender path (xxhash64 signed buckets
+    — the model-free stand-in for the reference's sentence-transformer
+    provider, featrec_init.py:29-31) — rows-only: Spark's seeded
+    xxhash64 has no DuckDB equivalent, so this path is covered by the
+    rows check + unit tests instead of a SQL oracle."""
     from anovos_spark.operators.featrec import feature_recommender_match_embedded
 
     cols = []
     for t in ("lineitem", "orders", "customer"):
         cols += table(spark, sf_dir, t).columns
     attrs = spark.createDataFrame([(c,) for c in sorted(set(cols))], "attribute string")
-    tfidf = feature_recommender_match(attrs, top_k=1).withColumn(
-        "method", F.lit("tfidf")
-    )
-    embedded = feature_recommender_match_embedded(attrs, top_k=1).withColumn(
+    return feature_recommender_match_embedded(attrs, top_k=1).withColumn(
         "method", F.lit("hashed_embedding")
     )
-    return tfidf.unionByName(embedded)
 
 
 def q_sql_window_topk(spark, sf_dir):
@@ -2500,4 +2514,5 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": q_boilerplate_removal,
         "token_budget_sample": q_token_budget_sample,
         "mixture_plan": q_mixture_plan,
+        "feature_recommender_embedded": q_feature_recommender_embedded,
     }
