@@ -2245,6 +2245,13 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
   ON s.user_id = e.user_id
  AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 2 HOUR""",
         "feature_recommender": feature_recommender_sql(),
+        "pca_closed_form": """
+WITH s AS (SELECT corr(l_quantity, l_extendedprice) AS r FROM lineitem)
+SELECT round(1 + abs(r), 6) AS eig1,
+       round(1 - abs(r), 6) AS eig2,
+       round((1 + abs(r)) / 2, 6) AS explained1,
+       0.0 AS cross_corr
+FROM s""",
         "boilerplate_removal": """
 WITH planted AS (
   SELECT doc_id,

@@ -1006,6 +1006,35 @@ def q_pca_latent(spark, sf_dir):
     )
 
 
+def q_pca_closed_form(spark, sf_dir):
+    """Exact PCA verification on the 2-column case: for standardized
+    [x, y] the sample covariance is [[1, r], [r, 1]], whose eigenvalues
+    are 1 ± |r| with explained-variance split (1 ± |r|)/2 — closed form
+    the DuckDB oracle computes from corr() alone.  The query runs the
+    REAL distributed pca_latent_features (VectorAssembler →
+    StandardScaler → ml.PCA → vector_to_array) and measures the latent
+    scores' sample variances + cross-correlation, so the whole pipeline
+    — scaling, eigensolve, projection — must reproduce the algebra to 6
+    decimals for the hash to match.  (Multi-d PCA stays rows-only:
+    eigenvectors beyond d=2 have no SQL closed form.)"""
+    from anovos_spark.operators.transformers_ml import pca_latent_features
+
+    li = table(spark, sf_dir, "lineitem")
+    odf, _ = pca_latent_features(
+        li.select("l_quantity", "l_extendedprice"),
+        ["l_quantity", "l_extendedprice"],
+        explained_variance_cutoff=1.0,
+        output_mode="replace",
+    )
+    v0, v1 = F.var_samp("latent_0"), F.var_samp("latent_1")
+    return odf.agg(
+        F.round(v0, 6).alias("eig1"),
+        F.round(v1, 6).alias("eig2"),
+        F.round(v0 / (v0 + v1), 6).alias("explained1"),
+        F.round(F.abs(F.corr("latent_0", "latent_1")), 6).alias("cross_corr"),
+    )
+
+
 def q_knn_imputation(spark, sf_dir):
     from anovos_spark.operators.transformers_ml import imputation_knn
 
@@ -2515,4 +2544,5 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "mixture_plan": q_mixture_plan,
         "feature_recommender_embedded": q_feature_recommender_embedded,
+        "pca_closed_form": q_pca_closed_form,
     }
