@@ -142,6 +142,29 @@ def main():
     check("contamination: no nested-loop join", "BroadcastNestedLoopJoin" not in p)
     check("contamination: no cartesian", "CartesianProduct" not in p)
 
+    # 14. boilerplate_removal: the frequent-line membership test must be a
+    # BROADCAST join (the corpus line table never shuffles for it); no UDF
+    p = plan_of(Q.q_boilerplate_removal(spark, sf_dir))
+    check("boilerplate: broadcast membership join", "BroadcastHashJoin" in p)
+    check("boilerplate: no cartesian", "CartesianProduct" not in p)
+    check("boilerplate: no python UDF", "BatchEvalPython" not in p)
+
+    # 15. token_budget_sample: ONE keyed window (partitioned by group), no
+    # global all-to-one window
+    p = plan_of(Q.q_token_budget_sample(spark, sf_dir))
+    check("token_budget: no global window", "SinglePartition" not in p.split("Window")[0][-400:] if "Window" in p else True)
+    check("token_budget: partial agg", "partial_" in p)
+
+    # 16. mixture_plan: the corpus aggregation is partial (map-side); the
+    # global window runs over the group-count frame AFTER the agg only
+    p = plan_of(Q.q_mixture_plan(spark, sf_dir))
+    check("mixture_plan: partial aggregation", "partial_" in p)
+
+    # 17. feature_recommender: token joins broadcast (corpus + idf are tiny)
+    p = plan_of(Q.q_feature_recommender(spark, sf_dir))
+    check("featrec: broadcast token joins", "BroadcastHashJoin" in p)
+    check("featrec: no cartesian", "CartesianProduct" not in p)
+
     print(f"\n{'ALL CLEAR' if not failures else f'{len(failures)} audit failures: {failures}'}")
     spark.stop()
     sys.exit(1 if failures else 0)
