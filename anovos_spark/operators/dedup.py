@@ -458,3 +458,101 @@ def apply_dedup(
         .where(F.col("__rn__") == 1)
         .drop("__rn__")
     )
+
+
+def minhash_index_update(
+    index_df: DataFrame | None,
+    new_idf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Maintain a persisted MinHash signature index: compute signatures
+    for the NEW batch only and append to the existing index (None →
+    bootstrap).  The index stores [id, signature] — num_hashes longs per
+    document (~256 B/doc at the default 32), so a 10B-document corpus
+    carries a ~2.5 TB index: small next to the corpus, partitionable,
+    and the corpus text is never re-read or re-shingled on later
+    increments.  Write it partitioned/bucketed by a band bucket for
+    shuffle-free incremental joins."""
+    sig = minhash_signatures(new_idf, text_col, id_col, n, num_hashes)
+    return sig if index_df is None else index_df.unionByName(sig)
+
+
+def minhash_lsh_pairs_incremental(
+    new_idf: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup screen: NEW batch vs the persisted signature
+    index — the 100 TB posture, where re-deduplicating the whole corpus
+    per ingest increment is not an option.
+
+    Only the new batch is shingled/hashed (cost O(new)); the index side
+    joins on its stored signatures.  Candidates come from the banded
+    equi-join (shuffle O(new·bands + index·bands), never pair count);
+    each candidate scores the standard unbiased Jaccard estimator
+    |matching minhash positions| / num_hashes — the corpus TEXT is never
+    touched, which is exactly what makes the incremental path cheap (the
+    estimator's ±1/sqrt(num_hashes) error is the documented trade; run
+    ngram_jaccard_pairs on the accepted pairs for exact verification
+    when the downstream action is destructive).
+
+    Returns [new_id, index_id, est_jaccard] with est_jaccard >= threshold.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    new_sig = minhash_signatures(new_idf, text_col, id_col, n, num_hashes)
+
+    def band_rows(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "id",
+            "signature",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "_", *[F.col("signature")[b * r + j] for j in range(r)]
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            "id", "signature",
+            F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+        )
+
+    a = band_rows(new_sig).alias("a")
+    b = band_rows(index_df.select("id", "signature")).alias("b")
+    matches = F.size(
+        F.filter(
+            F.zip_with("a.signature", "b.signature", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("index_id"),
+            F.round(matches / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+        .distinct()
+        .where(F.col("est_jaccard") >= threshold)
+    )

@@ -1701,6 +1701,57 @@ WHERE rank <= 1"""
 
 
 
+
+
+def minhash_incremental_sql() -> str:
+    """Full SQL replay of the incremental path: recompute MinHash
+    signatures for corpus + edited-new-batch, band them, equi-join
+    new-vs-index candidates, score the positional-match estimator —
+    identical constants to dedup.minhash_signatures (P = 2^31-1,
+    a_i = 2i+1, b_i = 12582917·i, 32 hashes, 8 bands of 4)."""
+    P = 2147483647
+    h = _HEX2INT.format(h="substr(md5(g), 1, 8)")
+    mins = ",\n       ".join(
+        f"min((x * {2 * i + 1} + {i * 12582917}) % {P}) AS h{i}" for i in range(32)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT side, id, {b} AS band, "
+        f"concat_ws('_', h{4 * b}, h{4 * b + 1}, h{4 * b + 2}, h{4 * b + 3}) AS bucket FROM sig"
+        for b in range(8)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN ns.h{i} = ix.h{i} THEN 1 ELSE 0 END" for i in range(32)
+    )
+    return f"""
+WITH alldocs AS (
+  SELECT doc_id, text, 'idx' AS side FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' appended v2 marker', 'new'
+  FROM documents WHERE doc_id % 10 = 0),
+nd AS (SELECT side, doc_id, {_NORM} AS n FROM alldocs),
+docs AS (SELECT side, doc_id AS id, {_GRAMS} AS grams FROM nd),
+ex AS (SELECT side, id, unnest(grams) AS g FROM docs),
+hx AS (SELECT side, id, {h} AS x FROM ex),
+sig AS (SELECT side, id,
+       {mins}
+  FROM hx GROUP BY 1, 2),
+bandrows AS (
+{band_rows}),
+cand AS (
+  SELECT DISTINCT a.id AS new_id, b.id AS index_id
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.bucket = b.bucket
+   AND a.side = 'new' AND b.side = 'idx' AND a.id <> b.id),
+est AS (
+  SELECT c.new_id, c.index_id,
+         round(({match_sum}) / 32.0, 6) AS est_jaccard
+  FROM cand c
+  JOIN sig ns ON ns.side = 'new' AND ns.id = c.new_id
+  JOIN sig ix ON ix.side = 'idx' AND ix.id = c.index_id)
+SELECT new_id, index_id, est_jaccard FROM est WHERE est_jaccard >= 0.5"""
+
+
+
 def registry() -> dict[str, str]:
     return {
         "global_summary": global_summary_sql(),
@@ -2245,6 +2296,7 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
   ON s.user_id = e.user_id
  AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 2 HOUR""",
         "feature_recommender": feature_recommender_sql(),
+        "dedup_minhash_incremental": minhash_incremental_sql(),
         "pca_closed_form": """
 WITH s AS (SELECT corr(l_quantity, l_extendedprice) AS r FROM lineitem)
 SELECT round(1 + abs(r), 6) AS eig1,

@@ -2343,6 +2343,28 @@ def q_mixture_plan(spark, sf_dir):
     )
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup screen — NEW batch vs the persisted MinHash
+    signature index, the 100 TB ingest posture (the corpus is never
+    re-shingled).  The query builds the index from the full corpus, then
+    replays an ingest of every 10th document lightly edited (id offset,
+    appended marker): each new doc must surface its source via the
+    banded equi-join + signature-estimate path.  The oracle recomputes
+    signatures, banding, and the positional-match estimator in SQL."""
+    from anovos_spark.operators.dedup import (
+        minhash_index_update,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    index = minhash_index_update(None, docs)
+    new = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended v2 marker")).alias("text"),
+    )
+    return minhash_lsh_pairs_incremental(new, index, threshold=0.5)
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2545,4 +2567,5 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "feature_recommender_embedded": q_feature_recommender_embedded,
         "pca_closed_form": q_pca_closed_form,
+        "dedup_minhash_incremental": q_minhash_incremental,
     }

@@ -530,3 +530,37 @@ def test_boilerplate_removal(spark):
     rows3 = {r["doc_id"]: r for r in out3.collect()}
     assert len(rows3) == 3 and rows3[1]["text"] == ""
     assert rows3[1]["removed_lines"] == 1
+
+
+def test_minhash_incremental(spark):
+    from pyspark.sql import functions as F
+
+    from anovos_spark.operators.dedup import (
+        minhash_index_update,
+        minhash_lsh_pairs_incremental,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different content about spark physical query plans"),
+            (3, "yet another unrelated document describing window aggregation"),
+        ],
+        "doc_id int, text string",
+    )
+    index = minhash_index_update(None, base)
+    assert index.columns == ["id", "signature"]
+    # a lightly edited copy of doc 1 must surface doc 1; a novel doc must not
+    new = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog again and again extra"),
+            (102, "totally novel text with no overlap whatsoever in any shingle"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = minhash_lsh_pairs_incremental(new, index, threshold=0.5).collect()
+    assert {(r["new_id"], r["index_id"]) for r in pairs} == {(101, 1)}
+    assert all(0.0 <= r["est_jaccard"] <= 1.0 for r in pairs)
+    # index update appends without recomputing the old side
+    grown = minhash_index_update(index, new)
+    assert grown.count() == 5
