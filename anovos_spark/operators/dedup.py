@@ -489,6 +489,7 @@ def minhash_lsh_pairs_incremental(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    new_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup screen: NEW batch vs the persisted signature
     index — the 100 TB posture, where re-deduplicating the whole corpus
@@ -505,11 +506,15 @@ def minhash_lsh_pairs_incremental(
     when the downstream action is destructive).
 
     Returns [new_id, index_id, est_jaccard] with est_jaccard >= threshold.
+    Pass ``new_sig`` (a precomputed [id, signature] frame for the new
+    batch) to skip re-shingling — the streaming sink computes signatures
+    once and shares them between index write and candidate join.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    new_sig = minhash_signatures(new_idf, text_col, id_col, n, num_hashes)
+    if new_sig is None:
+        new_sig = minhash_signatures(new_idf, text_col, id_col, n, num_hashes)
 
     def band_rows(sig: DataFrame) -> DataFrame:
         return sig.select(

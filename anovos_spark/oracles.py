@@ -2297,6 +2297,7 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
  AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 2 HOUR""",
         "feature_recommender": feature_recommender_sql(),
         "dedup_minhash_incremental": minhash_incremental_sql(),
+        "streaming_dedup_incremental": minhash_incremental_sql(),
         "pca_closed_form": """
 WITH s AS (SELECT corr(l_quantity, l_extendedprice) AS r FROM lineitem)
 SELECT round(1 + abs(r), 6) AS eig1,

@@ -2365,6 +2365,49 @@ def q_minhash_incremental(spark, sf_dir):
     return minhash_lsh_pairs_incremental(new, index, threshold=0.5)
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Ingest-time near-dup screening as a STREAM: run 1 indexes the
+    corpus (one availableNow batch, MinHash signatures persisted), run 2
+    streams the edited new batch against that index via
+    streaming_dedup_sink.  On this finite input the result must equal
+    the batch incremental path bit-for-bit, so it shares
+    dedup_minhash_incremental's full SQL-replay oracle — two engine
+    paths (foreachBatch incremental sink vs batch joins), one truth."""
+    import tempfile
+    import uuid
+
+    from anovos_spark.streaming.ops import read_dedup_pairs, read_stream, streaming_dedup_sink
+
+    root = tempfile.mkdtemp(prefix=f"sdedup_{uuid.uuid4().hex[:8]}_")
+    index_path, pairs_path = f"{root}/index", f"{root}/pairs"
+    docs_schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def run(source, glob, run_id, qn):
+        sdf = read_stream(
+            spark, "parquet", source, schema=docs_schema,
+            options={"pathGlobFilter": glob} if glob else {},
+        )
+        q = streaming_dedup_sink(
+            sdf.select("doc_id", "text"), index_path, pairs_path,
+            query_name=qn, run_id=run_id, threshold=0.5,
+        )
+        q.awaitTermination()
+
+    run(sf_dir, "documents.parquet", "idx", f"sd_idx_{uuid.uuid4().hex[:8]}")
+    new = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended v2 marker")).alias("text"),
+        )
+    )
+    new_dir = f"{root}/newbatch"
+    new.coalesce(1).write.parquet(new_dir)
+    run(new_dir, None, "new", f"sd_new_{uuid.uuid4().hex[:8]}")
+    return read_dedup_pairs(spark, pairs_path)
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2568,4 +2611,5 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_recommender_embedded": q_feature_recommender_embedded,
         "pca_closed_form": q_pca_closed_form,
         "dedup_minhash_incremental": q_minhash_incremental,
+        "streaming_dedup_incremental": q_streaming_dedup,
     }

@@ -503,3 +503,96 @@ def read_incremental_stats(spark, state_path: str) -> DataFrame:
         "min",
         "max",
     )
+
+
+def streaming_dedup_sink(
+    sdf: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    query_name: str = "streaming_dedup",
+    trigger_available_now: bool = True,
+    run_id: str = "run0",
+    checkpoint: str | None = None,
+):
+    """Continuous ingest-time near-dup screening: each micro-batch of
+    documents is checked against the persisted MinHash signature index
+    (everything ingested before it) and then added to that index — the
+    streaming face of dedup.minhash_lsh_pairs_incremental, and the shape
+    a 100 TB training pipeline actually runs (dedup AT ingest, never a
+    full-corpus re-scan).
+
+    State layout mirrors incremental_stats_sink's crash-safe scheme:
+    - ``index_path/run_id=<r>/batch_id=<b>`` holds batch b's signatures;
+      a replayed batch overwrites ONLY its own directory with identical
+      content (signatures are pure functions of the text), so replays
+      are idempotent and can never clobber other batches.
+    - ``pairs_path/run_id=<r>/batch_id=<b>`` holds batch b's matches
+      against the index AS OF batch b: the candidate read excludes own
+      run's batch_id >= b, so a replay reproduces the original pairs
+      byte-for-byte instead of matching against its own output.
+    - Earlier run_ids count as historical corpus (cross-run dedup).
+
+    Within-batch duplicates are NOT paired here (the batch joins the
+    index, not itself) — run minhash_lsh_pairs on a batch if intra-batch
+    dedup is also required.  Readers: read_dedup_index / read_dedup_pairs.
+    """
+    from anovos_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        minhash_signatures,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        sig = minhash_signatures(batch_df, text_col, id_col, n, num_hashes)
+        try:
+            index = spark.read.parquet(index_path).where(
+                ~((F.col("run_id") == run_id) & (F.col("batch_id") >= batch_id))
+            ).select("id", "signature")
+        except Exception as exc:  # first batch: no index yet
+            if "PATH_NOT_FOUND" not in str(exc) and "Unable to infer schema" not in str(exc):
+                raise
+            index = None
+        if index is None:
+            pairs = spark.createDataFrame(
+                [], "new_id long, index_id long, est_jaccard double"
+            )
+        else:
+            # signatures for the new batch are already computed — reuse
+            # them via a signature-frame join rather than re-shingling
+            pairs = minhash_lsh_pairs_incremental(
+                batch_df, index, text_col, id_col, n, num_hashes, bands,
+                threshold, new_sig=sig,
+            )
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_path}/run_id={run_id}/batch_id={batch_id}"
+        )
+        sig.write.mode("overwrite").parquet(
+            f"{index_path}/run_id={run_id}/batch_id={batch_id}"
+        )
+
+    writer = (
+        sdf.writeStream.queryName(query_name)
+        .outputMode("append")
+        .foreachBatch(process)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_dedup_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """[id, signature] across all runs/batches of a streaming dedup index."""
+    return spark.read.parquet(index_path).select("id", "signature")
+
+
+def read_dedup_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
+    """[new_id, index_id, est_jaccard] accumulated by streaming_dedup_sink."""
+    return spark.read.parquet(pairs_path).select("new_id", "index_id", "est_jaccard")

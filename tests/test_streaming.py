@@ -306,3 +306,57 @@ def test_incremental_stats_sink_compaction(spark, stream_dir, tmp_path):
     _drain(q2)
     v2 = {r["attribute"]: r for r in S.read_incremental_stats(spark, state).collect()}["value"]
     assert v2["n"] == batch["n"]
+
+
+def test_streaming_dedup_sink(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten eleven"),
+            (3, "red orange yellow green blue indigo violet white black grey"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_multi")
+    # 3 files -> 3 micro-batches at maxFilesPerTrigger=1
+    docs.repartition(3, "doc_id").write.parquet(src)
+    index_path = str(tmp_path / "dd_index")
+    pairs_path = str(tmp_path / "dd_pairs")
+
+    def run(run_id, qn, source=src):
+        sdf = S.read_stream(
+            spark, "parquet", source, schema="doc_id long, text string",
+            options={"maxFilesPerTrigger": "1"},
+        )
+        q = S.streaming_dedup_sink(
+            sdf, index_path, pairs_path, query_name=qn, run_id=run_id,
+            threshold=0.5,
+        )
+        _drain(q)
+
+    run("runA", "dd1")
+    # distinct docs: index has all 3 signatures, no cross pairs
+    assert S.read_dedup_index(spark, index_path).count() == 3
+    assert S.read_dedup_pairs(spark, pairs_path).count() == 0
+    # a second run streams edited copies: each must hit its source doc
+    edited = docs.select(
+        (F.col("doc_id") + 100).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker")).alias("text"),
+    )
+    src2 = str(tmp_path / "docs_edit")
+    edited.repartition(3, "doc_id").write.parquet(src2)
+    run("runB", "dd2", src2)
+    pairs = S.read_dedup_pairs(spark, pairs_path).collect()
+    assert {(r["new_id"], r["index_id"]) for r in pairs} == {
+        (101, 1), (102, 2), (103, 3),
+    }
+    assert S.read_dedup_index(spark, index_path).count() == 6
+    # replaying runB overwrites its own dirs with identical content
+    run("runB", "dd3", src2)
+    pairs2 = S.read_dedup_pairs(spark, pairs_path).collect()
+    assert sorted((r["new_id"], r["index_id"]) for r in pairs2) == sorted(
+        (r["new_id"], r["index_id"]) for r in pairs
+    )
+    assert S.read_dedup_index(spark, index_path).count() == 6
