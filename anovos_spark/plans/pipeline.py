@@ -316,9 +316,67 @@ def run_pipeline(
                 )
 
             df = timed("text.dedup", dedup_stage)
+        if "boilerplate_removal" in tp:  # mutating: cross-doc line dedup
+            kw = dict(tp["boilerplate_removal"])
+            df = timed(
+                "text.boilerplate_removal",
+                lambda: TX.boilerplate_removal(df, **kw).drop(
+                    "n_lines", "removed_lines", "kept_chars", "clean_md5"
+                ),
+            )
         if "cap_per_group" in tp:  # mutating: domain balancing
             kw = dict(tp["cap_per_group"])
             df = timed("text.cap_per_group", lambda: cap_per_group(df, **kw))
+        if "token_budget_sample" in tp:  # mutating: token-denominated cap
+            from anovos_spark.operators.ingest import token_budget_sample
+
+            kw = dict(tp["token_budget_sample"])
+            df = timed(
+                "text.token_budget_sample", lambda: token_budget_sample(df, **kw)
+            )
+        if "mixture_plan" in tp:  # analytical: target-mixture rates
+            from anovos_spark.operators.ingest import mixture_plan
+
+            kw = dict(tp["mixture_plan"])
+            frame = timed("text.mixture_plan", lambda: mixture_plan(df, **kw))
+            result.stats.put("main", "mixture_plan", frame, persist=False)
+        if "incremental_dedup" in tp:  # analytical + index maintenance
+            from anovos_spark.operators.dedup import (
+                minhash_index_update,
+                minhash_lsh_pairs_incremental,
+            )
+
+            kw = dict(tp["incremental_dedup"])
+            index_path = kw.pop("index_path")
+            update_index = kw.pop("update_index", True)
+
+            def incdedup_stage():
+                try:
+                    index = spark.read.parquet(index_path)
+                except Exception:
+                    index = None
+                if index is not None:
+                    # materialize BEFORE the index append below: the pairs
+                    # plan lists index files lazily at execution, and must
+                    # not see this batch's own signatures
+                    pairs = minhash_lsh_pairs_incremental(
+                        df, index, **kw
+                    ).localCheckpoint(eager=True)
+                else:
+                    pairs = spark.createDataFrame(
+                        [], "new_id long, index_id long, est_jaccard double"
+                    )
+                sig_kw = {
+                    k: v for k, v in kw.items()
+                    if k in ("text_col", "id_col", "n", "num_hashes")
+                }
+                if update_index:
+                    new_sig = minhash_index_update(None, df, **sig_kw)
+                    new_sig.write.mode("append").parquet(index_path)
+                return pairs
+
+            frame = timed("text.incremental_dedup", incdedup_stage)
+            result.stats.put("main", "incremental_dedup_pairs", frame, persist=False)
         if "temperature_sample" in tp:  # mutating: source rebalancing
             kw = dict(tp["temperature_sample"])
             df = timed(

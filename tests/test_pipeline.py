@@ -356,3 +356,71 @@ def test_anovos_report_html(spark, sf_dir, tmp_path):
         assert needle in txt
     # tables are escaped — no raw angle brackets from data can leak
     assert "<script" not in txt
+
+
+def test_pipeline_training_data_stages(spark, sf_dir, tmp_path):
+    index_path = str(tmp_path / "mh_index")
+    cfg = {
+        "input_dataset": {
+            "read": {"file_path": f"{sf_dir}/documents.parquet", "file_type": "parquet"}
+        },
+        "text_pipeline": {
+            "boilerplate_removal": {
+                "text_col": "text",
+                "id_col": "doc_id",
+                "min_doc_frac": 0.5,
+            },
+            "token_budget_sample": {
+                "group_col": "source",
+                "id_col": "doc_id",
+                "token_col": "n_chars",
+                "budget": 2000,
+            },
+            "mixture_plan": {
+                "group_col": "lang",
+                "token_col": "n_chars",
+                "targets": {"en": 0.5, "de": 0.2, "es": 0.1, "fr": 0.1, "zh": 0.1},
+            },
+            "incremental_dedup": {
+                "index_path": index_path,
+                "id_col": "doc_id",
+                "threshold": 0.5,
+            },
+        },
+    }
+    res = run_pipeline(spark, cfg)
+    budgets = res.df.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()
+    assert all(r["t"] <= 2000 for r in budgets)
+    mp = res.stats.get("main", "mixture_plan")
+    assert {"rate", "planned_tokens"} <= set(mp.columns)
+    # first run bootstraps the index: no pairs, index populated
+    assert res.stats.get("main", "incremental_dedup_pairs").count() == 0
+    n_index = spark.read.parquet(index_path).count()
+    assert n_index == res.df.count()
+    # re-ingesting the SAME ids: the id-inequality guard suppresses
+    # self-matches, so only the corpus's own cross-id near-dups surface
+    res2 = run_pipeline(spark, cfg)
+    p2 = res2.stats.get("main", "incremental_dedup_pairs").collect()
+    assert all(r["new_id"] != r["index_id"] and r["est_jaccard"] >= 0.5 for r in p2)
+    assert len(p2) < 0.1 * res2.df.count()
+    # a genuinely new batch (same text, shifted ids) hits its sources
+    shifted = str(tmp_path / "shifted.parquet")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    ).write.parquet(shifted)
+    cfg3 = dict(cfg)
+    cfg3["input_dataset"] = {
+        "read": {"file_path": shifted, "file_type": "parquet"}
+    }
+    indexed = {
+        r["id"] for r in spark.read.parquet(index_path).select("id").collect()
+    }
+    res3 = run_pipeline(spark, cfg3)
+    pairs = res3.stats.get("main", "incremental_dedup_pairs").collect()
+    # every run-3 survivor whose SOURCE doc made it into the index must
+    # surface that source as an exact-signature match
+    survivors = {r["doc_id"] for r in res3.df.select("doc_id").collect()}
+    expected = {(s, s - 1000000) for s in survivors if s - 1000000 in indexed}
+    exact = {(r["new_id"], r["index_id"]) for r in pairs if r["est_jaccard"] == 1.0}
+    assert expected and expected <= exact
