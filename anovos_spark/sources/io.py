@@ -252,3 +252,84 @@ def write_zordered(
         .mode(mode)
         .save(file_path)
     )
+
+
+def compact_dataset(
+    spark,
+    file_path: str,
+    target_file_mb: int = 256,
+    file_type: str = "parquet",
+    partition_by=None,
+) -> dict:
+    """Small-file compaction: rewrite a dataset directory so each file is
+    ~``target_file_mb`` — the standing maintenance job of any long-lived
+    100 TB table (streaming sinks, incremental appends, and per-batch
+    partition dirs all accrete small files, and every query then pays
+    per-file open/footer/seek costs plus driver listing time).
+
+    Sizing reads the actual on-disk bytes via the Hadoop FS (not the
+    Catalyst estimate, which is unreliable post-shuffle); the rewrite is
+    one round-robin repartition — no sort, no skew sensitivity.  With
+    ``partition_by``, files compact within each hive partition via a
+    hash repartition on the partition keys (+ a salt so one giant
+    partition still splits across the target file count).
+
+    Crash-safety: the new layout lands in ``<path>__compacting`` first
+    and swaps in via delete+rename, so a failure mid-rewrite leaves the
+    original intact (re-run to resume); only the delete+rename window is
+    non-atomic — schedule compaction when no writer appends, as every
+    table-maintenance job must.  Returns {files_before, files_after,
+    bytes}.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(file_path)
+    fs = path.getFileSystem(conf)
+
+    def _stats(p):
+        it, n, total = fs.listFiles(p, True), 0, 0
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if not name.startswith("_") and not name.startswith("."):
+                n += 1
+                total += f.getLen()
+        return n, total
+
+    files_before, total_bytes = _stats(path)
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(file_type.lower()).load(file_path)
+
+    tmp = file_path.rstrip("/") + "__compacting"
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(tmp_path):
+        fs.delete(tmp_path, True)
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        from anovos_spark.core.utils import ensure_list
+
+        keys = ensure_list(partition_by)
+        # salt the repartition key: without it a single giant hive
+        # partition would collapse into one task/file
+        salt = F.pmod(
+            F.crc32(F.monotonically_increasing_id().cast("string")),
+            F.lit(max(1, n_files)),
+        )
+        (df.repartition(n_files, *[F.col(k) for k in keys], salt)
+         .write.format(file_type.lower()).mode("overwrite")
+         .partitionBy(*keys).save(tmp))
+    else:
+        (df.repartition(n_files).write.format(file_type.lower())
+         .mode("overwrite").save(tmp))
+    fs.delete(path, True)
+    if not fs.rename(tmp_path, path):
+        raise IOError(f"rename {tmp} -> {file_path} failed; data is at {tmp}")
+    files_after, _ = _stats(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

@@ -154,3 +154,39 @@ def test_zorder_key_bit_interleave(spark):
     dfn = spark.createDataFrame([(None, None), (0, 0.0)], "a int, b double")
     kn = zorder_key(dfn, ["a", "b"], bits=4, binning="minmax").collect()
     assert {r["__zorder__"] for r in kn} == {0}
+
+
+def test_compact_dataset(spark, tmp_path):
+    from anovos_spark.sources.io import compact_dataset
+
+    src = str(tmp_path / "fragmented")
+    spark.range(0, 20000).selectExpr(
+        "id", "id % 7 as grp", "cast(id as double) as v"
+    ).repartition(40).write.parquet(src)
+    import os
+
+    def count_parts(p):
+        return sum(
+            1
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    assert count_parts(src) == 40
+    stats = compact_dataset(spark, src, target_file_mb=256)
+    assert stats["files_before"] == 40
+    # tiny table -> one target file; data survives byte-exact
+    assert stats["files_after"] == 1 and count_parts(src) == 1
+    df = spark.read.parquet(src)
+    assert df.count() == 20000
+    assert df.agg({"v": "sum"}).collect()[0][0] == sum(range(20000))
+    # hive-partitioned variant compacts within partitions
+    src2 = str(tmp_path / "fragmented_hive")
+    spark.range(0, 20000).selectExpr(
+        "id", "id % 3 as grp", "cast(id as double) as v"
+    ).repartition(30).write.partitionBy("grp").parquet(src2)
+    before = count_parts(src2)
+    stats2 = compact_dataset(spark, src2, target_file_mb=256, partition_by="grp")
+    after = count_parts(src2)
+    assert after < before and spark.read.parquet(src2).count() == 20000
