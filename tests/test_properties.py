@@ -224,3 +224,101 @@ def test_asof_join_matches_pandas_property(spark, left_rows, right_rows, directi
     exp = pd.merge_asof(lp, rp, on="ts", by="k", direction=direction)
     exp = exp.sort_values(["k", "ts"]).reset_index(drop=True)
     assert list(got["rv_matched"].fillna(-1e18)) == list(exp["rv"].fillna(-1e18))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(st.integers(1, 50), min_size=1, max_size=30),
+    budget=st.integers(1, 500),
+)
+def test_token_budget_prefix_property(spark, toks, budget):
+    """The kept set must be exactly the longest hash-order prefix whose
+    running sum fits the budget — computed independently on the driver —
+    and must be monotone in the budget."""
+    import hashlib
+
+    from anovos_spark.operators.ingest import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "g", t) for i, t in enumerate(toks)], "id int, grp string, toks int"
+    )
+    kept = sorted(
+        r["id"] for r in token_budget_sample(df, "grp", "id", "toks", budget).collect()
+    )
+    order = sorted(
+        range(len(toks)),
+        key=lambda i: (hashlib.md5(f"{i}|42".encode()).hexdigest(), i),
+    )
+    want, cum = [], 0
+    for i in order:
+        cum += toks[i]
+        if cum > budget:
+            break
+        want.append(i)
+    assert kept == sorted(want)
+    bigger = sorted(
+        r["id"]
+        for r in token_budget_sample(df, "grp", "id", "toks", budget + 50).collect()
+    )
+    assert set(kept) <= set(bigger)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(100, 10000), min_size=2, max_size=5),
+    seed_frac=st.sampled_from([0.3, 0.5, 0.7]),
+)
+def test_mixture_plan_invariants(spark, sizes, seed_frac):
+    """rates in (0,1]; exactly one binding group at rate 1.0 (ties allowed);
+    planned token ratios reproduce the target ratios exactly."""
+    from anovos_spark.operators.ingest import mixture_plan
+
+    groups = [f"g{i}" for i in range(len(sizes))]
+    rows = [(g, s) for g, s in zip(groups, sizes)]
+    df = spark.createDataFrame(rows, "grp string, toks int")
+    # normalized targets over all groups
+    raw = [seed_frac ** i for i in range(len(groups))]
+    tot = sum(raw)
+    targets = {g: r / tot for g, r in zip(groups, raw)}
+    # exact sum-to-1 normalization for the operator's validation
+    targets[groups[-1]] += 1.0 - sum(targets.values())
+    out = {r["grp"]: r for r in mixture_plan(df, "grp", "toks", targets).collect()}
+    assert all(0 < r["rate"] <= 1.0 for r in out.values())
+    assert any(abs(r["rate"] - 1.0) < 1e-9 for r in out.values())
+    # planned tokens follow the target proportions (floor rounding slack)
+    tstar = min(out[g]["tokens"] / targets[g] for g in groups)
+    for g in groups:
+        assert abs(out[g]["planned_tokens"] - targets[g] * tstar) <= 1.0
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["shared line", "common footer", "xx", "yy", "zz"]),
+                 min_size=1, max_size=5),
+        min_size=2, max_size=6,
+    ),
+    k=st.integers(2, 4),
+)
+def test_boilerplate_removal_property(spark, docs, k):
+    """A line is removed iff its normalized form appears in >= k distinct
+    docs; surviving lines keep their original order."""
+    from anovos_spark.operators.text import boilerplate_removal
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(docs)],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           boilerplate_removal(df, "text", "doc_id", min_doc_count=k).collect()}
+    from collections import Counter
+
+    docfreq = Counter()
+    for lines in docs:
+        for key in {l.lower().strip() for l in lines if l.strip()}:
+            docfreq[key] += 1
+    for i, lines in enumerate(docs):
+        keep = [l for l in lines
+                if l.strip() == "" or docfreq[l.lower().strip()] < k]
+        assert out[i]["text"] == "\n".join(keep)
+        assert out[i]["removed_lines"] == len(lines) - len(keep)
