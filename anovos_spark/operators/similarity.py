@@ -563,3 +563,45 @@ def ivf_query_index(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    idf: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    out_col: str = "qvec",
+) -> DataFrame:
+    """Symmetric per-vector scalar quantization for ANN serving:
+    scale = max|v| / (2^(bits-1) - 1), q_i = round(v_i / scale) — float32
+    embeddings become int8 at 4× memory reduction (the standard first
+    step before an IVF/LSH index has to hold 100 TB of vectors), with
+    the per-vector scale kept for dequantization (v̂_i = q_i · scale,
+    max error scale/2).
+
+    Pure array expressions (transform + array_max), scan-speed, no UDF;
+    zero vectors quantize to all-zero with scale 0.  Returns the input
+    columns minus ``vec_col`` plus [qvec array<int>, scale double]."""
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = maxabs / F.lit(qmax)
+    q = F.when(
+        maxabs > 0,
+        F.transform(v, lambda x: F.round(x.cast("double") / scale).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    other = [c for c in idf.columns if c != vec_col]
+    return idf.select(*other, q.alias(out_col), scale.alias("scale"))
+
+
+def dequantize_embeddings(
+    idf: DataFrame,
+    qvec_col: str = "qvec",
+    scale_col: str = "scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of quantize_embeddings: v̂_i = q_i · scale (double array)."""
+    q = F.col(qvec_col)
+    rec = F.transform(q, lambda x: x.cast("double") * F.col(scale_col))
+    other = [c for c in idf.columns if c not in (qvec_col, scale_col)]
+    return idf.select(*other, rec.alias(out_col))

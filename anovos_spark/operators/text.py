@@ -673,3 +673,48 @@ def boilerplate_removal(
         .withColumn("kept_chars", F.length(text_col).cast("long"))
         .withColumn("clean_md5", F.md5(F.col(text_col)))
     )
+
+
+def chunk_documents(
+    idf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks —
+    the RAG / context-window preparation step: [id, chunk_id, chunk_start,
+    chunk_text, n_chunks] with chunk_start 1-based, stride =
+    chunk_chars - overlap, and the final chunk allowed to run short.
+
+    Pure expressions (sequence → transform → substr → posexplode): the
+    chunk fan-out happens inside the scan projection with whole-stage
+    codegen, no UDF and no shuffle — at 100 TB this op is scan-bound by
+    construction.  Chunk count per doc is ceil((len - overlap)/stride)
+    (min 1), so chunks tile the document with exactly ``overlap``
+    characters shared between neighbours."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    t = F.col(text_col)
+    n_chunks = F.greatest(
+        F.ceil((F.length(t) - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts, lambda i: t.substr(i * stride + 1, F.lit(chunk_chars))
+    )
+    other = [c for c in idf.columns if c not in (text_col, id_col)]
+    return idf.select(
+        F.col(id_col),
+        *other,
+        n_chunks.alias("n_chunks"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    ).select(
+        id_col,
+        *other,
+        "chunk_id",
+        (F.col("chunk_id") * stride + 1).cast("long").alias("chunk_start"),
+        "chunk_text",
+        "n_chunks",
+    )

@@ -2298,6 +2298,36 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
         "feature_recommender": feature_recommender_sql(),
         "dedup_minhash_incremental": minhash_incremental_sql(),
         "streaming_dedup_incremental": minhash_incremental_sql(),
+        "chunk_documents": """
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+n AS (SELECT doc_id, text,
+        greatest(ceil((L - 50) / 150.0), 1)::INT AS n_chunks FROM d),
+c AS (SELECT doc_id, n_chunks, i AS chunk_id,
+        substring(text, i * 150 + 1, 200) AS chunk_text
+      FROM n, unnest(range(0, n_chunks)) AS t(i))
+SELECT doc_id, chunk_id, (chunk_id * 150 + 1)::BIGINT AS chunk_start,
+       length(chunk_text)::BIGINT AS chunk_len,
+       md5(chunk_text) AS chunk_md5, n_chunks
+FROM c""",
+        "quantize_embeddings": """
+WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+q AS (SELECT vec_id, v, scale,
+        CASE WHEN scale > 0
+             THEN list_transform(v, x -> CAST(round(x / scale) AS INT))
+             ELSE list_transform(v, x -> 0) END AS qvec
+      FROM s),
+r AS (SELECT vec_id, scale,
+        list_sum(qvec) AS qsum,
+        list_max(list_transform(generate_series(1, len(qvec)),
+                 i -> abs(qvec[i] * scale - v[i]))) AS err
+      FROM q)
+SELECT vec_id, round(scale, 6) AS scale, qsum::BIGINT AS qsum,
+       round(err, 6) AS max_err
+FROM r""",
         "pca_closed_form": """
 WITH s AS (SELECT corr(l_quantity, l_extendedprice) AS r FROM lineitem)
 SELECT round(1 + abs(r), 6) AS eig1,

@@ -2408,6 +2408,53 @@ def q_streaming_dedup(spark, sf_dir):
     return read_dedup_pairs(spark, pairs_path)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """RAG-prep chunking: 200-char chunks, 50-char overlap, over the
+    documents table — pure sequence/substr expressions inside the scan
+    (no shuffle); the oracle replays the identical tiling arithmetic
+    with generate_series."""
+    from anovos_spark.operators.text import chunk_documents
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(docs, chunk_chars=200, overlap=50)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_chunks",
+    )
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """int8 symmetric per-vector quantization of the embeddings table —
+    the 4x-memory ANN-serving step; the query verifies the full
+    round-trip in-plan (quantize → dequantize → max abs error, which the
+    scale/2 bound caps) and the oracle replays scale, rounding, and
+    reconstruction with DuckDB list lambdas."""
+    from anovos_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = quantize_embeddings(emb, "embedding", "vec_id")
+    joined = dequantize_embeddings(
+        q.join(emb, "vec_id").select("vec_id", "qvec", "scale", "embedding"),
+        out_col="recon",
+    ).join(q.select("vec_id", "qvec", "scale"), "vec_id")
+    err = F.array_max(
+        F.zip_with("recon", "embedding", lambda r, v: F.abs(r - v.cast("double")))
+    )
+    return joined.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias("qsum"),
+        F.round(err, 6).alias("max_err"),
+    )
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2612,4 +2659,6 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_closed_form": q_pca_closed_form,
         "dedup_minhash_incremental": q_minhash_incremental,
         "streaming_dedup_incremental": q_streaming_dedup,
+        "chunk_documents": q_chunk_documents,
+        "quantize_embeddings": q_quantize_embeddings,
     }

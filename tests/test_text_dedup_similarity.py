@@ -564,3 +564,58 @@ def test_minhash_incremental(spark):
     # index update appends without recomputing the old side
     grown = minhash_index_update(index, new)
     assert grown.count() == 5
+
+
+def test_chunk_documents(spark):
+    from anovos_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a" * 1200), (2, "b" * 100), (3, "c" * 513)], "doc_id int, text string"
+    )
+    rows = chunk_documents(df, chunk_chars=512, overlap=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1 and len(by_doc[3]) == 2
+    # neighbours share exactly `overlap` characters
+    c0, c1, _ = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert c0["chunk_text"][-64:] == c1["chunk_text"][:64]
+    assert c1["chunk_start"] == c0["chunk_start"] + (512 - 64)
+    # reassembly: stride-prefixes + full last chunk reproduce the doc
+    parts = sorted(by_doc[3], key=lambda r: r["chunk_id"])
+    rebuilt = "".join(p["chunk_text"][: 512 - 64] for p in parts[:-1]) + parts[-1]["chunk_text"]
+    assert rebuilt == "c" * 513
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        chunk_documents(df, chunk_chars=64, overlap=64)
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from anovos_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [127.0, -127.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    q = quantize_embeddings(df, "embedding", "vec_id")
+    rows = {r["vec_id"]: r for r in q.collect()}
+    # max|v| maps to ±127; zero vector quantizes to zeros with scale 0
+    assert rows[1]["qvec"][1] == -127 and rows[1]["scale"] == 1.0 / 127.0
+    assert rows[2]["qvec"] == [0, 0, 0] and rows[2]["scale"] == 0.0
+    assert rows[3]["qvec"] == [127, -127, 1]
+    # reconstruction error bounded by scale/2 everywhere
+    rec = dequantize_embeddings(q.join(df, "vec_id"), out_col="recon")
+    err = rec.select(
+        "vec_id",
+        F.array_max(
+            F.zip_with("recon", "embedding", lambda r, v: F.abs(r - v.cast("double")))
+        ).alias("e"),
+        ).collect()
+    scales = {k: v["scale"] for k, v in rows.items()}
+    assert all(r["e"] <= scales[r["vec_id"]] / 2 + 1e-12 for r in err)
