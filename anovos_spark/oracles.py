@@ -2298,6 +2298,14 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
         "feature_recommender": feature_recommender_sql(),
         "dedup_minhash_incremental": minhash_incremental_sql(),
         "streaming_dedup_incremental": minhash_incremental_sql(),
+        "heavy_hitters": f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT token AS value, count(*)::BIGINT AS "count",
+       round(count(*) / any_value(n), 6) AS share
+FROM tok, tot
+GROUP BY token
+HAVING count(*) >= 0.005 * any_value(n)""",
         "chunk_documents": """
 WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
 n AS (SELECT doc_id, text,

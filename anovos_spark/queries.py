@@ -2455,6 +2455,20 @@ def q_quantize_embeddings(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters over the corpus token stream (support 0.5%) —
+    two-phase Misra-Gries candidates + exact recount: per-partition
+    state bounded at O(1/support), only the candidate set shuffles, yet
+    the result is provably EXACT for any partitioning, which is why a
+    plain groupBy-HAVING oracle can hash-match it."""
+    from anovos_spark.operators.sketches import heavy_hitters
+    from anovos_spark.operators.text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return heavy_hitters(tok, "token", support=0.005)
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2475,6 +2489,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # measured sf0.01 bench seconds (round 2); used only to order the
 # correctness run cheap-first — stale values degrade gracefully
 _APPROX_COST = {
+    "boilerplate_removal": 0.5, "token_budget_sample": 0.3, "mixture_plan": 0.3,
+    "feature_recommender": 1.2, "pca_closed_form": 2.0,
+    "dedup_minhash_incremental": 2.5, "streaming_dedup_incremental": 8.0,
+    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8,
     "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
     "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
     "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
@@ -2661,4 +2679,5 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_incremental": q_streaming_dedup,
         "chunk_documents": q_chunk_documents,
         "quantize_embeddings": q_quantize_embeddings,
+        "heavy_hitters": q_heavy_hitters,
     }

@@ -107,3 +107,28 @@ def test_counts_vs_lineitem(lineitem):
     total = lineitem.count()
     assert d["l_quantity"]["fill_count"] == total
     assert d["l_quantity"]["missing_count"] == 0
+
+
+def test_heavy_hitters_exact(spark):
+    from pyspark.sql import functions as F
+
+    from anovos_spark.operators.sketches import heavy_hitters
+
+    # skewed stream: value 'hot' at 40%, 'warm' at 10%, long tail of
+    # uniques — spread over many partitions to exercise the MG merge
+    rows = (["hot"] * 400 + ["warm"] * 100 + [f"t{i}" for i in range(500)])
+    df = spark.createDataFrame([(v,) for v in rows], "v string").repartition(16)
+    got = {r["value"]: r["count"] for r in heavy_hitters(df, "v", support=0.05).collect()}
+    assert got == {"hot": 400, "warm": 100}
+    # tight capacity still exact (margin=1 -> capacity = 1/support)
+    got2 = {r["value"]: r["count"]
+            for r in heavy_hitters(df, "v", support=0.05, margin=1).collect()}
+    assert got2 == got
+    # support below the tail admits everything; counts stay exact
+    all_vals = heavy_hitters(df, "v", support=1e-4)
+    assert all_vals.count() == 502
+    assert all_vals.agg(F.sum("count")).collect()[0][0] == 1000
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        heavy_hitters(df, "v", support=0.0)
