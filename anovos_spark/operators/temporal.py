@@ -278,3 +278,88 @@ def sessionize(
         "session_end",
         "n_events",
     )
+
+
+def scd2_from_changes(
+    idf: DataFrame,
+    key_cols,
+    attr_cols,
+    ts_col: str,
+    tiebreak_cols=(),
+    history: DataFrame | None = None,
+) -> DataFrame:
+    """Build / extend a slowly-changing-dimension (type 2) history from a
+    change stream: per key, consecutive rows with identical tracked
+    attributes collapse into one version; each version carries
+    [valid_from, valid_to, is_current] with valid_to = the next
+    version's start (null while current).
+
+    With ``history`` (an existing SCD2 frame with the same columns),
+    its CLOSED rows pass through untouched and each key's OPEN row seeds
+    the timeline, so a no-op update doesn't open a spurious version and
+    the superseded open row closes at the first real change — the
+    incremental warehouse-merge pattern, expressed as two windows
+    (change-detect lag + closing lead) and a union: no MERGE statement,
+    no driver loop, one keyed shuffle.
+
+    Determinism: ties on ``ts_col`` break by ``tiebreak_cols`` (pass the
+    event id); attribute equality compares null-safely via a fingerprint
+    over all attr_cols.
+    """
+    from pyspark.sql import Window
+
+    key_cols = ensure_list(key_cols)
+    attr_cols = ensure_list(attr_cols)
+    tiebreak_cols = ensure_list(tiebreak_cols)
+
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+                for c in attr_cols
+            ],
+        )
+    )
+    updates = idf.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("__ts__"),
+        *[F.col(c).alias(f"__tb_{c}__") for c in tiebreak_cols],
+        fp.alias("__fp__"),
+        F.lit(0).alias("__seed__"),
+    )
+    closed = None
+    if history is not None:
+        closed = history.where(~F.col("is_current"))
+        opens = history.where(F.col("is_current")).select(
+            *key_cols,
+            *attr_cols,
+            F.col("valid_from").alias("__ts__"),
+            *[
+                F.lit(None).cast(idf.schema[c].dataType).alias(f"__tb_{c}__")
+                for c in tiebreak_cols
+            ],
+            fp.alias("__fp__"),
+            F.lit(1).alias("__seed__"),
+        )
+        updates = opens.unionByName(updates)
+
+    order = [F.col("__ts__").asc(), F.col("__seed__").desc()] + [
+        F.col(f"__tb_{c}__").asc_nulls_first() for c in tiebreak_cols
+    ]
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(*key_cols).orderBy(*order)
+    changes = updates.withColumn("__prev__", F.lag("__fp__").over(w)).where(
+        F.col("__prev__").isNull() | (F.col("__prev__") != F.col("__fp__"))
+    )
+    versions = changes.select(
+        *key_cols,
+        *attr_cols,
+        F.col("__ts__").alias("valid_from"),
+        F.lead("__ts__").over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+    if closed is not None:
+        versions = closed.select(*versions.columns).unionByName(versions)
+    return versions

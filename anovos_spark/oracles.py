@@ -2298,6 +2298,21 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
         "feature_recommender": feature_recommender_sql(),
         "dedup_minhash_incremental": minhash_incremental_sql(),
         "streaming_dedup_incremental": minhash_incremental_sql(),
+        "scd2_versions": """
+WITH u AS (SELECT user_id, event_type, ts, event_id FROM events),
+d AS (SELECT user_id, event_type, ts, event_id,
+        md5(coalesce(event_type, '<NULL>')) AS fp,
+        lag(md5(coalesce(event_type, '<NULL>'))) OVER (
+          PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+      FROM u),
+c AS (SELECT user_id, event_type, ts, event_id
+      FROM d WHERE prev IS NULL OR prev <> fp)
+SELECT user_id, event_type, ts AS valid_from,
+       coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+                TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         IS NULL)::INT AS is_current
+FROM c""",
         "heavy_hitters": f"""
 WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
 tot AS (SELECT count(*) AS n FROM tok)

@@ -2469,6 +2469,30 @@ def q_heavy_hitters(spark, sf_dir):
     return heavy_hitters(tok, "token", support=0.005)
 
 
+def q_scd2_versions(spark, sf_dir):
+    """SCD2 dimension build from a change stream: per-user event_type
+    version history with [valid_from, valid_to, is_current] — two keyed
+    windows (change-detect lag + closing lead), consecutive no-change
+    rows collapsed, ties broken by event_id.  The incremental
+    history-merge path shares this machinery (temporal.scd2_from_changes)
+    and is unit-tested; the oracle replays the window algebra."""
+    from anovos_spark.operators.temporal import scd2_from_changes
+
+    ev = table(spark, sf_dir, "events")
+    out = scd2_from_changes(
+        ev, "user_id", "event_type", "ts", tiebreak_cols="event_id"
+    )
+    return out.select(
+        "user_id", "event_type", "valid_from",
+        # open rows close at the conventional SCD2 high date (pandas-ns-safe) so the
+        # differential never compares null timestamps
+        F.coalesce(
+            "valid_to", F.lit("2200-01-01 00:00:00").cast("timestamp")
+        ).alias("valid_to"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2492,7 +2516,7 @@ _APPROX_COST = {
     "boilerplate_removal": 0.5, "token_budget_sample": 0.3, "mixture_plan": 0.3,
     "feature_recommender": 1.2, "pca_closed_form": 2.0,
     "dedup_minhash_incremental": 2.5, "streaming_dedup_incremental": 8.0,
-    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8,
+    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5,
     "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
     "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
     "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
@@ -2680,4 +2704,5 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "quantize_embeddings": q_quantize_embeddings,
         "heavy_hitters": q_heavy_hitters,
+        "scd2_versions": q_scd2_versions,
     }

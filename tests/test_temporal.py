@@ -175,3 +175,49 @@ def test_batch_sessionize(spark):
     s = {r["session_id"]: r for r in out}
     first = [r for r in out if r["user_id"] == "u1" and r["n_events"] == 2][0]
     assert first["session_start"] == _ts(1, 9, 0) and first["session_end"] == _ts(1, 9, 20)
+
+
+def test_scd2_from_changes(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from anovos_spark.operators.temporal import scd2_from_changes
+
+    T = lambda h: dt.datetime(2024, 1, 1, h)
+    df = spark.createDataFrame(
+        [
+            (1, "A", T(1), 10),
+            (1, "A", T(2), 11),   # no-op: collapses
+            (1, "B", T(3), 12),
+            (1, "A", T(4), 13),   # back to A: NEW version, not merged
+            (2, "X", T(5), 14),
+        ],
+        "k int, attr string, ts timestamp, eid int",
+    )
+    hist = scd2_from_changes(df, "k", "attr", "ts", tiebreak_cols="eid")
+    rows = sorted(hist.collect(), key=lambda r: (r["k"], r["valid_from"]))
+    assert [(r["k"], r["attr"], r["is_current"]) for r in rows] == [
+        (1, "A", False), (1, "B", False), (1, "A", True), (2, "X", True),
+    ]
+    assert rows[0]["valid_to"] == T(3) and rows[1]["valid_to"] == T(4)
+    # incremental merge: closed rows untouched; open row closes at the
+    # first REAL change (the no-op update at T6 opens nothing)
+    upd = spark.createDataFrame(
+        [(1, "A", T(6), 15), (1, "C", T(7), 16)],
+        "k int, attr string, ts timestamp, eid int",
+    )
+    h2 = scd2_from_changes(upd, "k", "attr", "ts", tiebreak_cols="eid", history=hist)
+    rows2 = sorted(h2.collect(), key=lambda r: (r["k"], r["valid_from"]))
+    assert [(r["k"], r["attr"], r["is_current"]) for r in rows2] == [
+        (1, "A", False), (1, "B", False), (1, "A", False), (1, "C", True),
+        (2, "X", True),
+    ]
+    assert rows2[2]["valid_to"] == T(7)
+    # null attribute is a distinct tracked state, null-safely fingerprinted
+    dfn = spark.createDataFrame(
+        [(3, None, T(1), 1), (3, "A", T(2), 2), (3, None, T(3), 3)],
+        "k int, attr string, ts timestamp, eid int",
+    )
+    hn = scd2_from_changes(dfn, "k", "attr", "ts", tiebreak_cols="eid")
+    assert hn.count() == 3
