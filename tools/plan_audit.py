@@ -165,6 +165,34 @@ def main():
     check("featrec: broadcast token joins", "BroadcastHashJoin" in p)
     check("featrec: no cartesian", "CartesianProduct" not in p)
 
+    # 18. chunk_documents: chunk fan-out inside the scan projection — no
+    # exchange, no UDF (the explode is a Generate node, not a shuffle)
+    p = plan_of(Q.q_chunk_documents(spark, sf_dir))
+    check("chunk_documents: no exchange", "Exchange" not in p)
+    check("chunk_documents: no python UDF", "BatchEvalPython" not in p)
+
+    # 19. quantize_embeddings: array expressions at scan speed; the
+    # round-trip joins broadcast (both sides re-derive from one scan)
+    p = plan_of(Q.q_quantize_embeddings(spark, sf_dir))
+    check("quantize: no python UDF", "BatchEvalPython" not in p)
+    check("quantize: no cartesian", "CartesianProduct" not in p)
+
+    # 20. heavy_hitters: candidate recount joins BROADCAST (the candidate
+    # set is bounded by capacity x partitions, never the key space)
+    p = plan_of(Q.q_heavy_hitters(spark, sf_dir))
+    check("heavy_hitters: broadcast candidate join", "BroadcastHashJoin" in p)
+    check("heavy_hitters: partial agg", "partial_" in p)
+
+    # 21. scd2: two keyed windows — hash-partitioned, never SinglePartition
+    p = plan_of(Q.q_scd2_versions(spark, sf_dir))
+    check("scd2: no global window", "SinglePartition" not in p)
+    check("scd2: no python UDF", "BatchEvalPython" not in p)
+
+    # 22. incremental dedup: banded candidate join is a hash equi-join
+    p = plan_of(Q.q_minhash_incremental(spark, sf_dir))
+    check("minhash_incremental: no cartesian", "CartesianProduct" not in p)
+    check("minhash_incremental: no nested-loop join", "BroadcastNestedLoopJoin" not in p)
+
     print(f"\n{'ALL CLEAR' if not failures else f'{len(failures)} audit failures: {failures}'}")
     spark.stop()
     sys.exit(1 if failures else 0)
