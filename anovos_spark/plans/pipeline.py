@@ -385,6 +385,21 @@ def run_pipeline(
         if "hash_split" in tp:  # mutating (adds the fold column)
             kw = dict(tp["hash_split"])
             df = timed("text.hash_split", lambda: hash_split(df, **kw))
+        if "heavy_hitters" in tp:  # analytical: exact frequent tokens
+            from pyspark.sql import functions as F
+
+            from anovos_spark.operators.sketches import heavy_hitters
+            from anovos_spark.operators.text import tokens as _tokens
+
+            kw = dict(tp["heavy_hitters"])
+            text_col = kw.pop("text_col", "text")
+
+            def hh_stage():
+                tok = df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+                return heavy_hitters(tok, "token", **kw)
+
+            frame = timed("text.heavy_hitters", hh_stage)
+            result.stats.put("main", "heavy_hitters", frame, persist=False)
         if "repetition_stats" in tp:  # analytical
             kw = dict(tp["repetition_stats"] or {})
             frame = timed(
@@ -407,6 +422,11 @@ def run_pipeline(
                 lambda: TX.contamination_check(df, bench, **kw),
             )
             result.stats.put("main", "contamination_check", frame, persist=False)
+        # chunking LAST: it renames text -> chunk_text, so every analytical
+        # text stage above must see the document grain
+        if "chunk_documents" in tp:  # mutating: RAG-prep fan-out
+            kw = dict(tp["chunk_documents"])
+            df = timed("text.chunk_documents", lambda: TX.chunk_documents(df, **kw))
 
     # ---- reference-layout report artifact tree -------------------------- #
     if "report_bundle" in config:
