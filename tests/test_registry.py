@@ -1,0 +1,46 @@
+"""Driver-contract consistency: every oracle key maps to a query, the
+registry iteration order puts oracle-backed entries first, and the
+entry module exposes the three required callables."""
+
+import importlib.util
+import os
+
+
+def _entry_module():
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("spark_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_oracles_subset_of_queries():
+    mod = _entry_module()
+    q, o = mod.queries(), mod.oracle_sql()
+    assert set(o) <= set(q), sorted(set(o) - set(q))
+    # rows-only tail stays small and intentional
+    rows_only = sorted(set(q) - set(o))
+    assert rows_only == [
+        "autoencoder_latent",
+        "feature_recommender_embedded",
+        "pca_latent_features",
+    ]
+
+
+def test_registry_order_oracles_first():
+    mod = _entry_module()
+    q, o = mod.queries(), mod.oracle_sql()
+    names = list(q)
+    seen_rows_only = False
+    for n in names:
+        if n not in o:
+            seen_rows_only = True
+        else:
+            assert not seen_rows_only, f"oracle-backed {n!r} after a rows-only entry"
+
+
+def test_oracle_sql_is_nonempty_ansi():
+    mod = _entry_module()
+    for name, sql in mod.oracle_sql().items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
