@@ -237,6 +237,12 @@ def run_pipeline(
 
     # ---- report chart frames (analytical) ------------------------------ #
     rf = config.get("report_frames") or {}
+    _RF_STAGES = {"frequency", "event_rate", "outlier", "comparative_drift"}
+    if set(rf) - _RF_STAGES:
+        raise ValueError(
+            f"unknown report_frames stage(s) {sorted(set(rf) - _RF_STAGES)}; "
+            f"valid: {sorted(_RF_STAGES)}"
+        )
     if rf:
         from anovos_spark.plans import report_frames as RF
 
@@ -283,6 +289,20 @@ def run_pipeline(
 
     # ---- text / training-data pipeline stages --------------------------- #
     tp = config.get("text_pipeline") or {}
+    _TEXT_STAGES = {
+        "normalize_text", "pii_redact", "dedup", "boilerplate_removal",
+        "cap_per_group", "token_budget_sample", "mixture_plan",
+        "incremental_dedup", "temperature_sample", "hash_split",
+        "heavy_hitters", "repetition_stats", "vocabulary", "ngram_counts",
+        "contamination_check", "chunk_documents",
+    }
+    unknown = set(tp) - _TEXT_STAGES
+    if unknown:
+        # a typo'd stage must fail loudly, not silently skip a pipeline step
+        raise ValueError(
+            f"unknown text_pipeline stage(s) {sorted(unknown)}; "
+            f"valid: {sorted(_TEXT_STAGES)}"
+        )
     if tp:
         from anovos_spark.operators import text as TX
         from anovos_spark.operators.ingest import (

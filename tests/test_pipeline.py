@@ -424,3 +424,17 @@ def test_pipeline_training_data_stages(spark, sf_dir, tmp_path):
     expected = {(s, s - 1000000) for s in survivors if s - 1000000 in indexed}
     exact = {(r["new_id"], r["index_id"]) for r in pairs if r["est_jaccard"] == 1.0}
     assert expected and expected <= exact
+
+
+def test_pipeline_rejects_unknown_stage_keys(spark, sf_dir):
+    import pytest as _p
+
+    base = {
+        "input_dataset": {
+            "read": {"file_path": f"{sf_dir}/documents.parquet", "file_type": "parquet"}
+        }
+    }
+    with _p.raises(ValueError, match="unknown text_pipeline stage"):
+        run_pipeline(spark, {**base, "text_pipeline": {"boilerplate_removel": {}}})
+    with _p.raises(ValueError, match="unknown report_frames stage"):
+        run_pipeline(spark, {**base, "report_frames": {"frequencyy": {"col": "lang"}}})
