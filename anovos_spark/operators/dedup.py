@@ -561,3 +561,70 @@ def minhash_lsh_pairs_incremental(
         .distinct()
         .where(F.col("est_jaccard") >= threshold)
     )
+
+
+def _sig_band_rows(sig: DataFrame, bands: int, r: int) -> DataFrame:
+    """[id, signature, band, bucket] — one row per (doc, band), bucket =
+    the band's signature slice joined as a string key."""
+    return sig.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col("signature")[b * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "id", "signature",
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def _sig_matches(a_sig, b_sig) -> "Column":
+    return F.size(F.filter(F.zip_with(a_sig, b_sig, lambda x, y: x == y), lambda v: v))
+
+
+def minhash_estimate_pairs(
+    sig_df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Signature-only near-dup pairs WITHIN one signature frame
+    ([id, signature] — e.g. a fresh ingest batch): banded equi-join
+    candidates, positional-match Jaccard estimate, id_a < id_b.  The
+    text is never touched, so this composes with the persisted-index
+    flow (minhash_lsh_pairs_incremental) to fully dedup an ingest batch
+    — within itself and against history — from one signature pass."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    a = _sig_band_rows(sig_df, bands, r).alias("a")
+    b = _sig_band_rows(sig_df, bands, r).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                _sig_matches(F.col("a.signature"), F.col("b.signature"))
+                / F.lit(float(num_hashes)),
+                6,
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+        .where(F.col("est_jaccard") >= threshold)
+    )

@@ -519,6 +519,7 @@ def streaming_dedup_sink(
     trigger_available_now: bool = True,
     run_id: str = "run0",
     checkpoint: str | None = None,
+    intra_batch: bool = False,
 ):
     """Continuous ingest-time near-dup screening: each micro-batch of
     documents is checked against the persisted MinHash signature index
@@ -543,6 +544,7 @@ def streaming_dedup_sink(
     dedup is also required.  Readers: read_dedup_index / read_dedup_pairs.
     """
     from anovos_spark.operators.dedup import (
+        minhash_estimate_pairs,
         minhash_lsh_pairs_incremental,
         minhash_signatures,
     )
@@ -568,6 +570,19 @@ def streaming_dedup_sink(
             pairs = minhash_lsh_pairs_incremental(
                 batch_df, index, text_col, id_col, n, num_hashes, bands,
                 threshold, new_sig=sig,
+            )
+        pairs = pairs.withColumn("intra", F.lit(False))
+        if intra_batch:
+            # within-batch near-dups from the SAME signature pass —
+            # id_a < id_b so a pair appears once, tagged intra
+            ip = minhash_estimate_pairs(sig, num_hashes, bands, threshold)
+            pairs = pairs.unionByName(
+                ip.select(
+                    F.col("id_a").alias("new_id"),
+                    F.col("id_b").alias("index_id"),
+                    "est_jaccard",
+                    F.lit(True).alias("intra"),
+                )
             )
         pairs.write.mode("overwrite").parquet(
             f"{pairs_path}/run_id={run_id}/batch_id={batch_id}"

@@ -360,3 +360,25 @@ def test_streaming_dedup_sink(spark, tmp_path):
         (r["new_id"], r["index_id"]) for r in pairs
     )
     assert S.read_dedup_index(spark, index_path).count() == 6
+
+
+def test_streaming_dedup_sink_intra_batch(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again extra"),
+            (3, "completely different content about spark physical query plans"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "one_batch")
+    docs.coalesce(1).write.parquet(src)
+    sdf = S.read_stream(spark, "parquet", src, schema="doc_id long, text string")
+    q = S.streaming_dedup_sink(
+        sdf, str(tmp_path / "idx"), str(tmp_path / "pairs"),
+        query_name="ddintra", run_id="r0", threshold=0.5, intra_batch=True,
+    )
+    _drain(q)
+    pairs = spark.read.parquet(str(tmp_path / "pairs")).collect()
+    # no index yet -> only the within-batch near-dup, tagged intra
+    assert [(r["new_id"], r["index_id"], r["intra"]) for r in pairs] == [(1, 2, True)]
