@@ -1752,6 +1752,62 @@ SELECT new_id, index_id, est_jaccard FROM est WHERE est_jaccard >= 0.5"""
 
 
 
+
+
+def grouped_summary_sql() -> str:
+    """Per-segment profile with the dispersion oracle's decimal-exact
+    s1/s2 algebra, one UNION ALL branch per column."""
+    parts = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
+        parts.append(f"""SELECT l_returnflag, '{c}' AS attribute,
+ n::BIGINT AS n, miss AS n_missing,
+ round(s1/nd, 6) AS mean,
+ round(CASE WHEN nd > 1 THEN sqrt((s2 - s1*s1/nd)/(nd-1)) END, 6) AS stddev,
+ vmin, vmax
+FROM (SELECT l_returnflag,
+        count({c}) AS n,
+        (count(*) - count({c}))::BIGINT AS miss,
+        CAST(count({c}) AS DOUBLE) AS nd,
+        CAST(sum(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        CAST(sum(CAST({c} AS DECIMAL(19,6)) * CAST({c} AS DECIMAL(19,6))) AS DOUBLE) AS s2,
+        CAST(min({c}) AS DOUBLE) AS vmin,
+        CAST(max({c}) AS DOUBLE) AS vmax
+      FROM lineitem GROUP BY 1) t""")
+    return _union(parts)
+
+
+
+
+
+def language_id_confusion_sql() -> str:
+    """Confusion matrix over the same scoring CASE as language_id_sql,
+    plus per-truth-class fractions via a window."""
+    from anovos_spark.operators.text import LANG_PROFILES
+
+    score_exprs = []
+    for lang in sorted(LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        score_exprs.append(
+            f"round(CAST(len(list_filter({_TOKS}, x -> x IN ({words}))) AS DOUBLE)"
+            f" / len({_TOKS}), 6) AS s_{lang}"
+        )
+    return f"""
+WITH s AS (SELECT doc_id, lang, {', '.join(score_exprs)} FROM documents),
+p AS (
+  SELECT lang,
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+         WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         WHEN s_en >= s_de THEN 'en'
+         ELSE 'de' END AS pred_lang
+  FROM s),
+cell AS (SELECT lang, pred_lang, count(*)::BIGINT AS n_docs FROM p GROUP BY 1, 2)
+SELECT lang, pred_lang, n_docs,
+       round(n_docs / sum(n_docs) OVER (PARTITION BY lang), 6) AS class_frac
+FROM cell"""
+
+
+
 def registry() -> dict[str, str]:
     return {
         "global_summary": global_summary_sql(),
@@ -2298,6 +2354,8 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
         "feature_recommender": feature_recommender_sql(),
         "dedup_minhash_incremental": minhash_incremental_sql(),
         "streaming_dedup_incremental": minhash_incremental_sql(),
+        "grouped_summary": grouped_summary_sql(),
+        "language_id_confusion": language_id_confusion_sql(),
         "scd2_versions": """
 WITH u AS (SELECT user_id, event_type, ts, event_id FROM events),
 d AS (SELECT user_id, event_type, ts, event_id,

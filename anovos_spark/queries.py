@@ -2493,6 +2493,46 @@ def q_scd2_versions(spark, sf_dir):
     )
 
 
+def q_grouped_summary(spark, sf_dir):
+    """Segmented numeric profile: per-returnflag stats for four measures
+    in ONE groupBy aggregation (melted to long form) — the per-segment
+    analysis pass the reference's whole-table battery can't express
+    without N jobs.  Exact decimal sums under the gate; double sums in
+    production."""
+    from anovos_spark.operators.stats import grouped_summary
+
+    li = table(spark, sf_dir, "lineitem")
+    return grouped_summary(
+        li, "l_returnflag",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        exact=_exact(),
+    )
+
+
+def q_language_id_confusion(spark, sf_dir):
+    """Classifier-eval utility: confusion matrix of language_id
+    predictions against the lang labels, with per-truth-class recall —
+    the quality-measurement loop every heuristic filter needs before it
+    gates a 100 TB corpus.  Same scoring as q_language_id; one extra
+    keyed aggregation."""
+    from anovos_spark.operators.text import language_id
+
+    docs = table(spark, sf_dir, "documents")
+    pred = language_id(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("lang", "pred_lang")
+    cell = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return cell.select(
+        "lang", "pred_lang", "n_docs",
+        F.round(F.col("n_docs") / tot, 6).alias("class_frac"),
+    )
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2516,7 +2556,7 @@ _APPROX_COST = {
     "boilerplate_removal": 0.5, "token_budget_sample": 0.3, "mixture_plan": 0.3,
     "feature_recommender": 1.2, "pca_closed_form": 2.0,
     "dedup_minhash_incremental": 2.5, "streaming_dedup_incremental": 8.0,
-    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5,
+    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7,
     "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
     "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
     "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
@@ -2705,4 +2745,6 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "heavy_hitters": q_heavy_hitters,
         "scd2_versions": q_scd2_versions,
+        "grouped_summary": q_grouped_summary,
+        "language_id_confusion": q_language_id_confusion,
     }

@@ -132,3 +132,23 @@ def test_heavy_hitters_exact(spark):
 
     with _p.raises(ValueError):
         heavy_hitters(df, "v", support=0.0)
+
+
+def test_grouped_summary(spark):
+    from anovos_spark.operators.stats import grouped_summary
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("a", 3.0, None), ("b", 5.0, 20.0)],
+        "g string, x double, y double",
+    )
+    out = {(r["g"], r["attribute"]): r
+           for r in grouped_summary(df, "g", ["x", "y"], exact=True).collect()}
+    ax = out[("a", "x")]
+    assert ax["n"] == 2 and ax["mean"] == 2.0 and ax["stddev"] == round(2**0.5, 6)
+    assert out[("a", "y")]["n_missing"] == 1 and out[("a", "y")]["stddev"] is None
+    assert out[("b", "x")]["n"] == 1 and out[("b", "x")]["stddev"] is None
+    assert out[("b", "y")]["vmin"] == 20.0 == out[("b", "y")]["vmax"]
+    # group columns never profile themselves
+    df2 = spark.createDataFrame([("a", 1.0, 2)], "g string, x double, k int")
+    attrs = {r["attribute"] for r in grouped_summary(df2, "k").collect()}
+    assert attrs == {"x"}
