@@ -363,3 +363,130 @@ def scd2_from_changes(
     if closed is not None:
         versions = closed.select(*versions.columns).unionByName(versions)
     return versions
+
+
+def funnel(
+    idf: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps,
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, step k counts only if an
+    event of ``steps[k]`` occurs STRICTLY AFTER that user's step-k-1
+    completion time (earliest-completion semantics: each step takes its
+    minimum qualifying timestamp).  ``within_seconds`` additionally
+    requires every step to land within that span of the user's step-0
+    time.  Returns [step_idx, step, n_users, conversion] with conversion
+    relative to step 0.
+
+    Scale: k-1 keyed equi-joins on the user id (one per funnel edge),
+    each preceded by an event-type filter that pushes to the scan — no
+    windows over the raw event stream, no per-user collect.  The final
+    per-step counts aggregate a frame of |steps| rows.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    ev = idf.select(
+        F.col(user_col).alias("__u__"),
+        F.col(type_col).alias("__t__"),
+        F.col(ts_col).alias("__ts__"),
+    )
+    cur = (
+        ev.where(F.col("__t__") == steps[0])
+        .groupBy("__u__")
+        .agg(F.min("__ts__").alias("t0"))
+        .withColumn("__prev__", F.col("t0"))
+    )
+    stage_users = [cur.select("__u__")]
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = ev.where(F.col("__t__") == step).join(cur, "__u__")
+        cond = F.col("__ts__") > F.col("__prev__")
+        if within_seconds is not None:
+            cond = cond & (
+                F.col("__ts__")
+                <= F.col("t0") + F.expr(f"INTERVAL {int(within_seconds)} SECOND")
+            )
+        cur = (
+            nxt.where(cond)
+            .groupBy("__u__")
+            .agg(F.min("__ts__").alias("__prev__"), F.first("t0").alias("t0"))
+        )
+        stage_users.append(cur.select("__u__"))
+    from functools import reduce
+
+    tagged = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            df.select(F.lit(i).alias("step_idx"), F.lit(s).alias("step"), "__u__")
+            for i, (s, df) in enumerate(zip(steps, stage_users))
+        ],
+    )
+    counts = tagged.groupBy("step_idx", "step").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    from pyspark.sql import Window
+
+    base = F.first("n_users").over(
+        Window.partitionBy().orderBy("step_idx").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return counts.select(
+        "step_idx", "step", "n_users",
+        F.round(F.col("n_users") / base, 6).alias("conversion"),
+    )
+
+
+def cohort_retention(
+    idf: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Classic cohort retention: users grouped by their FIRST-activity
+    period (the cohort), counted in every later period they return →
+    [cohort, period_idx, n_users, retention] with retention relative to
+    the cohort's size at period 0.
+
+    Scale: one groupBy(user) for the cohort assignment, one
+    groupBy(cohort, period) for the matrix — two keyed shuffles total;
+    the per-user join rides the same user-keyed partitioning.
+    """
+    trunc = {"week": "week", "month": "month", "day": "day"}[period]
+    ev = idf.select(
+        F.col(user_col).alias("__u__"),
+        F.date_trunc(trunc, F.col(ts_col)).alias("__p__"),
+    )
+    first = ev.groupBy("__u__").agg(F.min("__p__").alias("cohort"))
+    diff_unit = {"week": 7 * 86400, "day": 86400}.get(period)
+    joined = ev.join(first, "__u__")
+    if diff_unit is not None:
+        pidx = (
+            (F.unix_timestamp("__p__") - F.unix_timestamp("cohort")) / diff_unit
+        ).cast("int")
+    else:  # calendar months
+        pidx = (
+            (F.year("__p__") - F.year("cohort")) * 12
+            + (F.month("__p__") - F.month("cohort"))
+        ).cast("int")
+    cells = (
+        joined.select("__u__", F.col("cohort").cast("date").alias("cohort"),
+                      pidx.alias("period_idx"))
+        .distinct()
+        .groupBy("cohort", "period_idx")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    from pyspark.sql import Window
+
+    base = F.first("n_users").over(
+        Window.partitionBy("cohort").orderBy("period_idx").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return cells.select(
+        "cohort", "period_idx", "n_users",
+        F.round(F.col("n_users") / base, 6).alias("retention"),
+    )

@@ -2356,6 +2356,36 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
         "streaming_dedup_incremental": minhash_incremental_sql(),
         "grouped_summary": grouped_summary_sql(),
         "language_id_confusion": language_id_confusion_sql(),
+        "funnel_analysis": """
+WITH e AS (SELECT user_id AS u, event_type AS t, ts FROM events),
+s0 AS (SELECT u, min(ts) AS t0 FROM e WHERE t = 'signup' GROUP BY 1),
+s1 AS (SELECT e.u, min(e.ts) AS t1, min(s0.t0) AS t0
+       FROM e JOIN s0 ON e.u = s0.u
+       WHERE e.t = 'click' AND e.ts > s0.t0
+         AND e.ts <= s0.t0 + INTERVAL 86400 SECOND GROUP BY 1),
+s2 AS (SELECT e.u, min(e.ts) AS t2
+       FROM e JOIN s1 ON e.u = s1.u
+       WHERE e.t = 'purchase' AND e.ts > s1.t1
+         AND e.ts <= s1.t0 + INTERVAL 86400 SECOND GROUP BY 1),
+counts AS (
+  SELECT 0 AS step_idx, 'signup' AS step, count(*) AS n FROM s0
+  UNION ALL SELECT 1, 'click', count(*) FROM s1
+  UNION ALL SELECT 2, 'purchase', count(*) FROM s2)
+SELECT step_idx, step, n::BIGINT AS n_users,
+       round(n / first(n) OVER (ORDER BY step_idx), 6) AS conversion
+FROM counts""",
+        "cohort_retention": """
+WITH ev AS (SELECT user_id AS u, date_trunc('week', ts) AS p FROM events),
+f AS (SELECT u, min(p) AS cohort FROM ev GROUP BY 1),
+cells AS (SELECT DISTINCT ev.u, f.cohort::DATE AS cohort,
+            ((epoch(ev.p) - epoch(f.cohort)) / 604800)::INT AS period_idx
+          FROM ev JOIN f ON ev.u = f.u),
+g AS (SELECT cohort, period_idx, count(*) AS n_users FROM cells GROUP BY 1, 2)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort, period_idx,
+       n_users::BIGINT AS n_users,
+       round(n_users / first(n_users) OVER (
+         PARTITION BY cohort ORDER BY period_idx), 6) AS retention
+FROM g""",
         "scd2_versions": """
 WITH u AS (SELECT user_id, event_type, ts, event_id FROM events),
 d AS (SELECT user_id, event_type, ts, event_id,

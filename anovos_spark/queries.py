@@ -2533,6 +2533,33 @@ def q_language_id_confusion(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel (signup → click → purchase, 1-day completion
+    window): per-user earliest-completion chaining via k-1 user-keyed
+    equi-joins, never a window over the raw stream."""
+    from anovos_spark.operators.temporal import funnel
+
+    ev = table(spark, sf_dir, "events")
+    return funnel(
+        ev, "user_id", "event_type", "ts",
+        ["signup", "click", "purchase"], within_seconds=86400,
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: first-activity week x return
+    week — two keyed shuffles total, retention relative to each
+    cohort's own base via a per-cohort running-first window."""
+    from anovos_spark.operators.temporal import cohort_retention
+
+    ev = table(spark, sf_dir, "events")
+    out = cohort_retention(ev, "user_id", "ts", "week")
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "period_idx", "n_users", "retention",
+    )
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2556,7 +2583,7 @@ _APPROX_COST = {
     "boilerplate_removal": 0.5, "token_budget_sample": 0.3, "mixture_plan": 0.3,
     "feature_recommender": 1.2, "pca_closed_form": 2.0,
     "dedup_minhash_incremental": 2.5, "streaming_dedup_incremental": 8.0,
-    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7,
+    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6,
     "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
     "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
     "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
@@ -2747,4 +2774,6 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_versions": q_scd2_versions,
         "grouped_summary": q_grouped_summary,
         "language_id_confusion": q_language_id_confusion,
+        "funnel_analysis": q_funnel,
+        "cohort_retention": q_cohort_retention,
     }

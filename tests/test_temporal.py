@@ -221,3 +221,42 @@ def test_scd2_from_changes(spark):
     )
     hn = scd2_from_changes(dfn, "k", "attr", "ts", tiebreak_cols="eid")
     assert hn.count() == 3
+
+
+def test_funnel_and_cohort(spark):
+    import datetime as dt
+
+    from anovos_spark.operators.temporal import cohort_retention, funnel
+
+    T = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    ev = spark.createDataFrame(
+        [
+            # u1 completes in order; u2 clicks BEFORE signup (no credit);
+            # u3 signs up only; u4 completes but outside the window
+            (1, "signup", T(1)), (1, "click", T(1, 2)), (1, "purchase", T(1, 5)),
+            (2, "click", T(1)), (2, "signup", T(1, 2)), (2, "purchase", T(1, 3)),
+            (3, "signup", T(2)),
+            (4, "signup", T(3)), (4, "click", T(9)), (4, "purchase", T(10)),
+        ],
+        "user_id int, event_type string, ts timestamp",
+    )
+    out = {r["step"]: r for r in funnel(
+        ev, "user_id", "event_type", "ts",
+        ["signup", "click", "purchase"], within_seconds=86400,
+    ).collect()}
+    assert out["signup"]["n_users"] == 4
+    assert out["click"]["n_users"] == 1       # only u1 clicks after signup in-window
+    assert out["purchase"]["n_users"] == 1
+    assert out["purchase"]["conversion"] == 0.25
+    # no window: u4's late completion now counts, u2 still out of order
+    out2 = {r["step"]: r["n_users"] for r in funnel(
+        ev, "user_id", "event_type", "ts", ["signup", "click", "purchase"]
+    ).collect()}
+    assert out2 == {"signup": 4, "click": 2, "purchase": 2}
+
+    ret = {(str(r["cohort"])[:10], r["period_idx"]): r for r in
+           cohort_retention(ev, "user_id", "ts", "week").collect()}
+    # week of 2024-01-01: all 4 users start there; u4 returns in week 1
+    assert ret[("2024-01-01", 0)]["n_users"] == 4
+    assert ret[("2024-01-01", 1)]["n_users"] == 1
+    assert ret[("2024-01-01", 1)]["retention"] == 0.25
