@@ -183,6 +183,14 @@ def run_pipeline(
         frame = timed(f"stats.{metric}", lambda fn=fn: fn(df))
         result.stats.put("main", metric, frame, persist=False)
 
+    # ---- segmented profiling (analytical) ----------------------------- #
+    if "grouped_summary" in config:
+        gs = dict(config["grouped_summary"])
+        frame = timed(
+            "stats.grouped_summary", lambda: stats.grouped_summary(df, **gs)
+        )
+        result.stats.put("main", "grouped_summary", frame, persist=False)
+
     # ---- transformers (mutating) -------------------------------------- #
     for name, kwargs in (config.get("transformers") or {}).items():
         if name not in TRANSFORMER_FNS:

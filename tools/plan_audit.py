@@ -193,6 +193,20 @@ def main():
     check("minhash_incremental: no cartesian", "CartesianProduct" not in p)
     check("minhash_incremental: no nested-loop join", "BroadcastNestedLoopJoin" not in p)
 
+    # 23. grouped_summary: ONE keyed aggregation for all columns (a single
+    # Exchange pair), partial agg, no per-column jobs
+    p = plan_of(Q.q_grouped_summary(spark, sf_dir))
+    check("grouped_summary: partial agg", "partial_" in p)
+    check("grouped_summary: single shuffle", p.count("Exchange") <= 2)
+
+    # 24. funnel/cohort: user-keyed hash joins and aggs only
+    p = plan_of(Q.q_funnel(spark, sf_dir))
+    check("funnel: no cartesian", "CartesianProduct" not in p)
+    check("funnel: no nested-loop join", "BroadcastNestedLoopJoin" not in p)
+    p = plan_of(Q.q_cohort_retention(spark, sf_dir))
+    check("cohort: no cartesian", "CartesianProduct" not in p)
+    check("cohort: partial agg", "partial_" in p)
+
     print(f"\n{'ALL CLEAR' if not failures else f'{len(failures)} audit failures: {failures}'}")
     spark.stop()
     sys.exit(1 if failures else 0)
