@@ -2356,6 +2356,41 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
         "streaming_dedup_incremental": minhash_incremental_sql(),
         "grouped_summary": grouped_summary_sql(),
         "language_id_confusion": language_id_confusion_sql(),
+        "validate_constraints": """
+WITH m AS (
+  SELECT count(*) AS n,
+         count(o_orderkey) AS nn_k,
+         count(DISTINCT o_orderkey) AS d_k,
+         count(o_totalprice) AS nn_p,
+         count(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 END) AS v_range,
+         count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS v_set,
+         count(o_orderstatus) AS nn_s,
+         count(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000 THEN 1 END) AS v_tight
+  FROM orders),
+rf AS (
+  SELECT count(*) AS tot,
+         sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS miss
+  FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+  LEFT JOIN customer c ON c.c_custkey = o.o_custkey)
+SELECT * FROM (
+  SELECT 0 AS rule_idx, 'not_null' AS rule_type, 'o_orderkey' AS attribute,
+         round((n - nn_k) * 1.0 / n, 6) AS observed, 0.0 AS threshold,
+         CASE WHEN (n - nn_k) * 1.0 / n <= 0.0 THEN 1 ELSE 0 END AS passed FROM m
+  UNION ALL
+  SELECT 1, 'unique', 'o_orderkey', round((nn_k - d_k) * 1.0 / nn_k, 6), 0.0,
+         CASE WHEN (nn_k - d_k) * 1.0 / nn_k <= 0.0 THEN 1 ELSE 0 END FROM m
+  UNION ALL
+  SELECT 2, 'in_range', 'o_totalprice', round(v_range * 1.0 / nn_p, 6), 0.0,
+         CASE WHEN v_range * 1.0 / nn_p <= 0.0 THEN 1 ELSE 0 END FROM m
+  UNION ALL
+  SELECT 3, 'in_set', 'o_orderstatus', round(v_set * 1.0 / nn_s, 6), 0.0,
+         CASE WHEN v_set * 1.0 / nn_s <= 0.0 THEN 1 ELSE 0 END FROM m
+  UNION ALL
+  SELECT 4, 'referential', 'o_custkey', round(miss * 1.0 / tot, 6), 0.0,
+         CASE WHEN miss * 1.0 / tot <= 0.0 THEN 1 ELSE 0 END FROM rf
+  UNION ALL
+  SELECT 5, 'in_range', 'o_totalprice', round(v_tight * 1.0 / nn_p, 6), 0.0,
+         CASE WHEN v_tight * 1.0 / nn_p <= 0.0 THEN 1 ELSE 0 END FROM m)""",
         "funnel_analysis": """
 WITH e AS (SELECT user_id AS u, event_type AS t, ts FROM events),
 s0 AS (SELECT u, min(ts) AS t0 FROM e WHERE t = 'signup' GROUP BY 1),

@@ -2560,6 +2560,28 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
+def q_validate_constraints(spark, sf_dir):
+    """Declarative data-contract validation (deequ-shaped): six rules
+    over orders — not-null, uniqueness, range, set membership, row
+    count, and referential integrity to customer — ONE aggregation pass
+    + one anti-join; the deliberately-failing tight range proves the
+    report can say no."""
+    from anovos_spark.operators.constraints import validate_constraints
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    rules = [
+        {"type": "not_null", "col": "o_orderkey"},
+        {"type": "unique", "col": "o_orderkey"},
+        {"type": "in_range", "col": "o_totalprice", "min": 0, "max": 1e6},
+        {"type": "in_set", "col": "o_orderstatus", "values": ["O", "F", "P"]},
+        {"type": "referential", "col": "o_custkey", "ref": "customer",
+         "ref_col": "c_custkey"},
+        {"type": "in_range", "col": "o_totalprice", "min": 0, "max": 1000},
+    ]
+    return validate_constraints(orders, rules, {"customer": cust})
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2583,7 +2605,7 @@ _APPROX_COST = {
     "boilerplate_removal": 0.5, "token_budget_sample": 0.3, "mixture_plan": 0.3,
     "feature_recommender": 1.2, "pca_closed_form": 2.0,
     "dedup_minhash_incremental": 2.5, "streaming_dedup_incremental": 8.0,
-    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6,
+    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6,
     "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
     "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
     "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
@@ -2776,4 +2798,5 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_confusion": q_language_id_confusion,
         "funnel_analysis": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "validate_constraints": q_validate_constraints,
     }

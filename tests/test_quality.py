@@ -94,3 +94,37 @@ def test_invalid_entries(qdf):
     remaining = {r["name"] for r in odf.select("name").collect()}
     assert "aaa" not in remaining and "n/a" not in remaining and "abc1" not in remaining
     assert "alpha" in remaining
+
+
+def test_validate_constraints(spark):
+    from anovos_spark.operators.constraints import validate_constraints
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (2, None, -5.0), (3, "z", 200.0)],
+        "k int, s string, v double",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "rk int")
+    rules = [
+        {"type": "not_null", "col": "s", "max_missing_frac": 0.3},   # 1/4 -> pass
+        {"type": "not_null", "col": "s"},                            # fail
+        {"type": "unique", "col": "k"},                              # dup 2 -> fail
+        {"type": "in_range", "col": "v", "min": 0, "max": 100,
+         "max_violation_frac": 0.5},                                 # 2/4 -> pass
+        {"type": "in_set", "col": "s", "values": ["a"]},             # 'z' -> fail
+        {"type": "row_count", "min": 1, "max": 10},
+        {"type": "referential", "col": "k", "ref": "r", "ref_col": "rk"},  # 3 missing
+    ]
+    out = {r["rule_idx"]: r for r in
+           validate_constraints(df, rules, {"r": ref}).collect()}
+    assert out[0]["passed"] == 1 and out[0]["observed"] == 0.25
+    assert out[1]["passed"] == 0
+    assert out[2]["passed"] == 0 and out[2]["observed"] == round(1 / 4, 6)
+    assert out[3]["passed"] == 1 and out[3]["observed"] == 0.5
+    assert out[4]["passed"] == 0
+    assert out[5]["passed"] == 1 and out[5]["observed"] == 4.0
+    # distinct-key semantics: key 3 missing once among 3 distinct keys
+    assert out[6]["observed"] == round(1 / 3, 6) and out[6]["passed"] == 0
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        validate_constraints(df, [{"type": "nope", "col": "k"}])
