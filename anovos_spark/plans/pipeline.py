@@ -183,6 +183,32 @@ def run_pipeline(
         frame = timed(f"stats.{metric}", lambda fn=fn: fn(df))
         result.stats.put("main", metric, frame, persist=False)
 
+    # ---- declarative data contracts ------------------------------------ #
+    if "constraints" in config:
+        from anovos_spark.operators.constraints import validate_constraints
+
+        cc = dict(config["constraints"])
+        refs = {
+            name: read_dataset(spark, **spec)
+            for name, spec in (cc.pop("refs", None) or {}).items()
+        }
+        fail_on_violation = cc.pop("fail_on_violation", False)
+        report = timed(
+            "constraints.validate",
+            lambda: validate_constraints(df, cc["rules"], refs),
+        )
+        result.stats.put("main", "constraints", report, persist=False)
+        if fail_on_violation:
+            bad = [
+                f"{r['rule_type']}({r['attribute']}) observed={r['observed']}"
+                for r in report.collect()
+                if not r["passed"]
+            ]
+            if bad:
+                raise RuntimeError(
+                    "data-contract violation(s): " + "; ".join(bad)
+                )
+
     # ---- segmented profiling (analytical) ----------------------------- #
     if "grouped_summary" in config:
         gs = dict(config["grouped_summary"])

@@ -438,3 +438,28 @@ def test_pipeline_rejects_unknown_stage_keys(spark, sf_dir):
         run_pipeline(spark, {**base, "text_pipeline": {"boilerplate_removel": {}}})
     with _p.raises(ValueError, match="unknown report_frames stage"):
         run_pipeline(spark, {**base, "report_frames": {"frequencyy": {"col": "lang"}}})
+
+
+def test_pipeline_constraints_gate(spark, sf_dir):
+    import pytest as _p
+
+    base = {
+        "input_dataset": {
+            "read": {"file_path": f"{sf_dir}/orders.parquet", "file_type": "parquet"}
+        },
+        "constraints": {
+            "rules": [
+                {"type": "not_null", "col": "o_orderkey"},
+                {"type": "in_range", "col": "o_totalprice", "min": 0, "max": 100},
+            ],
+            "fail_on_violation": True,
+        },
+    }
+    with _p.raises(RuntimeError, match="data-contract violation"):
+        run_pipeline(spark, base)
+    # soft mode records the report instead of failing
+    base["constraints"]["fail_on_violation"] = False
+    res = run_pipeline(spark, base)
+    rep = {r["rule_idx"]: r["passed"] for r in
+           res.stats.get("main", "constraints").collect()}
+    assert rep == {0: 1, 1: 0}
