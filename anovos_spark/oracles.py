@@ -2356,6 +2356,11 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
         "streaming_dedup_incremental": minhash_incremental_sql(),
         "grouped_summary": grouped_summary_sql(),
         "language_id_confusion": language_id_confusion_sql(),
+        "fuzzy_match": """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name)::INT AS distance
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1""",
         "validate_constraints": """
 WITH m AS (
   SELECT count(*) AS n,

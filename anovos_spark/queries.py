@@ -2582,6 +2582,19 @@ def q_validate_constraints(spark, sf_dir):
     return validate_constraints(orders, rules, {"customer": cust})
 
 
+def q_fuzzy_match(spark, sf_dir):
+    """Entity-resolution fuzzy join on customer names (edit distance
+    <= 1) via FastSS deletion neighborhoods — 100%-recall equi-join
+    candidates whose count tracks the true pair count even on this
+    worst-case key space (zero-padded serials defeat q-gram blocking:
+    measured 10.4M gram candidates vs ~300k here for 262k true pairs at
+    sf0.1).  The oracle is the brute-force all-pairs Levenshtein truth."""
+    from anovos_spark.operators.dedup import fuzzy_match_pairs
+
+    cust = table(spark, sf_dir, "customer")
+    return fuzzy_match_pairs(cust, "c_name", "c_custkey", max_distance=1)
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2605,7 +2618,7 @@ _APPROX_COST = {
     "boilerplate_removal": 0.5, "token_budget_sample": 0.3, "mixture_plan": 0.3,
     "feature_recommender": 1.2, "pca_closed_form": 2.0,
     "dedup_minhash_incremental": 2.5, "streaming_dedup_incremental": 8.0,
-    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6,
+    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0,
     "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
     "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
     "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
@@ -2799,4 +2812,5 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_analysis": q_funnel,
         "cohort_retention": q_cohort_retention,
         "validate_constraints": q_validate_constraints,
+        "fuzzy_match": q_fuzzy_match,
     }

@@ -322,3 +322,40 @@ def test_boilerplate_removal_property(spark, docs, k):
                 if l.strip() == "" or docfreq[l.lower().strip()] < k]
         assert out[i]["text"] == "\n".join(keep)
         assert out[i]["removed_lines"] == len(lines) - len(keep)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    base=st.lists(
+        st.text(alphabet="abcdef", min_size=4, max_size=10), min_size=2,
+        max_size=6, unique=True,
+    ),
+    k=st.sampled_from([1, 2]),
+)
+def test_fuzzy_match_equals_bruteforce(spark, base, k):
+    """FastSS candidates + Levenshtein verify must equal the brute-force
+    all-pairs edit-distance join for k in {1, 2}."""
+    from anovos_spark.operators.dedup import fuzzy_match_pairs
+
+    df = spark.createDataFrame(list(enumerate(base)), "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_match_pairs(df, "s", "id", max_distance=k).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    want = {}
+    for i in range(len(base)):
+        for j in range(i + 1, len(base)):
+            d = lev(base[i], base[j])
+            if d <= k:
+                want[(i, j)] = d
+    assert got == want
