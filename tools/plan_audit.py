@@ -207,6 +207,17 @@ def main():
     check("cohort: no cartesian", "CartesianProduct" not in p)
     check("cohort: partial agg", "partial_" in p)
 
+    # 25. fuzzy_match: deletion-variant candidates are a hash equi-join;
+    # verify joins stay hash joins — never a cartesian/BNLJ
+    p = plan_of(Q.q_fuzzy_match(spark, sf_dir))
+    check("fuzzy_match: no cartesian", "CartesianProduct" not in p)
+    check("fuzzy_match: no nested-loop join", "BroadcastNestedLoopJoin" not in p)
+
+    # 26. constraints: scalar rules in ONE aggregation (<= one Exchange
+    # pair before the collect), referential as anti-join
+    p = plan_of(Q.q_validate_constraints(spark, sf_dir))
+    check("constraints: local-result frame", "Scan ExistingRDD" in p or "LocalTableScan" in p)
+
     print(f"\n{'ALL CLEAR' if not failures else f'{len(failures)} audit failures: {failures}'}")
     spark.stop()
     sys.exit(1 if failures else 0)
