@@ -490,3 +490,66 @@ def cohort_retention(
         "cohort", "period_idx", "n_users",
         F.round(F.col("n_users") / base, 6).alias("retention"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    by=None,
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Interval × interval overlap join: every (left, right) pair with
+    ``l_start <= r_end AND r_start <= l_end`` (and equal ``by`` keys) —
+    the genomics/billing/shift-overlap shape Spark would otherwise plan
+    as a BroadcastNestedLoopJoin.
+
+    Both sides explode onto the fixed ``bucket_seconds`` grid and meet
+    in a plain equi-join on (by..., bucket).  An overlapping pair shares
+    every bucket in [max(lo_a, lo_b), min(hi_a, hi_b)]; emitting it only
+    at that range's FIRST bucket (bucket == greatest of the two floors)
+    yields each pair exactly once — no DISTINCT over payload columns.
+
+    bucket_seconds defaults to the longer side's longest interval (two
+    scalar aggs, minute-rounded): each interval then explodes to <= 2
+    grid rows.  Same skew caveat as range_join: cap it explicitly when
+    a few huge intervals would set a degenerate grid.
+    """
+    by = ensure_list(by) if by is not None else []
+    if bucket_seconds is None:
+        longest = 0
+        for df, s, e in ((left, l_start, l_end), (right, r_start, r_end)):
+            m = df.agg(
+                F.max(F.unix_timestamp(F.col(e)) - F.unix_timestamp(F.col(s)))
+            ).collect()[0][0]
+            longest = max(longest, int(m or 0))
+        bucket_seconds = max(60, -(-max(longest, 60) // 60) * 60)
+
+    def grid(df, s, e):
+        lo = (F.unix_timestamp(F.col(s)) / F.lit(bucket_seconds)).cast("long")
+        hi = (F.unix_timestamp(F.col(e)) / F.lit(bucket_seconds)).cast("long")
+        return df.withColumn("__lo__", lo).withColumn(
+            "__bucket__", F.explode(F.sequence(lo, hi))
+        )
+
+    a = grid(left, l_start, l_end).alias("a")
+    b = grid(right, r_start, r_end).alias("b")
+    keys = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in by] + [
+        F.col("a.__bucket__") == F.col("b.__bucket__")
+    ]
+    overlap = (F.col(f"a.{l_start}") <= F.col(f"b.{r_end}")) & (
+        F.col(f"b.{r_start}") <= F.col(f"a.{l_end}")
+    )
+    first_shared = F.col("a.__bucket__") == F.greatest(
+        F.col("a.__lo__"), F.col("b.__lo__")
+    )
+    joined = a.join(b, on=keys, how="inner").where(overlap & first_shared)
+    l_cols = [F.col(f"a.{c}") for c in left.columns]
+    r_cols = [
+        F.col(f"b.{c}").alias(c if c not in left.columns else f"{c}_r")
+        for c in right.columns
+    ]
+    return joined.select(*l_cols, *r_cols)

@@ -2356,6 +2356,14 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
         "streaming_dedup_incremental": minhash_incremental_sql(),
         "grouped_summary": grouped_summary_sql(),
         "language_id_confusion": language_id_confusion_sql(),
+        "interval_overlap_join": """
+SELECT s.event_id AS a_id, e.event_id AS b_id, s.user_id
+FROM (SELECT event_id, user_id, ts AS s_start, ts + INTERVAL 2 HOUR AS s_end
+      FROM events WHERE event_type = 'signup') s
+JOIN (SELECT event_id, user_id, ts AS e_start, ts + INTERVAL 30 MINUTE AS e_end
+      FROM events WHERE event_type = 'error') e
+  ON s.user_id = e.user_id
+ AND s.s_start <= e.e_end AND e.e_start <= s.s_end""",
         "fuzzy_match": """
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        levenshtein(a.c_name, b.c_name)::INT AS distance

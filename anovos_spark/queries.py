@@ -2595,6 +2595,30 @@ def q_fuzzy_match(spark, sf_dir):
     return fuzzy_match_pairs(cust, "c_name", "c_custkey", max_distance=1)
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval x interval overlap join (signup 2h-windows x error
+    30m-windows per user) — grid-bucketed equi-join with first-shared-
+    bucket dedup, never a nested-loop plan; oracle is the direct
+    inequality join."""
+    from anovos_spark.operators.temporal import interval_overlap_join
+
+    ev = table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("a_id"), "user_id",
+        F.col("ts").alias("s_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("s_end"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"), "user_id",
+        F.col("ts").alias("e_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("e_end"),
+    )
+    out = interval_overlap_join(
+        s, e, "s_start", "s_end", "e_start", "e_end", by="user_id"
+    )
+    return out.select("a_id", "b_id", "user_id")
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2618,7 +2642,7 @@ _APPROX_COST = {
     "boilerplate_removal": 0.5, "token_budget_sample": 0.3, "mixture_plan": 0.3,
     "feature_recommender": 1.2, "pca_closed_form": 2.0,
     "dedup_minhash_incremental": 2.5, "streaming_dedup_incremental": 8.0,
-    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0,
+    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0, "interval_overlap_join": 0.7,
     "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
     "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
     "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
@@ -2813,4 +2837,5 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "validate_constraints": q_validate_constraints,
         "fuzzy_match": q_fuzzy_match,
+        "interval_overlap_join": q_interval_overlap,
     }

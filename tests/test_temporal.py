@@ -260,3 +260,34 @@ def test_funnel_and_cohort(spark):
     assert ret[("2024-01-01", 0)]["n_users"] == 4
     assert ret[("2024-01-01", 1)]["n_users"] == 1
     assert ret[("2024-01-01", 1)]["retention"] == 0.25
+
+
+def test_interval_overlap_join(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from anovos_spark.operators.temporal import interval_overlap_join
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    a = spark.createDataFrame(
+        [(1, "u", T(1), T(3)), (2, "u", T(5), T(6)), (3, "v", T(1), T(2))],
+        "a_id int, k string, a_s timestamp, a_e timestamp",
+    )
+    b = spark.createDataFrame(
+        [
+            (10, "u", T(2), T(4)),    # overlaps a1
+            (11, "u", T(3), T(5)),    # touches a1 at 3:00 (inclusive) only
+            (12, "u", T(6, 30), T(7)),  # no overlap
+            (13, "v", T(0), T(10)),   # long interval containing a3
+        ],
+        "b_id int, k string, b_s timestamp, b_e timestamp",
+    )
+    out = interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", by="k")
+    pairs = {(r["a_id"], r["b_id"]) for r in out.collect()}
+    assert pairs == {(1, 10), (1, 11), (2, 11), (3, 13)}
+    # exactly once per pair (first-shared-bucket dedup, no DISTINCT)
+    assert out.count() == len(pairs)
+    # plan shape: hash equi-join, no nested loop
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
