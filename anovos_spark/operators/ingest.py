@@ -569,3 +569,59 @@ def mixture_plan(
         ).alias("rate"),
         F.floor(F.col("target_frac") * tstar).cast("long").alias("planned_tokens"),
     )
+
+
+def weighted_sample_k(
+    idf: DataFrame,
+    weight_col: str,
+    k: int,
+    by=None,
+    id_col: str = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly-k weighted sampling without replacement per group
+    (Efraimidis-Spirakis A-ES): each row draws the key u^(1/w) from its
+    deterministic hash fraction u and weight w; the k largest keys per
+    group are a correct weighted sample.  Deterministic and
+    engine-portable (u is the md5 fraction construction shared with
+    hash_split/temperature_sample), so the DuckDB oracle replays the
+    identical arithmetic.
+
+    One window per group (top-k); rows with non-positive or null
+    weights never get sampled.  by=None samples globally, routed through
+    orderBy(key).limit(k) — Spark executes that as partial top-k per
+    partition (TakeOrderedAndProject), so even the global path never
+    funnels the data into one task the way a global window would.
+    """
+    from pyspark.sql.window import Window
+
+    if id_col is None:
+        raise ValueError("id_col is required (the deterministic draw keys on it)")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(None))
+    scored = idf.withColumn("__aes__", key).where(F.col("__aes__").isNotNull())
+    if by is None:
+        # global: partial top-k per partition via sort+limit — no
+        # single-partition window
+        return scored.orderBy(F.col("__aes__").desc(), F.col(id_col).asc()).limit(
+            int(k)
+        ).drop("__aes__")
+    by = ensure_list(by)
+    win = Window.partitionBy(*by).orderBy(
+        F.col("__aes__").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(win))
+        .where(F.col("__rn__") <= int(k))
+        .drop("__aes__", "__rn__")
+    )

@@ -2356,6 +2356,17 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
         "streaming_dedup_incremental": minhash_incremental_sql(),
         "grouped_summary": grouped_summary_sql(),
         "language_id_confusion": language_id_confusion_sql(),
+        "weighted_sample_k": """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         pow((('0x' || substring(md5(doc_id::VARCHAR || '|' || '7'), 1, 8))::UBIGINT
+              / 4294967296.0),
+             1.0 / n_chars) AS aes
+  FROM documents WHERE n_chars > 0)
+SELECT lang, doc_id, n_chars
+FROM keyed
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY aes DESC, doc_id ASC) <= 10""",
         "interval_overlap_join": """
 SELECT s.event_id AS a_id, e.event_id AS b_id, s.user_id
 FROM (SELECT event_id, user_id, ts AS s_start, ts + INTERVAL 2 HOUR AS s_end

@@ -2619,6 +2619,20 @@ def q_interval_overlap(spark, sf_dir):
     return out.select("a_id", "b_id", "user_id")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Exactly-k weighted sampling per language (A-ES keys u^(1/w),
+    w = n_chars: longer docs proportionally likelier) — one top-k
+    window per group, deterministic hash draws, oracle replays the
+    identical key arithmetic with QUALIFY."""
+    from anovos_spark.operators.ingest import weighted_sample_k
+
+    docs = table(spark, sf_dir, "documents")
+    kept = weighted_sample_k(
+        docs, "n_chars", k=10, by="lang", id_col="doc_id", seed=7
+    )
+    return kept.select("lang", "doc_id", "n_chars")
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2642,7 +2656,7 @@ _APPROX_COST = {
     "boilerplate_removal": 0.5, "token_budget_sample": 0.3, "mixture_plan": 0.3,
     "feature_recommender": 1.2, "pca_closed_form": 2.0,
     "dedup_minhash_incremental": 2.5, "streaming_dedup_incremental": 8.0,
-    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0, "interval_overlap_join": 0.7,
+    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0, "interval_overlap_join": 0.7, "weighted_sample_k": 0.4,
     "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
     "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
     "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
@@ -2838,4 +2852,5 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_constraints": q_validate_constraints,
         "fuzzy_match": q_fuzzy_match,
         "interval_overlap_join": q_interval_overlap,
+        "weighted_sample_k": q_weighted_sample,
     }

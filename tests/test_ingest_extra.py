@@ -263,3 +263,34 @@ def test_mixture_plan(spark):
 
     with _pytest.raises(ValueError):
         mixture_plan(df, "lang", "toks", {"en": 0.5})
+
+
+def test_weighted_sample_k(spark):
+    from pyspark.sql import functions as F
+
+    from anovos_spark.operators.ingest import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 2), float(1 + (i % 5) * 100)) for i in range(200)]
+        + [(900, "g0", 0.0), (901, "g0", None)],
+        "id int, grp string, w double",
+    )
+    out = weighted_sample_k(df, "w", k=5, by="grp", id_col="id")
+    per = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert per == {"g0": 5, "g1": 5}
+    # zero/null weights never sampled
+    ids = {r["id"] for r in out.collect()}
+    assert 900 not in ids and 901 not in ids
+    # deterministic under the same seed, different under another
+    a = sorted(r["id"] for r in weighted_sample_k(df, "w", 5, "grp", "id", seed=1).collect())
+    b = sorted(r["id"] for r in weighted_sample_k(df, "w", 5, "grp", "id", seed=1).collect())
+    c = sorted(r["id"] for r in weighted_sample_k(df, "w", 5, "grp", "id", seed=2).collect())
+    assert a == b and a != c
+    # heavy weights dominate: weight-501 rows should out-sample weight-1
+    big = spark.createDataFrame(
+        [(i, float(1000 if i < 50 else 0.001)) for i in range(1000)],
+        "id int, w double",
+    )
+    g = weighted_sample_k(big, "w", k=20, by=None, id_col="id")
+    heavy = sum(1 for r in g.collect() if r["id"] < 50)
+    assert heavy >= 18  # overwhelming odds under the weight ratio
