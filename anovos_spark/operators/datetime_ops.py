@@ -423,3 +423,165 @@ def lagged_ts(
                 F.col(c).cast("double") - lag_col.cast("double")
             )
     return _append(idf, new)
+
+
+def time_weighted_avg(
+    idf: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per group under step ("last observation
+    carried forward") interpolation: each value holds from its own
+    timestamp to the next observation, so
+    TWA = Σ value_i·(t_{i+1} − t_i) / (t_last − t_first) — the correct
+    average for irregularly sampled gauges (billing, telemetry), where
+    the arithmetic mean over-weights bursts of samples.
+
+    One keyed window (lead) + one keyed aggregation; groups with fewer
+    than two observations have no interval and report null.
+    [group, n_obs, span_seconds, twa, plain_avg].
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc())
+    stepped = idf.select(
+        F.col(group_col),
+        F.col(ts_col),
+        F.col(value_col).cast("double").alias("__v__"),
+        # fractional-second intervals: timestamp->double keeps the
+        # microseconds (unix_timestamp truncates and skews short gaps)
+        (
+            F.lead(ts_col).over(w).cast("double")
+            - F.col(ts_col).cast("double")
+        ).alias("__dt__"),
+    )
+    span = F.sum("__dt__")
+    return stepped.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(span, 0).cast("long").alias("span_seconds"),
+        F.round(
+            F.when(span > 0, F.sum(F.col("__v__") * F.col("__dt__")) / span), 6
+        ).alias("twa"),
+        F.round(F.avg("__v__"), 6).alias("plain_avg"),
+    )
+
+
+def cusum_changepoints(
+    idf: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    target: float,
+    drift: float = 0.0,
+    threshold: float = 5.0,
+    tiebreak_cols=(),
+) -> DataFrame:
+    """Distributed CUSUM change-point detection per group: the classic
+    recursion  s⁺_i = max(0, s⁺_{i-1} + (x_i − target − drift))  looks
+    sequential, but it has a closed window form —
+
+        c_i  = Σ_{k≤i} d_k              (running sum of deviations)
+        s⁺_i = c_i − min(0, min_{j≤i} c_j)
+
+    (the running sum minus its own running minimum clamped at 0), and
+    symmetrically s⁻ with max — so both one-sided CUSUM statistics
+    compute with TWO ordered windows per group, no recursion, no UDF,
+    no sequential pass.  Rows where either statistic exceeds
+    ``threshold`` are flagged.
+
+    Returns [group, ts, value, cusum_pos, cusum_neg, flagged(int)].
+    """
+    from pyspark.sql import Window
+
+    from anovos_spark.core.utils import ensure_list
+
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in ensure_list(tiebreak_cols)
+    ]
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.col(value_col).cast("double")
+    d_pos = x - F.lit(float(target)) - F.lit(float(drift))
+    d_neg = x - F.lit(float(target)) + F.lit(float(drift))
+    c_pos = F.sum(d_pos).over(w)
+    c_neg = F.sum(d_neg).over(w)
+    tb = ensure_list(tiebreak_cols)
+    base = idf.select(
+        F.col(group_col),
+        F.col(ts_col),
+        *[F.col(c) for c in tb],
+        x.alias("value"),
+        c_pos.alias("__cp__"),
+        c_neg.alias("__cn__"),
+    )
+    w2 = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s_pos = F.col("__cp__") - F.least(F.lit(0.0), F.min("__cp__").over(w2))
+    s_neg = -(F.col("__cn__") - F.greatest(F.lit(0.0), F.max("__cn__").over(w2)))
+    return base.select(
+        group_col,
+        ts_col,
+        *ensure_list(tiebreak_cols),
+        "value",
+        F.round(s_pos, 6).alias("cusum_pos"),
+        F.round(s_neg, 6).alias("cusum_neg"),
+        (
+            (s_pos > F.lit(float(threshold))) | (s_neg > F.lit(float(threshold)))
+        ).cast("int").alias("flagged"),
+    )
+
+
+def benford_check(
+    idf: DataFrame,
+    list_of_cols,
+) -> DataFrame:
+    """Benford's-law screen (audit/fraud heuristic): the first significant
+    digit of naturally occurring magnitudes follows P(d) = log10(1 + 1/d);
+    strong deviation flags fabricated or constrained data.  One melt +
+    one aggregation for all columns → [attribute, digit, n, observed_frac,
+    expected_frac, chi2_term]; sum chi2_term per attribute against the
+    χ²(8) critical value downstream.
+
+    First digit extraction is string-based on abs(value) (pure
+    expressions): zeros/nulls are excluded (they carry no leading digit).
+    """
+    import math
+
+    from anovos_spark.core.utils import ensure_list
+
+    cols = ensure_list(list_of_cols)
+    stacked = None
+    for c in cols:
+        v = F.abs(F.col(c).cast("double"))
+        digit = F.substring(
+            F.regexp_replace(F.format_number(v, 10), r"[0.,]", ""), 1, 1
+        )
+        part = idf.where(v > 0).select(
+            F.lit(c).alias("attribute"), digit.cast("int").alias("digit")
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    counts = stacked.where(F.col("digit").between(1, 9)).groupBy(
+        "attribute", "digit"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    tot = F.sum("n").over(Window.partitionBy("attribute"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    obs = F.col("n") / tot
+    return counts.select(
+        "attribute",
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_frac"),
+        F.round(expected, 6).alias("expected_frac"),
+        F.round(tot * (obs - expected) * (obs - expected) / expected, 6).alias(
+            "chi2_term"
+        ),
+    )

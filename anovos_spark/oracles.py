@@ -2356,6 +2356,62 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
         "streaming_dedup_incremental": minhash_incremental_sql(),
         "grouped_summary": grouped_summary_sql(),
         "language_id_confusion": language_id_confusion_sql(),
+        "time_weighted_avg": """
+WITH s AS (
+  SELECT user_id, value,
+         epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC))
+           - epoch(ts) AS dt
+  FROM events)
+SELECT user_id,
+       count(*)::BIGINT AS n_obs,
+       round(sum(dt))::BIGINT AS span_seconds,
+       round(CASE WHEN sum(dt) > 0
+                  THEN sum(value * dt) / sum(dt) END, 6) AS twa,
+       round(avg(value), 6) AS plain_avg
+FROM s GROUP BY 1""",
+        "cusum_changepoints": """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         sum(value - 50.0) OVER w AS cp,
+         sum(value - 50.0) OVER w AS cn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS UNBOUNDED PRECEDING)),
+s AS (
+  SELECT user_id,
+         round(cp - least(0.0, min(cp) OVER w2), 6) AS s_pos,
+         round(-(cn - greatest(0.0, max(cn) OVER w2)), 6) AS s_neg
+  FROM c
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS UNBOUNDED PRECEDING))
+SELECT user_id, count(*)::BIGINT AS n_obs,
+       round(max(s_pos), 6) AS max_cusum_pos,
+       round(max(s_neg), 6) AS max_cusum_neg,
+       sum(CASE WHEN s_pos > 200.0 OR s_neg > 200.0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_flagged
+FROM s GROUP BY 1""",
+        "benford_check": """
+WITH melted AS (
+  SELECT 'l_extendedprice' AS attribute, abs(l_extendedprice) AS v
+  FROM lineitem WHERE abs(l_extendedprice) > 0
+  UNION ALL
+  SELECT 'l_quantity', abs(l_quantity) FROM lineitem WHERE abs(l_quantity) > 0),
+digits AS (
+  SELECT attribute,
+         substring(regexp_replace(printf('%.10f', v), '[0.,]', '', 'g'), 1, 1)::INT
+           AS digit
+  FROM melted),
+counts AS (
+  SELECT attribute, digit, count(*)::BIGINT AS n
+  FROM digits WHERE digit BETWEEN 1 AND 9 GROUP BY 1, 2)
+SELECT attribute, digit, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY attribute), 6) AS observed_frac,
+       round(log10(1.0 + 1.0 / digit), 6) AS expected_frac,
+       round(sum(n) OVER (PARTITION BY attribute)
+             * pow(n * 1.0 / sum(n) OVER (PARTITION BY attribute)
+                   - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+FROM counts""",
         "weighted_sample_k": """
 WITH keyed AS (
   SELECT lang, doc_id, n_chars,

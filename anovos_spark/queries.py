@@ -2633,6 +2633,48 @@ def q_weighted_sample(spark, sf_dir):
     return kept.select("lang", "doc_id", "n_chars")
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted averages of the event value per user (step
+    interpolation) — the correct gauge average for irregular sampling;
+    one lead window + one keyed agg, oracle replays the identical
+    interval arithmetic."""
+    from anovos_spark.operators.datetime_ops import time_weighted_avg
+
+    ev = table(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "user_id", "ts", "value")
+
+
+def q_cusum_changepoints(spark, sf_dir):
+    """Distributed CUSUM change-point screen on the event value stream
+    per user: the classic recursion s+ = max(0, s+ + d) computed in
+    CLOSED FORM (running sum minus clamped running minimum — two
+    ordered windows, no sequential pass, no UDF).  Summarized per user
+    to keep the frame driver-comparable."""
+    from anovos_spark.operators.datetime_ops import cusum_changepoints
+
+    ev = table(spark, sf_dir, "events")
+    cp = cusum_changepoints(
+        ev, "user_id", "ts", "value",
+        target=50.0, threshold=200.0, tiebreak_cols="event_id",
+    )
+    return cp.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.max("cusum_pos"), 6).alias("max_cusum_pos"),
+        F.round(F.max("cusum_neg"), 6).alias("max_cusum_neg"),
+        F.sum("flagged").cast("long").alias("n_flagged"),
+    )
+
+
+def q_benford_check(spark, sf_dir):
+    """Benford's-law first-digit screen over two lineitem measures —
+    one melt + one aggregation for all columns; chi-square terms
+    computed in-plan against log10(1 + 1/d)."""
+    from anovos_spark.operators.datetime_ops import benford_check
+
+    li = table(spark, sf_dir, "lineitem")
+    return benford_check(li, ["l_extendedprice", "l_quantity"])
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2656,7 +2698,7 @@ _APPROX_COST = {
     "boilerplate_removal": 0.5, "token_budget_sample": 0.3, "mixture_plan": 0.3,
     "feature_recommender": 1.2, "pca_closed_form": 2.0,
     "dedup_minhash_incremental": 2.5, "streaming_dedup_incremental": 8.0,
-    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0, "interval_overlap_join": 0.7, "weighted_sample_k": 0.4,
+    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0, "interval_overlap_join": 0.7, "weighted_sample_k": 0.4, "time_weighted_avg": 0.5, "cusum_changepoints": 0.6, "benford_check": 0.7,
     "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
     "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
     "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
@@ -2853,4 +2895,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,
         "interval_overlap_join": q_interval_overlap,
         "weighted_sample_k": q_weighted_sample,
+        "time_weighted_avg": q_time_weighted_avg,
+        "cusum_changepoints": q_cusum_changepoints,
+        "benford_check": q_benford_check,
     }

@@ -93,3 +93,68 @@ def test_timestamp_comparison(ddf):
     out = DT.timestamp_comparison(ddf, ["ts"], "less_than", "2024-01-01 00:00:00")
     r = {x["v"]: x["ts_compared"] for x in out.collect()}
     assert r[40.0] == 1 and r[20.0] == 0
+
+
+def test_time_weighted_avg(spark):
+    import datetime as dt
+
+    from anovos_spark.operators.datetime_ops import time_weighted_avg
+
+    B = dt.datetime(2024, 1, 1)
+    T = lambda m: B + dt.timedelta(minutes=m)
+    df = spark.createDataFrame(
+        [("g", T(0), 10.0), ("g", T(10), 100.0), ("g", T(60), 0.0),
+         ("solo", T(0), 5.0)],
+        "g string, ts timestamp, v double",
+    )
+    out = {r["g"]: r for r in time_weighted_avg(df, "g", "ts", "v").collect()}
+    # 10 for 10min then 100 for 50min -> (10*600 + 100*3000)/3600 = 85
+    assert out["g"]["twa"] == 85.0 and out["g"]["span_seconds"] == 3600
+    assert out["g"]["plain_avg"] == round((10 + 100 + 0) / 3, 6)
+    # a single observation spans nothing -> twa null, not a crash
+    assert out["solo"]["twa"] is None and out["solo"]["n_obs"] == 1
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    import datetime as dt
+    import random
+
+    from anovos_spark.operators.datetime_ops import cusum_changepoints
+
+    rng = random.Random(7)
+    B = dt.datetime(2024, 1, 1)
+    rows = [("g", B + dt.timedelta(minutes=i), i, rng.uniform(-2, 2)
+             + (3 if i >= 30 else 0)) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, i int, v double")
+    cp = cusum_changepoints(df, "g", "ts", "v", target=0.0, threshold=8.0,
+                            tiebreak_cols="i")
+    got = [(r["cusum_pos"], r["cusum_neg"]) for r in cp.orderBy("ts").collect()]
+    sp = sn = 0.0
+    for _, _, _, v in rows:
+        sp = max(0.0, sp + v)
+        sn = min(0.0, sn + v)
+        exp = (round(sp, 6), round(-sn, 6))
+        assert got.pop(0) == exp
+    # the upward shift at i=30 must raise a flag
+    assert cp.where("flagged = 1").count() > 0
+
+
+def test_benford_check(spark):
+    from pyspark.sql import functions as F
+
+    from anovos_spark.operators.datetime_ops import benford_check
+
+    # perfectly Benford-shaped counts -> chi2 terms ~ 0
+    import math
+
+    rows = []
+    for d in range(1, 10):
+        n = round(10000 * math.log10(1 + 1 / d))
+        rows += [(float(f"{d}00") + i % 7,) for i in range(n)]
+    df = spark.createDataFrame(rows, "x double")
+    out = benford_check(df, ["x"])
+    assert out.agg(F.max("chi2_term")).collect()[0][0] < 1.0
+    # sub-1 values take their first SIGNIFICANT digit
+    df2 = spark.createDataFrame([(0.053,), (0.9,), (700.0,)], "x double")
+    digits = sorted(r["digit"] for r in benford_check(df2, ["x"]).collect())
+    assert digits == [5, 7, 9]
