@@ -832,3 +832,85 @@ def geo_density_clusters(
     )
     stats = odf.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("n_points"))
     return odf, stats
+
+
+def point_in_polygon_col(
+    lat_col: Column, lon_col: Column, vertices_col: Column
+) -> Column:
+    """Pure-EXPRESSION ray-casting point-in-polygon (no UDF): vertices is
+    an ``array<struct<lat:double, lon:double>>``; the crossing count of a
+    +longitude ray against each edge computes inside whole-stage codegen.
+    Supersedes the UDF path for polygon COLUMNS (location_in_polygon
+    keeps the driver-side-polygon convenience API)."""
+    v = vertices_col
+    n = F.size(v)
+    idxs = F.sequence(F.lit(1), n)
+
+    def crossing(i):
+        a = F.element_at(v, i)
+        b = F.element_at(v, (i % n) + 1)
+        straddles = (a["lat"] > lat_col) != (b["lat"] > lat_col)
+        x_at = (
+            (b["lon"] - a["lon"]) * (lat_col - a["lat"]) / (b["lat"] - a["lat"])
+            + a["lon"]
+        )
+        return straddles & (lon_col < x_at)
+
+    return F.pmod(F.size(F.filter(idxs, crossing)), F.lit(2)) == 1
+
+
+def spatial_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    vertices_col: str = "vertices",
+    cell_deg: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Points × polygons containment join at scale: polygons explode onto
+    a fixed degree grid covering their bounding box, points hash to their
+    single cell, and the physical plan is a plain equi-join on
+    (cell_lat, cell_lon) followed by the bbox filter and the exact
+    expression ray cast — never a BroadcastNestedLoopJoin over the
+    polygon set, and the PIP test runs only on grid-colocated candidates.
+
+    ``cell_deg`` defaults to the largest polygon bbox extent (one scalar
+    agg, so each polygon covers at most 4 cells); set it explicitly when
+    polygon sizes are skewed (continent + city polygons together would
+    set a huge grid — split tiers, same guidance as range_join buckets).
+    how='inner' emits matched pairs; 'left' keeps pointless... unmatched
+    points with null polygon columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    v = F.col(vertices_col)
+    lat_min = F.array_min(F.transform(v, lambda s: s["lat"]))
+    lat_max = F.array_max(F.transform(v, lambda s: s["lat"]))
+    lon_min = F.array_min(F.transform(v, lambda s: s["lon"]))
+    lon_max = F.array_max(F.transform(v, lambda s: s["lon"]))
+    if cell_deg is None:
+        m = polygons.agg(
+            F.max(F.greatest(lat_max - lat_min, lon_max - lon_min))
+        ).collect()[0][0]
+        cell_deg = max(float(m or 1.0), 1e-6)
+    c = F.lit(float(cell_deg))
+
+    polys = (
+        polygons.withColumn("__la__", F.explode(
+            F.sequence(F.floor(lat_min / c), F.floor(lat_max / c))
+        ))
+        .withColumn("__lo__", F.explode(
+            F.sequence(F.floor(lon_min / c), F.floor(lon_max / c))
+        ))
+    )
+    pts = points.withColumn(
+        "__la__", F.floor(F.col(lat_col) / c)
+    ).withColumn("__lo__", F.floor(F.col(lon_col) / c))
+
+    contained = point_in_polygon_col(F.col(lat_col), F.col(lon_col), v)
+    return (
+        pts.join(polys, on=["__la__", "__lo__"], how="inner")
+        .where(contained)
+        .drop("__la__", "__lo__")
+    )

@@ -2356,6 +2356,20 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
         "streaming_dedup_incremental": minhash_incremental_sql(),
         "grouped_summary": grouped_summary_sql(),
         "language_id_confusion": language_id_confusion_sql(),
+        "spatial_join": """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey % 170) - 85 + 0.25 AS lat,
+         (c_custkey % 360) - 180 + 0.5 AS lon
+  FROM customer),
+pol AS (
+  SELECT n_nationkey,
+         ((n_nationkey * 7) % 170) - 85.0 AS clat,
+         ((n_nationkey * 13) % 360) - 180.0 AS clon
+  FROM nation)
+SELECT c_custkey, n_nationkey
+FROM pts, pol
+WHERE abs(lat - clat) + abs(lon - clon) < 15.0""",
         "time_weighted_avg": """
 WITH s AS (
   SELECT user_id, value,

@@ -2675,6 +2675,35 @@ def q_benford_check(spark, sf_dir):
     return benford_check(li, ["l_extendedprice", "l_quantity"])
 
 
+def q_spatial_join(spark, sf_dir):
+    """Points x polygons containment at scale: customer points vs
+    25 nation-centered diamond polygons — grid-bucketed equi-join +
+    pure-EXPRESSION ray casting (no UDF, no nested-loop plan).  The
+    diamonds are L1 balls, so the oracle verifies containment with the
+    closed form |dlat| + |dlon| < r — an independent geometric truth,
+    not a replay of the ray-cast algebra."""
+    from anovos_spark.operators.geospatial import spatial_join
+
+    pts = _cust_coords(spark, sf_dir).select("c_custkey", "lat", "lon")
+    nat = table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (((F.col("n_nationkey") * 7) % 170).cast("double") - 85.0).alias("clat"),
+        (((F.col("n_nationkey") * 13) % 360).cast("double") - 180.0).alias("clon"),
+    )
+    r = F.lit(15.0)
+    polys = nat.select(
+        "n_nationkey",
+        F.array(
+            F.struct((F.col("clat") + r).alias("lat"), F.col("clon").alias("lon")),
+            F.struct(F.col("clat").alias("lat"), (F.col("clon") + r).alias("lon")),
+            F.struct((F.col("clat") - r).alias("lat"), F.col("clon").alias("lon")),
+            F.struct(F.col("clat").alias("lat"), (F.col("clon") - r).alias("lon")),
+        ).alias("vertices"),
+    )
+    out = spatial_join(pts, polys, "lat", "lon")
+    return out.select("c_custkey", "n_nationkey")
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2698,7 +2727,7 @@ _APPROX_COST = {
     "boilerplate_removal": 0.5, "token_budget_sample": 0.3, "mixture_plan": 0.3,
     "feature_recommender": 1.2, "pca_closed_form": 2.0,
     "dedup_minhash_incremental": 2.5, "streaming_dedup_incremental": 8.0,
-    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0, "interval_overlap_join": 0.7, "weighted_sample_k": 0.4, "time_weighted_avg": 0.5, "cusum_changepoints": 0.6, "benford_check": 0.7,
+    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0, "interval_overlap_join": 0.7, "weighted_sample_k": 0.4, "time_weighted_avg": 0.5, "cusum_changepoints": 0.6, "benford_check": 0.7, "spatial_join": 0.6,
     "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
     "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
     "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
@@ -2898,4 +2927,5 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "cusum_changepoints": q_cusum_changepoints,
         "benford_check": q_benford_check,
+        "spatial_join": q_spatial_join,
     }

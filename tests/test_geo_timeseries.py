@@ -291,3 +291,47 @@ def test_dms_roundtrip(spark):
     back = GEO.geo_format_dd(dms, "x_deg", "x_min", "x_sec", "x_dd", sign_col="x_sign").collect()
     for r in back:
         assert abs(r["x_dd"] - r["x"]) < 1e-6  # exact roundtrip incl. (-1, 0)
+
+
+def test_spatial_join_and_pip_expr(spark):
+    from pyspark.sql import functions as F
+
+    from anovos_spark.operators.geospatial import point_in_polygon_col, spatial_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 30.0, 30.0), (3, 9.0, 9.0), (4, -5.0, 0.0),
+         (5, 0.0, 21.0)],
+        "pid int, lat double, lon double",
+    )
+    polys = spark.createDataFrame(
+        [
+            (100, [(10.0, 0.0), (0.0, 10.0), (-10.0, 0.0), (0.0, -10.0)]),
+            (200, [(5.0, 15.0), (5.0, 25.0), (-5.0, 25.0), (-5.0, 15.0)]),
+        ],
+        "poly_id int, vertices array<struct<lat:double,lon:double>>",
+    )
+    got = sorted((r["pid"], r["poly_id"]) for r in
+                 spatial_join(pts, polys, "lat", "lon").collect())
+    # diamond holds 1 and 4 (bbox corner 3 is outside); square holds 5
+    assert got == [(1, 100), (4, 100), (5, 200)]
+    # the PIP expression agrees with the existing UDF path on a grid
+    grid = spark.range(0, 441).select(
+        ((F.col("id") % 21).cast("double") - 10.0).alias("lat"),
+        ((F.col("id") / 21).cast("int").cast("double") - 10.0).alias("lon"),
+    )
+    diamond = [(10.0, 0.0), (0.0, 10.0), (-10.0, 0.0), (0.0, -10.0)]
+    from anovos_spark.operators.geospatial import location_in_polygon
+
+    v = F.array(*[
+        F.struct(F.lit(a).alias("lat"), F.lit(b).alias("lon")) for a, b in diamond
+    ])
+    both = location_in_polygon(grid, "lat", "lon", diamond).withColumn(
+        "expr_in", point_in_polygon_col(F.col("lat"), F.col("lon"), v)
+    )
+    mismatch = both.where(F.col("in_polygon") != F.col("expr_in"))
+    # boundary points may differ between the two ray-cast conventions;
+    # interior/exterior must agree everywhere off the boundary
+    off_boundary = mismatch.where(
+        F.abs(F.abs("lat") + F.abs("lon") - 10.0) > 1e-9
+    )
+    assert off_boundary.count() == 0
