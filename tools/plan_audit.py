@@ -218,6 +218,20 @@ def main():
     p = plan_of(Q.q_validate_constraints(spark, sf_dir))
     check("constraints: local-result frame", "Scan ExistingRDD" in p or "LocalTableScan" in p)
 
+    # 27. spatial_join: grid equi-join + expression ray cast — no UDF,
+    # no nested loop over the polygon set
+    p = plan_of(Q.q_spatial_join(spark, sf_dir))
+    check("spatial_join: no python UDF", "BatchEvalPython" not in p)
+    check("spatial_join: no nested-loop join", "BroadcastNestedLoopJoin" not in p)
+    check("spatial_join: no cartesian", "CartesianProduct" not in p)
+
+    # 28. CUSUM/TWA: keyed windows only
+    p = plan_of(Q.q_cusum_changepoints(spark, sf_dir))
+    check("cusum: no global window", "SinglePartition" not in p)
+    p = plan_of(Q.q_time_weighted_avg(spark, sf_dir))
+    check("twa: no global window", "SinglePartition" not in p)
+    check("twa: partial agg", "partial_" in p)
+
     print(f"\n{'ALL CLEAR' if not failures else f'{len(failures)} audit failures: {failures}'}")
     spark.stop()
     sys.exit(1 if failures else 0)
