@@ -1808,6 +1808,22 @@ FROM cell"""
 
 
 
+
+
+def robust_stats_sql() -> str:
+    parts = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount"]:
+        parts.append(f"""SELECT '{c}' AS attribute,
+ round(q1.m, 6) AS median, round(q2.d, 6) AS mad,
+ round(1.4826 * q2.d, 6) AS mad_scaled, q3.outl::BIGINT AS robust_outliers
+FROM (SELECT quantile_cont({c}, 0.5) AS m FROM lineitem) q1,
+     LATERAL (SELECT quantile_cont(abs({c} - q1.m), 0.5) AS d FROM lineitem) q2,
+     LATERAL (SELECT count(*) AS outl FROM lineitem
+              WHERE abs({c} - q1.m) > 3 * 1.4826 * q2.d) q3""")
+    return _union(parts)
+
+
+
 def registry() -> dict[str, str]:
     return {
         "global_summary": global_summary_sql(),
@@ -2356,6 +2372,7 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
         "streaming_dedup_incremental": minhash_incremental_sql(),
         "grouped_summary": grouped_summary_sql(),
         "language_id_confusion": language_id_confusion_sql(),
+        "robust_stats": robust_stats_sql(),
         "spatial_join": """
 WITH pts AS (
   SELECT c_custkey,

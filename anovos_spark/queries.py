@@ -2704,6 +2704,19 @@ def q_spatial_join(spark, sf_dir):
     return out.select("c_custkey", "n_nationkey")
 
 
+def q_robust_stats(spark, sf_dir):
+    """Robust dispersion battery (median / MAD / 1.4826-scaled sigma /
+    robust-z outlier counts) over three lineitem measures — three wide
+    aggregation jobs for ALL columns together, 50% breakdown point vs
+    the stddev screen's 0%."""
+    from anovos_spark.operators.stats import measures_of_robustness
+
+    li = table(spark, sf_dir, "lineitem")
+    return measures_of_robustness(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], exact=_exact()
+    )
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2727,7 +2740,7 @@ _APPROX_COST = {
     "boilerplate_removal": 0.5, "token_budget_sample": 0.3, "mixture_plan": 0.3,
     "feature_recommender": 1.2, "pca_closed_form": 2.0,
     "dedup_minhash_incremental": 2.5, "streaming_dedup_incremental": 8.0,
-    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0, "interval_overlap_join": 0.7, "weighted_sample_k": 0.4, "time_weighted_avg": 0.5, "cusum_changepoints": 0.6, "benford_check": 0.7, "spatial_join": 0.6,
+    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0, "interval_overlap_join": 0.7, "weighted_sample_k": 0.4, "time_weighted_avg": 0.5, "cusum_changepoints": 0.6, "benford_check": 0.7, "spatial_join": 0.6, "robust_stats": 1.2,
     "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
     "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
     "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
@@ -2928,4 +2941,5 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": q_cusum_changepoints,
         "benford_check": q_benford_check,
         "spatial_join": q_spatial_join,
+        "robust_stats": q_robust_stats,
     }

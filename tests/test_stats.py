@@ -152,3 +152,20 @@ def test_grouped_summary(spark):
     df2 = spark.createDataFrame([("a", 1.0, 2)], "g string, x double, k int")
     attrs = {r["attribute"] for r in grouped_summary(df2, "k").collect()}
     assert attrs == {"x"}
+
+
+def test_measures_of_robustness(spark):
+    from anovos_spark.operators.stats import measures_of_robustness
+
+    # a wild outlier must not inflate its own cutoff
+    rows = [(float(i % 10),) for i in range(100)] + [(10_000.0,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = measures_of_robustness(df, ["x"], exact=True).collect()[0]
+    # 101 values: ten each of 0..9 plus the outlier -> median 5, MAD 3
+    assert out["median"] == 5.0
+    assert out["mad"] == 3.0 and out["mad_scaled"] == round(3 * 1.4826, 6)
+    assert out["robust_outliers"] == 1  # only the planted 10k point
+    # constant column: mad 0, and the cutoff never divides by it
+    dfc = spark.createDataFrame([(5.0,)] * 10, "x double")
+    outc = measures_of_robustness(dfc, ["x"], exact=True).collect()[0]
+    assert outc["mad"] == 0.0 and outc["robust_outliers"] == 0
