@@ -718,3 +718,51 @@ def chunk_documents(
         "chunk_text",
         "n_chunks",
     )
+
+
+def zipf_fit(
+    idf: DataFrame,
+    text_col: str = "text",
+    top_k: int = 200,
+    min_count: int = 2,
+) -> DataFrame:
+    """Zipf's-law diagnostic: OLS fit of ln(count) on ln(rank) over the
+    top-k vocabulary — natural language sits near slope -1; a corpus
+    whose slope is far off (too flat: template spam / random tokens;
+    too steep: tiny effective vocabulary) fails the smell test before
+    any model sees it.
+
+    Composes vocabulary() (wordcount shape) with a closed-form
+    regression over the TOP-K frame (bounded: the windows and moments
+    run on <= top_k rows).  Returns one row
+    [n_tokens, slope, intercept, r2], all closed-form expressible, so
+    the oracle replays the identical algebra.
+    """
+    from pyspark.sql import Window
+
+    vocab = vocabulary(idf, text_col, top_k=top_k, min_count=min_count)
+    w = Window.partitionBy().orderBy(F.col("count").desc(), F.col("token").asc())
+    pts = vocab.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("count").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, sxy, syy = (
+        F.sum(F.col("x") * F.col("x")),
+        F.sum(F.col("x") * F.col("y")),
+        F.sum(F.col("y") * F.col("y")),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (
+        (n * sxy - sx * sy)
+        * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    )
+    return pts.agg(
+        n.cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

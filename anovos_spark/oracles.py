@@ -2373,6 +2373,29 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
         "grouped_summary": grouped_summary_sql(),
         "language_id_confusion": language_id_confusion_sql(),
         "robust_stats": robust_stats_sql(),
+        "zipf_fit": """
+WITH tok AS (
+  SELECT doc_id, lower(t.token) AS token
+  FROM documents,
+       unnest(string_split_regex(trim(text), '\\s+')) AS t(token)
+  WHERE t.token <> ''),
+agg AS (
+  SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY 1 HAVING count(*) >= 2),
+ranked AS (
+  SELECT ln(row_number() OVER (ORDER BY c DESC, token ASC)::DOUBLE) AS x,
+         ln(c::DOUBLE) AS y
+  FROM agg ORDER BY c DESC, token ASC LIMIT 200),
+m AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM ranked)
+SELECT n::BIGINT AS n_tokens,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m""",
         "spatial_join": """
 WITH pts AS (
   SELECT c_custkey,

@@ -619,3 +619,20 @@ def test_quantize_embeddings_roundtrip(spark):
         ).collect()
     scales = {k: v["scale"] for k, v in rows.items()}
     assert all(r["e"] <= scales[r["vec_id"]] / 2 + 1e-12 for r in err)
+
+
+def test_zipf_fit(spark):
+    import math
+
+    from anovos_spark.operators.text import zipf_fit
+
+    # construct an exact Zipf corpus: token t_r appears round(1000/r) times
+    words = []
+    for r in range(1, 31):
+        words += [f"t{r:02d}"] * round(1000 / r)
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    out = zipf_fit(df, "text", top_k=30, min_count=1).collect()[0]
+    assert out["n_tokens"] == 30
+    # counts ~ 1000/r  =>  ln(c) ~ ln(1000) - 1*ln(r)
+    assert abs(out["slope"] + 1.0) < 0.01
+    assert out["r2"] > 0.999
