@@ -553,3 +553,74 @@ def interval_overlap_join(
         for c in right.columns
     ]
     return joined.select(*l_cols, *r_cols)
+
+
+def merge_intervals(
+    idf: DataFrame,
+    key_cols,
+    start_col: str,
+    end_col: str,
+    min_gap_seconds: int = 0,
+) -> DataFrame:
+    """Gaps-and-islands interval merge per key: overlapping (or
+    within-``min_gap_seconds``) intervals coalesce into one —
+    [*keys, start, end, n_merged] — the standard coverage primitive
+    (machine uptime, on-call shifts, ad exposure windows).
+
+    Pure window algebra: order by start within key, a new island opens
+    where the start exceeds the running max of prior ends (+ gap), and
+    a cumulative sum of the open flags labels islands — one keyed
+    shuffle, no self-join, no recursion.  The running max handles the
+    containment case a lag(end) comparison gets wrong (a short interval
+    inside a long one must not split the island).
+    """
+    from pyspark.sql import Window
+
+    keys = ensure_list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max_end.isNull()
+        | (
+            F.col(start_col).cast("double")
+            > prev_max_end.cast("double") + F.lit(float(min_gap_seconds))
+        ),
+        1,
+    ).otherwise(0)
+    tagged = idf.withColumn(
+        "__island__",
+        F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return tagged.groupBy(*keys, "__island__").agg(
+        F.min(start_col).alias(start_col),
+        F.max(end_col).alias(end_col),
+        F.count(F.lit(1)).alias("n_merged"),
+    ).drop("__island__")
+
+
+def interval_coverage(
+    idf: DataFrame,
+    key_cols,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Total covered time per key, overlaps counted ONCE:
+    [*keys, n_intervals, n_islands, covered_seconds] — merge_intervals
+    followed by one aggregation (uptime/SLA arithmetic that a plain
+    sum(end - start) gets wrong whenever intervals overlap)."""
+    keys = ensure_list(key_cols)
+    merged = merge_intervals(idf, keys, start_col, end_col)
+    return merged.groupBy(*keys).agg(
+        F.sum("n_merged").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.round(
+            F.sum(
+                F.col(end_col).cast("double") - F.col(start_col).cast("double")
+            ),
+            3,
+        ).alias("covered_seconds"),
+    )

@@ -2373,6 +2373,28 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
         "grouped_summary": grouped_summary_sql(),
         "language_id_confusion": language_id_confusion_sql(),
         "robust_stats": robust_stats_sql(),
+        "interval_coverage": """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e
+  FROM events WHERE event_type = 'signup'),
+o AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER wprev IS NULL
+                OR epoch(s) > epoch(max(e) OVER wprev) THEN 1 ELSE 0 END AS op
+  FROM iv
+  WINDOW wprev AS (PARTITION BY user_id ORDER BY s ASC, e ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+t AS (
+  SELECT user_id, s, e,
+         sum(op) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                       ROWS UNBOUNDED PRECEDING) AS isl
+  FROM o),
+m AS (
+  SELECT user_id, isl, min(s) AS s, max(e) AS e, count(*) AS nm
+  FROM t GROUP BY 1, 2)
+SELECT user_id, sum(nm)::BIGINT AS n_intervals, count(*)::BIGINT AS n_islands,
+       round(sum(epoch(e) - epoch(s)), 3) AS covered_seconds
+FROM m GROUP BY 1""",
         "zipf_fit": """
 WITH tok AS (
   SELECT doc_id, lower(t.token) AS token

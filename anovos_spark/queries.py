@@ -2726,6 +2726,22 @@ def q_zipf_fit(spark, sf_dir):
     return zipf_fit(table(spark, sf_dir, "documents"), "text")
 
 
+def q_interval_coverage(spark, sf_dir):
+    """Uptime-style coverage: per-user union of signup 2h-windows with
+    overlaps counted once — gaps-and-islands via a running-max window
+    (handles containment a lag(end) check gets wrong), one keyed
+    shuffle; oracle replays the identical window algebra."""
+    from anovos_spark.operators.temporal import interval_coverage
+
+    ev = table(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("e"),
+    )
+    return interval_coverage(iv, "user_id", "s", "e")
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries first
     (cheapest first, by measured sf0.01 cost), rows-only entries last — so
@@ -2749,7 +2765,7 @@ _APPROX_COST = {
     "boilerplate_removal": 0.5, "token_budget_sample": 0.3, "mixture_plan": 0.3,
     "feature_recommender": 1.2, "pca_closed_form": 2.0,
     "dedup_minhash_incremental": 2.5, "streaming_dedup_incremental": 8.0,
-    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0, "interval_overlap_join": 0.7, "weighted_sample_k": 0.4, "time_weighted_avg": 0.5, "cusum_changepoints": 0.6, "benford_check": 0.7, "spatial_join": 0.6, "robust_stats": 1.2, "zipf_fit": 0.5,
+    "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0, "interval_overlap_join": 0.7, "weighted_sample_k": 0.4, "time_weighted_avg": 0.5, "cusum_changepoints": 0.6, "benford_check": 0.7, "spatial_join": 0.6, "robust_stats": 1.2, "zipf_fit": 0.5, "interval_coverage": 0.5,
     "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
     "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
     "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
@@ -2952,4 +2968,5 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": q_spatial_join,
         "robust_stats": q_robust_stats,
         "zipf_fit": q_zipf_fit,
+        "interval_coverage": q_interval_coverage,
     }

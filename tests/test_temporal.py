@@ -291,3 +291,32 @@ def test_interval_overlap_join(spark):
     # plan shape: hash equi-join, no nested loop
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_merge_intervals_and_coverage(spark):
+    import datetime as dt
+
+    from anovos_spark.operators.temporal import interval_coverage, merge_intervals
+
+    B = dt.datetime(2024, 1, 1)
+    T = lambda m: B + dt.timedelta(minutes=m)
+    df = spark.createDataFrame(
+        [("k", T(0), T(10)), ("k", T(5), T(8)),    # contained in the first
+         ("k", T(9), T(20)), ("k", T(30), T(40)),  # overlap, then a gap
+         ("j", T(0), T(1))],
+        "k string, s timestamp, e timestamp",
+    )
+    merged = sorted(merge_intervals(df, "k", "s", "e").collect(),
+                    key=lambda r: (r["k"], r["s"]))
+    assert [(r["k"], r["s"], r["e"], r["n_merged"]) for r in merged] == [
+        ("j", T(0), T(1), 1),
+        ("k", T(0), T(20), 3),   # containment must NOT split the island
+        ("k", T(30), T(40), 1),
+    ]
+    cov = {r["k"]: r for r in interval_coverage(df, "k", "s", "e").collect()}
+    assert cov["k"]["covered_seconds"] == 1800.0 and cov["k"]["n_islands"] == 2
+    # min_gap bridges the 10-minute hole
+    bridged = merge_intervals(df, "k", "s", "e", min_gap_seconds=600).where(
+        "k = 'k'"
+    )
+    assert bridged.count() == 1
