@@ -450,10 +450,11 @@ def time_weighted_avg(
         F.col(ts_col),
         F.col(value_col).cast("double").alias("__v__"),
         # fractional-second intervals: timestamp->double keeps the
-        # microseconds (unix_timestamp truncates and skews short gaps)
+        # microseconds (unix_timestamp truncates and skews short gaps);
+        # the intermediate cast makes TIMESTAMP_NTZ inputs castable too
         (
-            F.lead(ts_col).over(w).cast("double")
-            - F.col(ts_col).cast("double")
+            F.lead(ts_col).over(w).cast("timestamp").cast("double")
+            - F.col(ts_col).cast("timestamp").cast("double")
         ).alias("__dt__"),
     )
     span = F.sum("__dt__")

@@ -482,6 +482,53 @@ def run_pipeline(
             kw = dict(tp["chunk_documents"])
             df = timed("text.chunk_documents", lambda: TX.chunk_documents(df, **kw))
 
+    # ---- event analytics (analytical; df is the event stream) ----------- #
+    ep = config.get("events_pipeline") or {}
+    _EVENT_STAGES = {
+        "funnel", "cohort_retention", "scd2", "time_weighted_avg",
+        "cusum", "sessionize", "interval_coverage",
+    }
+    if set(ep) - _EVENT_STAGES:
+        raise ValueError(
+            f"unknown events_pipeline stage(s) {sorted(set(ep) - _EVENT_STAGES)}; "
+            f"valid: {sorted(_EVENT_STAGES)}"
+        )
+    if ep:
+        from anovos_spark.operators import temporal as TP
+        from anovos_spark.operators.datetime_ops import (
+            cusum_changepoints,
+            time_weighted_avg,
+        )
+
+        if "funnel" in ep:
+            kw = dict(ep["funnel"])
+            frame = timed("events.funnel", lambda: TP.funnel(df, **kw))
+            result.stats.put("main", "funnel", frame, persist=False)
+        if "cohort_retention" in ep:
+            kw = dict(ep["cohort_retention"])
+            frame = timed(
+                "events.cohort", lambda: TP.cohort_retention(df, **kw)
+            )
+            result.stats.put("main", "cohort_retention", frame, persist=False)
+        if "scd2" in ep:
+            kw = dict(ep["scd2"])
+            frame = timed(
+                "events.scd2", lambda: TP.scd2_from_changes(df, **kw)
+            )
+            result.stats.put("main", "scd2", frame, persist=False)
+        if "time_weighted_avg" in ep:
+            kw = dict(ep["time_weighted_avg"])
+            frame = timed("events.twa", lambda: time_weighted_avg(df, **kw))
+            result.stats.put("main", "time_weighted_avg", frame, persist=False)
+        if "cusum" in ep:
+            kw = dict(ep["cusum"])
+            frame = timed("events.cusum", lambda: cusum_changepoints(df, **kw))
+            result.stats.put("main", "cusum", frame, persist=False)
+        if "sessionize" in ep:
+            kw = dict(ep["sessionize"])
+            frame = timed("events.sessionize", lambda: TP.sessionize(df, **kw))
+            result.stats.put("main", "sessions", frame, persist=False)
+
     # ---- reference-layout report artifact tree -------------------------- #
     if "report_bundle" in config:
         from anovos_spark.plans.report import report_bundle

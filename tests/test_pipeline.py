@@ -463,3 +463,45 @@ def test_pipeline_constraints_gate(spark, sf_dir):
     rep = {r["rule_idx"]: r["passed"] for r in
            res.stats.get("main", "constraints").collect()}
     assert rep == {0: 1, 1: 0}
+
+
+def test_pipeline_events_stages(spark, sf_dir):
+    cfg = {
+        "input_dataset": {
+            "read": {"file_path": f"{sf_dir}/events.parquet", "file_type": "parquet"}
+        },
+        "events_pipeline": {
+            "funnel": {
+                "user_col": "user_id", "type_col": "event_type",
+                "ts_col": "ts", "steps": ["signup", "click", "purchase"],
+            },
+            "cohort_retention": {
+                "user_col": "user_id", "ts_col": "ts", "period": "week",
+            },
+            "scd2": {
+                "key_cols": "user_id", "attr_cols": "event_type",
+                "ts_col": "ts", "tiebreak_cols": "event_id",
+            },
+            "time_weighted_avg": {
+                "group_col": "user_id", "ts_col": "ts", "value_col": "value",
+            },
+            "cusum": {
+                "group_col": "user_id", "ts_col": "ts", "value_col": "value",
+                "target": 50.0, "threshold": 200.0,
+                "tiebreak_cols": "event_id",
+            },
+        },
+    }
+    res = run_pipeline(spark, cfg)
+    assert res.stats.get("main", "funnel").count() == 3
+    assert res.stats.get("main", "cohort_retention").count() >= 1
+    assert {"valid_from", "valid_to", "is_current"} <= set(
+        res.stats.get("main", "scd2").columns
+    )
+    assert "twa" in res.stats.get("main", "time_weighted_avg").columns
+    assert "flagged" in res.stats.get("main", "cusum").columns
+    import pytest as _p
+
+    cfg["events_pipeline"] = {"funnell": {}}
+    with _p.raises(ValueError, match="unknown events_pipeline stage"):
+        run_pipeline(spark, cfg)
