@@ -767,10 +767,15 @@ def geo_density_clusters(
     Algorithm: snap points to an eps-sized grid (equirectangular degrees,
     documented approximation), count per cell in ONE groupBy; dense cells
     (count ≥ min_samples) form a graph with their 8-neighbors; connected
-    components run driver-side over the DENSE-CELL graph (bounded by
-    occupied area, not N — at 100 TB the cell table is orders of magnitude
-    smaller than the point table); labels broadcast back as an equi-join
-    on cell id.  Sparse-cell points get cluster −1 (noise), like DBSCAN.
+    components run driver-side over the DENSE-CELL graph ONLY (bounded by
+    occupied DENSE area — sparse cells, whose count approaches N at fine
+    eps on a 100 TB table, never touch the driver).  Border handling
+    (DBSCAN semantics: sparse-cell points adjacent to a dense cell join
+    that cluster, min label for determinism) happens distributed: the
+    dense label frame explodes into its 3×3 neighbor halo and points
+    broadcast-equi-join it — adjacent dense cells share a component
+    label by construction, so min-over-halo never relabels a dense cell.
+    Points with no dense neighbor get cluster −1 (noise).
 
     Returns (points with cluster_col, stats [cluster, n_points]).
     """
@@ -781,12 +786,11 @@ def geo_density_clusters(
         "__cx__", cx
     ).withColumn("__cy__", cy)
     cells = pts.groupBy("__cx__", "__cy__").agg(F.count(F.lit(1)).alias("n"))
-    cell_rows = cells.collect()
+    # ONLY dense cells reach the driver (union-find needs the graph);
+    # the sparse-cell set stays distributed
     dense = [
-        (r["__cx__"], r["__cy__"]) for r in cell_rows if r["n"] >= min_samples
-    ]
-    sparse = [
-        (r["__cx__"], r["__cy__"]) for r in cell_rows if r["n"] < min_samples
+        (r["__cx__"], r["__cy__"])
+        for r in cells.where(F.col("n") >= int(min_samples)).collect()
     ]
     # union-find over dense cells (driver-side; |dense| ≪ N)
     parent = {c: c for c in dense}
@@ -809,24 +813,32 @@ def geo_density_clusters(
     roots = sorted({find(c) for c in dense})
     root_id = {r: i for i, r in enumerate(roots)}
     labels = [(x, y, root_id[find((x, y))]) for (x, y) in dense]
-    # border handling (DBSCAN semantics): points in a sparse cell that
-    # neighbors a dense cell join that cluster (min label for determinism)
-    dense_label = {(x, y): l for x, y, l in labels}
-    for (x, y) in sparse:
-        nb_labels = [
-            dense_label[(x + dx, y + dy)]
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-            if (x + dx, y + dy) in dense_label
-        ]
-        if nb_labels:
-            labels.append((x, y, min(nb_labels)))
     spark = idf.sparkSession
     label_df = spark.createDataFrame(
         labels, schema="__cx__ long, __cy__ long, __lbl__ int"
     )
+    # distributed border labeling: explode each dense cell's label into
+    # its 9-cell halo, min per cell (9·|dense| rows, broadcastable
+    # whenever the union-find itself was feasible)
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    halo = (
+        label_df.select(
+            F.explode(offsets).alias("__o__"), "__cx__", "__cy__", "__lbl__"
+        )
+        .select(
+            (F.col("__cx__") + F.col("__o__.dx")).alias("__cx__"),
+            (F.col("__cy__") + F.col("__o__.dy")).alias("__cy__"),
+            "__lbl__",
+        )
+        .groupBy("__cx__", "__cy__")
+        .agg(F.min("__lbl__").alias("__lbl__"))
+    )
     odf = (
-        pts.join(F.broadcast(label_df), ["__cx__", "__cy__"], "left_outer")
+        pts.join(F.broadcast(halo), ["__cx__", "__cy__"], "left_outer")
         .withColumn(cluster_col, F.coalesce(F.col("__lbl__"), F.lit(-1)))
         .drop("__cx__", "__cy__", "__lbl__")
     )
@@ -879,8 +891,9 @@ def spatial_join(
     agg, so each polygon covers at most 4 cells); set it explicitly when
     polygon sizes are skewed (continent + city polygons together would
     set a huge grid — split tiers, same guidance as range_join buckets).
-    how='inner' emits matched pairs; 'left' keeps pointless... unmatched
-    points with null polygon columns.
+    how='inner' emits matched pairs; 'left' keeps unmatched points with
+    null polygon columns (matched pairs plus an anti-join of the points
+    against the matched ids — still equi-join-only, no BNLJ).
     """
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
@@ -909,8 +922,28 @@ def spatial_join(
     ).withColumn("__lo__", F.floor(F.col(lon_col) / c))
 
     contained = point_in_polygon_col(F.col(lat_col), F.col(lon_col), v)
-    return (
-        pts.join(polys, on=["__la__", "__lo__"], how="inner")
+    if how == "inner":
+        return (
+            pts.join(polys, on=["__la__", "__lo__"], how="inner")
+            .where(contained)
+            .drop("__la__", "__lo__")
+        )
+    # left: matched pairs + anti-join for points with no containing polygon.
+    # __pid__ is deterministic here (narrow transforms over a deterministic
+    # source), so the two branches below see the same ids.
+    pts_id = pts.withColumn("__pid__", F.monotonically_increasing_id())
+    matched = (
+        pts_id.join(polys, on=["__la__", "__lo__"], how="inner")
         .where(contained)
-        .drop("__la__", "__lo__")
     )
+    unmatched = pts_id.join(
+        matched.select("__pid__").distinct(), on="__pid__", how="left_anti"
+    )
+    for fld in polygons.schema.fields:
+        unmatched = unmatched.withColumn(
+            fld.name, F.lit(None).cast(fld.dataType)
+        )
+    out_cols = [
+        col for col in matched.columns if col not in ("__la__", "__lo__", "__pid__")
+    ]
+    return matched.select(*out_cols).unionByName(unmatched.select(*out_cols))

@@ -520,13 +520,18 @@ def measures_of_robustness(
     ).collect()[0]
     med = {c: med_row[c] for c in cols}
 
-    mad_row = src.agg(
-        *[
-            F.expr(f"{fn}(abs(`{c}` - {med[c]!r}), 0.5{acc})").alias(c)
-            for c in cols
-        ]
-    ).collect()[0]
-    mad = {c: mad_row[c] for c in cols}
+    # all-null columns have median None — interpolating None into the SQL
+    # would generate abs(`c` - None) and fail analysis; emit a null row
+    live = [c for c in cols if med[c] is not None]
+    mad = {c: None for c in cols}
+    if live:
+        mad_row = src.agg(
+            *[
+                F.expr(f"{fn}(abs(`{c}` - {med[c]!r}), 0.5{acc})").alias(c)
+                for c in live
+            ]
+        ).collect()[0]
+        mad.update({c: mad_row[c] for c in live})
 
     out_row = src.agg(
         *[

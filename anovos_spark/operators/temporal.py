@@ -461,12 +461,15 @@ def cohort_retention(
         F.date_trunc(trunc, F.col(ts_col)).alias("__p__"),
     )
     first = ev.groupBy("__u__").agg(F.min("__p__").alias("cohort"))
-    diff_unit = {"week": 7 * 86400, "day": 86400}.get(period)
     joined = ev.join(first, "__u__")
-    if diff_unit is not None:
-        pidx = (
-            (F.unix_timestamp("__p__") - F.unix_timestamp("cohort")) / diff_unit
-        ).cast("int")
+    if period in ("week", "day"):
+        # datediff on DATEs, not unix-second division: under a
+        # DST-observing session timezone two week-truncated timestamps can
+        # be 604800-3600 s apart, and int truncation would misbucket
+        days = F.datediff(
+            F.col("__p__").cast("date"), F.col("cohort").cast("date")
+        )
+        pidx = (days / (7 if period == "week" else 1)).cast("int")
     else:  # calendar months
         pidx = (
             (F.year("__p__") - F.year("cohort")) * 12

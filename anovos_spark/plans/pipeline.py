@@ -417,8 +417,16 @@ def run_pipeline(
                         df, index, **kw
                     ).localCheckpoint(eager=True)
                 else:
+                    from pyspark.sql import types as T
+
+                    id_type = df.schema[kw.get("id_col", "doc_id")].dataType
                     pairs = spark.createDataFrame(
-                        [], "new_id long, index_id long, est_jaccard double"
+                        [],
+                        T.StructType([
+                            T.StructField("new_id", id_type),
+                            T.StructField("index_id", id_type),
+                            T.StructField("est_jaccard", T.DoubleType()),
+                        ]),
                     )
                 sig_kw = {
                     k: v for k, v in kw.items()
@@ -528,6 +536,13 @@ def run_pipeline(
             kw = dict(ep["sessionize"])
             frame = timed("events.sessionize", lambda: TP.sessionize(df, **kw))
             result.stats.put("main", "sessions", frame, persist=False)
+        if "interval_coverage" in ep:
+            kw = dict(ep["interval_coverage"])
+            frame = timed(
+                "events.interval_coverage",
+                lambda: TP.interval_coverage(df, **kw),
+            )
+            result.stats.put("main", "interval_coverage", frame, persist=False)
 
     # ---- reference-layout report artifact tree -------------------------- #
     if "report_bundle" in config:

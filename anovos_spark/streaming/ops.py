@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def read_stream(
@@ -561,8 +562,17 @@ def streaming_dedup_sink(
                 raise
             index = None
         if index is None:
+            # derive the id type from the batch so string-keyed corpora
+            # don't leave a long-typed empty file that breaks later schema
+            # merges across sibling batch_id dirs
+            id_type = batch_df.schema[id_col].dataType
             pairs = spark.createDataFrame(
-                [], "new_id long, index_id long, est_jaccard double"
+                [],
+                T.StructType([
+                    T.StructField("new_id", id_type),
+                    T.StructField("index_id", id_type),
+                    T.StructField("est_jaccard", T.DoubleType()),
+                ]),
             )
         else:
             # signatures for the new batch are already computed — reuse

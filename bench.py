@@ -1,8 +1,20 @@
 """Benchmark runner: times every registry query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-{"metric": "total_query_sec", "value": N, "unit": "sec",
- "queries": {name: sec, ...}, "sf": ...}
+Each query runs TWICE (catalog cache cleared between runs) and the MIN is
+reported: a single cold sequential pass lets one noisy scheduler slot
+dominate round-over-round comparison (BASELINE.md documents a migrating
+±30-40 s band); per-query minima isolate engine cost.
+
+Output contract (driver-parseable):
+- stdout: ONE compact JSON line
+  {"metric": "total_query_sec", "value": N, "unit": "sec", "sf": ...,
+   "n_queries": N, "n_errors": N, "timing": "min_of_2",
+   "queries_file": "BENCH_DETAIL.json"}
+  The per-query map is NOT inlined — 153 entries overflow the 2,000-char
+  stdout tail the driver records, which left every BENCH_r0N.json with
+  parsed=null.
+- BENCH_DETAIL.json (repo root, or $SPARK_GRAFT_BENCH_DETAIL): the full
+  per-query map {name: {"run1": s, "run2": s, "min": s}} plus the totals.
 """
 
 from __future__ import annotations
@@ -26,6 +38,12 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+    )
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
     from pyspark.sql import SparkSession
 
@@ -61,33 +79,54 @@ def main():
         _noop, schema="id long"
     ).count()
 
-    timings = {}
+    detail = {}
+    n_errors = 0
     for name, fn in registry().items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:
-            timings[name] = None
-            print(f"bench error {name}: {e}", file=sys.stderr)
-        # queries cache what they internally reuse and hand back a lazy
-        # result; drop those pinned blocks so query K's leftover storage
-        # never squeezes query K+1's execution memory
-        spark.catalog.clearCache()
+        runs = []
+        for _ in range(max(runs_per_query, 1)):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.count()
+                runs.append(round(time.perf_counter() - t0, 3))
+            except Exception as e:
+                runs.append(None)
+                print(f"bench error {name}: {e}", file=sys.stderr)
+            # queries cache what they internally reuse and hand back a lazy
+            # result; drop those pinned blocks so the next run/query starts
+            # from cold storage and nothing squeezes execution memory
+            spark.catalog.clearCache()
+        ok = [r for r in runs if r is not None]
+        if not ok:
+            n_errors += 1
+        detail[name] = {
+            **{f"run{i + 1}": r for i, r in enumerate(runs)},
+            "min": min(ok) if ok else None,
+        }
 
-    total = round(sum(v for v in timings.values() if v is not None), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
+    total = round(sum(d["min"] for d in detail.values()
+                      if d["min"] is not None), 3)
+    summary = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(detail),
+        "n_errors": n_errors,
+        "timing": f"min_of_{max(runs_per_query, 1)}",
+        "queries_file": os.path.basename(detail_path),
+    }
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {**summary,
+             "queries": {k: v["min"] for k, v in detail.items()},
+             "runs": detail},
+            fh, indent=1, sort_keys=True,
         )
-    )
+        fh.write("\n")
+    # the compact line is the ONLY stdout line: it must fit whole inside
+    # the 2,000-char tail the driver keeps
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -237,6 +237,18 @@ def test_geo_density_clusters(spark):
     assert sorted(v for k, v in d.items() if k != -1) == [40, 40]
 
 
+def test_geo_density_clusters_all_sparse(spark):
+    # min_samples above every cell count: everything is noise, and only
+    # the (empty) dense-cell set is collected — the sparse-cell universe
+    # stays distributed
+    rows = [(float(i), float(i)) for i in range(-60, 60)]  # 120 lone points
+    df = spark.createDataFrame(rows, schema="lat double, lon double")
+    odf, stats = GEO.geo_density_clusters(df, "lat", "lon", eps_km=30.0,
+                                          min_samples=50)
+    d = {r["cluster"]: r["n_points"] for r in stats.collect()}
+    assert d == {-1: 120}
+
+
 def test_silhouette_criterion(spark):
     import random
 
@@ -335,3 +347,26 @@ def test_spatial_join_and_pip_expr(spark):
         F.abs(F.abs("lat") + F.abs("lon") - 10.0) > 1e-9
     )
     assert off_boundary.count() == 0
+
+
+def test_spatial_join_left(spark):
+    from anovos_spark.operators.geospatial import spatial_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 30.0, 30.0), (3, 9.0, 9.0), (4, -5.0, 0.0),
+         (5, 0.0, 21.0)],
+        "pid int, lat double, lon double",
+    )
+    polys = spark.createDataFrame(
+        [
+            (100, [(10.0, 0.0), (0.0, 10.0), (-10.0, 0.0), (0.0, -10.0)]),
+            (200, [(5.0, 15.0), (5.0, 25.0), (-5.0, 25.0), (-5.0, 15.0)]),
+        ],
+        "poly_id int, vertices array<struct<lat:double,lon:double>>",
+    )
+    got = sorted(
+        (r["pid"], r["poly_id"])
+        for r in spatial_join(pts, polys, "lat", "lon", how="left").collect()
+    )
+    # matched pairs as in inner, PLUS points 2 and 3 with null polygon cols
+    assert got == [(1, 100), (2, None), (3, None), (4, 100), (5, 200)]

@@ -505,3 +505,32 @@ def test_pipeline_events_stages(spark, sf_dir):
     cfg["events_pipeline"] = {"funnell": {}}
     with _p.raises(ValueError, match="unknown events_pipeline stage"):
         run_pipeline(spark, cfg)
+
+
+def test_pipeline_interval_coverage_stage(spark, tmp_path):
+    # interval_coverage is a valid _EVENT_STAGES name, so it must actually
+    # run (a validated-but-unhandled stage would silently do nothing)
+    import datetime as dt
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    iv = spark.createDataFrame(
+        [("a", T(0), T(2)), ("a", T(1), T(3)), ("a", T(5), T(6))],
+        "k string, start_ts timestamp, end_ts timestamp",
+    )
+    src = str(tmp_path / "intervals")
+    iv.write.parquet(src)
+    cfg = {
+        "input_dataset": {
+            "read": {"file_path": src, "file_type": "parquet"}
+        },
+        "events_pipeline": {
+            "interval_coverage": {
+                "key_cols": "k", "start_col": "start_ts", "end_col": "end_ts",
+            },
+        },
+    }
+    res = run_pipeline(spark, cfg)
+    row = res.stats.get("main", "interval_coverage").collect()[0]
+    # [0,3) merged + [5,6) -> 4 h covered in 2 islands from 3 intervals
+    assert row["k"] == "a" and row["n_intervals"] == 3
+    assert row["n_islands"] == 2 and row["covered_seconds"] == 4 * 3600.0

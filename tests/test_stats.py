@@ -169,3 +169,13 @@ def test_measures_of_robustness(spark):
     dfc = spark.createDataFrame([(5.0,)] * 10, "x double")
     outc = measures_of_robustness(dfc, ["x"], exact=True).collect()[0]
     assert outc["mad"] == 0.0 and outc["robust_outliers"] == 0
+    # an all-null column must not crash the whole battery (the learned
+    # median is None; interpolating it into SQL would fail analysis)
+    dfn = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (3.0, None)], "x double, y double"
+    )
+    outn = {r["attribute"]: r for r in
+            measures_of_robustness(dfn, ["x", "y"], exact=True).collect()}
+    assert outn["x"]["median"] == 2.0 and outn["x"]["mad"] == 1.0
+    assert outn["y"]["median"] is None and outn["y"]["mad"] is None
+    assert outn["y"]["robust_outliers"] == 0

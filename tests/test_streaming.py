@@ -362,6 +362,52 @@ def test_streaming_dedup_sink(spark, tmp_path):
     assert S.read_dedup_index(spark, index_path).count() == 6
 
 
+def test_streaming_dedup_sink_string_ids(spark, tmp_path):
+    """First batch's empty pairs frame must take its id type from the
+    batch (string here) — a hardcoded long would poison later parquet
+    schema merges across sibling batch_id dirs."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            ("d2", "one two three four five six seven eight nine ten eleven"),
+        ],
+        "doc_id string, text string",
+    )
+    src = str(tmp_path / "sdocs")
+    docs.repartition(2, "doc_id").write.parquet(src)
+    index_path = str(tmp_path / "sdd_index")
+    pairs_path = str(tmp_path / "sdd_pairs")
+
+    def run(run_id, qn, source):
+        sdf = S.read_stream(
+            spark, "parquet", source, schema="doc_id string, text string",
+            options={"maxFilesPerTrigger": "1"},
+        )
+        q = S.streaming_dedup_sink(
+            sdf, index_path, pairs_path, query_name=qn, run_id=run_id,
+            threshold=0.5,
+        )
+        _drain(q)
+
+    run("runA", "sdd1", src)
+    assert S.read_dedup_pairs(spark, pairs_path).count() == 0
+    edited = docs.select(
+        F.concat(F.lit("copy_"), F.col("doc_id")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    src2 = str(tmp_path / "sdocs_edit")
+    edited.repartition(2, "doc_id").write.parquet(src2)
+    run("runB", "sdd2", src2)
+    # the cross-batch read merges the empty first-batch file with the
+    # string-id pair files — this is the line that used to fail
+    pairs = S.read_dedup_pairs(spark, pairs_path).collect()
+    assert {(r["new_id"], r["index_id"]) for r in pairs} == {
+        ("copy_d1", "d1"), ("copy_d2", "d2"),
+    }
+
+
 def test_streaming_dedup_sink_intra_batch(spark, tmp_path):
     docs = spark.createDataFrame(
         [

@@ -262,6 +262,32 @@ def test_funnel_and_cohort(spark):
     assert ret[("2024-01-01", 1)]["retention"] == 0.25
 
 
+def test_cohort_retention_dst(spark):
+    """Weekly period index must survive a DST-observing session timezone:
+    the spring-forward week is 604800-3600 s long, so unix-second division
+    truncates period 1 back to 0 — datediff on dates must not."""
+    import datetime as dt
+
+    from anovos_spark.operators.temporal import cohort_retention
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # US DST spring-forward: 2024-03-10; weeks of 03-04 and 03-11
+        ev = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 3, 5, 12)),
+                (1, dt.datetime(2024, 3, 12, 12)),
+            ],
+            "user_id int, ts timestamp",
+        )
+        ret = {r["period_idx"]: r["n_users"] for r in
+               cohort_retention(ev, "user_id", "ts", "week").collect()}
+        assert ret == {0: 1, 1: 1}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def test_interval_overlap_join(spark):
     import datetime as dt
 
