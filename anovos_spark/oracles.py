@@ -1881,6 +1881,83 @@ SELECT attribute, 1 AS assigned_once, 1 AS rs_ratio_ok FROM (
         "knn_imputation": """
 SELECT 0 AS nulls_after, count(*) AS n_rows, 1 AS in_range_ok, 1 AS mean_band_ok
 FROM lineitem""",
+        # FULL KNN replay: the query's subset is <=10k rows so the seeded
+        # fit sample is the identity; every fill = mean of the k=5 nearest
+        # complete rows (z-scaled euclidean over the observed dims e, d —
+        # (a-mu)/sd - (b-mu)/sd = (a-b)/sd, so mu cancels)
+        "knn_imputation_exact": """
+WITH sub AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN (l_orderkey + l_linenumber) % 7 = 0 THEN NULL
+              ELSE l_quantity END AS q,
+         l_extendedprice AS e, l_discount AS d
+  FROM lineitem WHERE l_orderkey % 211 = 0),
+ref AS (SELECT q, e, d FROM sub WHERE q IS NOT NULL),
+mom AS (
+  SELECT CASE WHEN stddev_pop(e) = 0 THEN 1.0 ELSE stddev_pop(e) END AS sd_e,
+         CASE WHEN stddev_pop(d) = 0 THEN 1.0 ELSE stddev_pop(d) END AS sd_d
+  FROM ref),
+nulls AS (
+  SELECT l_orderkey, l_linenumber, e, d, count(*) AS n_rows
+  FROM sub WHERE q IS NULL GROUP BY 1, 2, 3, 4),
+cand AS (
+  SELECT n.l_orderkey, n.l_linenumber, n.e, n.d, n.n_rows, r.q AS rq,
+         power((n.e - r.e) / m.sd_e, 2) + power((n.d - r.d) / m.sd_d, 2) AS d2
+  FROM nulls n, ref r, mom m),
+ranked AS (
+  SELECT l_orderkey, l_linenumber, e, d, n_rows, rq,
+         row_number() OVER (PARTITION BY l_orderkey, l_linenumber, e, d
+                            ORDER BY d2 ASC) AS rn
+  FROM cand)
+SELECT l_orderkey, l_linenumber, e, d, max(n_rows) AS n_rows,
+       round(avg(rq), 6) AS q_filled
+FROM ranked WHERE rn <= 5 GROUP BY 1, 2, 3, 4""",
+        # linear-decoder autoencoder cannot beat the rank-1 PCA floor
+        # (1-|r|)/2 on 2 standardized cols, and a trained one must land
+        # near it — the floor side is closed-form from corr() alone
+        "autoencoder_optimality": """
+SELECT round(abs(corr(l_quantity, l_extendedprice)), 6) AS abs_corr,
+       1 AS above_floor, 1 AS near_optimum
+FROM lineitem""",
+        "autoencoder_latent": """
+SELECT 2 AS k, count(*) AS n_rows, 1 AS converged FROM lineitem""",
+        "pca_latent_features": """
+SELECT 1 AS k_in_range, 1 AS var_monotonic, 1 AS orthogonal_ok,
+       1 AS explained_ok, count(*) AS n_rows
+FROM lineitem""",
+        # hashed-embedding path: xxhash64 has no DuckDB twin, so the
+        # oracle pins the match contract over the deterministic attribute
+        # universe (information_schema recovers the three tables' columns);
+        # exact ranking is oracled by feature_recommender_gemm below
+        "feature_recommender_embedded": """
+WITH attrs AS (
+  SELECT DISTINCT column_name AS attribute
+  FROM information_schema.columns
+  WHERE table_name IN ('lineitem', 'orders', 'customer'))
+SELECT attribute, 1 AS n_matches, 1 AS rank_ok, 1 AS score_in_unit
+FROM attrs""",
+        # engine-neutral embeddings -> the cosine GEMM + min_score cut +
+        # (score DESC, feature_name ASC) rank window replay exactly; both
+        # engines round scores to 6 decimals BEFORE threshold and rank
+        "feature_recommender_gemm": """
+WITH a AS (
+  SELECT 'attr_' || vec_id AS attribute, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 5 = 0),
+c AS (
+  SELECT 'feat_' || vec_id AS feature_name, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 5 = 1),
+s AS (
+  SELECT a.attribute, c.feature_name,
+         round(list_cosine_similarity(a.v, c.v), 6) AS score
+  FROM a, c),
+r AS (
+  SELECT attribute, feature_name, 'synthetic' AS industry, 'ann' AS usecase,
+         score,
+         row_number() OVER (PARTITION BY attribute
+                            ORDER BY score DESC, feature_name ASC) AS "rank"
+  FROM s WHERE score >= 0.05)
+SELECT attribute, feature_name, industry, usecase, score, "rank"
+FROM r WHERE "rank" <= 2""",
         "als_imputation": """
 SELECT 0 AS nulls_after, count(*) AS n_rows, 1 AS in_range_ok, 1 AS mean_band_ok
 FROM orders""",

@@ -947,6 +947,31 @@ def q_autoencoder_latent(spark, sf_dir):
     )
 
 
+def q_autoencoder_optimality(spark, sf_dir):
+    """Semantic gate for the numpy autoencoder (upgrade from the
+    rows-only check): with a 1-unit bottleneck and a LINEAR decoder,
+    every reconstruction lies on an affine line in R^d, so the training
+    MSE (per element, standardized inputs) can never beat the rank-1 PCA
+    floor — on 2 standardized columns that floor is (1 − |r|)/2, closed
+    form from corr() alone.  The indicators force the real fit to (a)
+    respect the bound and (b) actually land near the optimum, so a
+    broken optimizer or a wrong gradient fails the hash."""
+    from anovos_spark.operators.transformers_ml import autoencoder_latent_features
+
+    li = table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    odf, model = autoencoder_latent_features(
+        li, ["l_quantity", "l_extendedprice"], reduction_params=1,
+        sample_size=200_000, epochs=20, seed=42,
+    )
+    mse = float(model["train_mse"])
+    r = li.agg(F.abs(F.corr("l_quantity", "l_extendedprice"))).collect()[0][0]
+    floor = (1.0 - float(r)) / 2.0
+    return spark.createDataFrame(
+        [(round(float(r), 6), int(mse >= floor - 1e-9), int(mse <= floor + 0.02))],
+        schema="abs_corr double, above_floor int, near_optimum int",
+    )
+
+
 def q_ts_format_vote(spark, sf_dir):
     from anovos_spark.operators.timeseries import ts_format_vote
 
@@ -994,15 +1019,45 @@ def q_daypart(spark, sf_dir):
 # driver records the weaker rows-only check for these
 # --------------------------------------------------------------------------- #
 def q_pca_latent(spark, sf_dir):
+    """Runs the REAL distributed PCA and pins its mathematical
+    invariants as oracle-checkable indicators (upgrade from rows-only):
+    latent-score variances must be non-increasing (eigenvalue order),
+    latents pairwise uncorrelated (orthogonality of the projection), and
+    the cumulative explained variance measured FROM THE SCORES (not the
+    model's own report) must reach the k-selection cutoff.  Exact
+    eigenvalues beyond d=2 have no SQL closed form — q_pca_closed_form
+    covers that case exactly."""
     from anovos_spark.operators.transformers_ml import pca_latent_features
 
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     li = table(spark, sf_dir, "lineitem")
-    odf, model = pca_latent_features(
-        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-        explained_variance_cutoff=0.95,
+    odf, model = pca_latent_features(li, cols, explained_variance_cutoff=0.95)
+    k = model["k"]
+    aggs = [F.var_samp(f"latent_{i}").alias(f"v{i}") for i in range(k)]
+    aggs += [
+        F.abs(F.corr(f"latent_{i}", f"latent_{j}")).alias(f"c{i}_{j}")
+        for i in range(k) for j in range(i + 1, k)
+    ]
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    row = odf.agg(*aggs).collect()[0]
+    variances = [row[f"v{i}"] for i in range(k)]
+    var_monotonic = int(all(
+        variances[i] >= variances[i + 1] - 1e-9 for i in range(k - 1)
+    ))
+    orthogonal_ok = int(all(
+        (row[f"c{i}_{j}"] or 0.0) < 1e-6
+        for i in range(k) for j in range(i + 1, k)
+    ))
+    # standardized inputs: total variance = d, so the scores' cumulative
+    # share must reach the cutoff unless all components were needed
+    explained_ok = int(
+        k == len(cols) or sum(variances) / len(cols) >= 0.95 - 1e-6
     )
     return spark.createDataFrame(
-        [(model["k"], odf.count())], schema="k int, n_rows long"
+        [(int(1 <= k <= len(cols)), var_monotonic, orthogonal_ok,
+          explained_ok, int(row["n"]))],
+        schema="k_in_range int, var_monotonic int, orthogonal_ok int, "
+        "explained_ok int, n_rows long",
     )
 
 
@@ -1060,6 +1115,43 @@ def q_knn_imputation(spark, sf_dir):
         (
             F.abs(F.avg("l_quantity") - obs["mu"]) <= 0.1 * F.abs(F.lit(obs["mu"]))
         ).cast("int").alias("mean_band_ok"),
+    )
+
+
+def q_knn_imputation_exact(spark, sf_dir):
+    """FULL semantic replay of KNN imputation (upgrade from the envelope
+    gate): a ≤10k-row deterministic subset makes the seeded fit sample
+    the identity (frac=1.0 Bernoulli keeps every row), so the oracle can
+    recompute every fill exactly — the mean of the k=5 nearest complete
+    rows by z-scaled euclidean distance over the observed dims — via an
+    O(n_null · n_ref) cross join + rank window in DuckDB.  Per-row
+    fills hash-matched to 6 decimals (reference semantics:
+    sklearn.impute.KNNImputer uniform weights, transformers.py:1920-1962)."""
+    from anovos_spark.operators.transformers_ml import imputation_knn
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 211 == 0)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.when(
+                (F.col("l_orderkey") + F.col("l_linenumber")) % 7 == 0, F.lit(None)
+            ).otherwise(F.col("l_quantity")).alias("q"),
+            F.col("l_extendedprice").alias("e"),
+            F.col("l_discount").alias("d"),
+        )
+    )
+    imputed = imputation_knn(li, ["q", "e", "d"], k=5)
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+    # — group on the full observed tuple so both engines emit one row per
+    # distinct imputation problem, with multiplicity
+    return (
+        imputed.where((F.col("l_orderkey") + F.col("l_linenumber")) % 7 == 0)
+        .groupBy("l_orderkey", "l_linenumber", "e", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("q"), 6).alias("q_filled"),
+        )
     )
 
 
@@ -1630,17 +1722,53 @@ def q_feature_recommender(spark, sf_dir):
 def q_feature_recommender_embedded(spark, sf_dir):
     """Hashed-token-embedding recommender path (xxhash64 signed buckets
     — the model-free stand-in for the reference's sentence-transformer
-    provider, featrec_init.py:29-31) — rows-only: Spark's seeded
-    xxhash64 has no DuckDB equivalent, so this path is covered by the
-    rows check + unit tests instead of a SQL oracle."""
+    provider, featrec_init.py:29-31).  Spark's seeded xxhash64 has no
+    DuckDB equivalent, so the oracle pins the CONTRACT over the
+    deterministic attribute universe — the column names of three tables,
+    which DuckDB recovers from information_schema: exactly one match per
+    attribute at top_k=1/min_score=−1, rank 1, score inside the unit
+    interval.  The ranking math itself is oracled exactly by
+    feature_recommender_gemm (engine-neutral embeddings)."""
     from anovos_spark.operators.featrec import feature_recommender_match_embedded
 
     cols = []
     for t in ("lineitem", "orders", "customer"):
         cols += table(spark, sf_dir, t).columns
     attrs = spark.createDataFrame([(c,) for c in sorted(set(cols))], "attribute string")
-    return feature_recommender_match_embedded(attrs, top_k=1).withColumn(
-        "method", F.lit("hashed_embedding")
+    m = feature_recommender_match_embedded(attrs, top_k=1, min_score=-1.0)
+    return m.groupBy("attribute").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max((F.col("rank") == 1).cast("int")).alias("rank_ok"),
+        F.max(
+            ((F.col("score") >= -1.0) & (F.col("score") <= 1.0)).cast("int")
+        ).alias("score_in_unit"),
+    )
+
+
+def q_feature_recommender_gemm(spark, sf_dir):
+    """Bring-your-own-embedding recommender path with a FULL ranking
+    oracle: attribute and corpus vectors come from the embeddings table
+    (engine-neutral float32, cast to double identically on both sides),
+    so DuckDB replays the cosine GEMM, the min_score cut, and the
+    per-attribute (score DESC, feature_name ASC) rank window exactly —
+    scores rounded to 6 decimals BEFORE thresholding/ranking on both
+    engines, making the top-k sets bit-comparable."""
+    from anovos_spark.operators.featrec import feature_recommender_match_embedded
+
+    emb = table(spark, sf_dir, "embeddings")
+    attrs = emb.where(F.col("vec_id") % 5 == 0).select(
+        F.concat(F.lit("attr_"), F.col("vec_id").cast("string")).alias("attribute"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    corpus = emb.where(F.col("vec_id") % 5 == 1).select(
+        F.concat(F.lit("feat_"), F.col("vec_id").cast("string")).alias("feature_name"),
+        F.lit("synthetic").alias("industry"),
+        F.lit("ann").alias("usecase"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    return feature_recommender_match_embedded(
+        attrs, corpus, attr_emb_col="emb", corpus_emb_col="emb",
+        top_k=2, min_score=0.05,
     )
 
 
@@ -2877,12 +3005,14 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_stats": q_geo_stats,
         "reverse_geocoding": q_reverse_geocoding,
         "autoencoder_latent": q_autoencoder_latent,
+        "autoencoder_optimality": q_autoencoder_optimality,
         "ts_format_vote": q_ts_format_vote,
         "ts_eligibility": q_ts_eligibility,
         "ts_daypart": q_daypart,
         "seasonal_decompose": q_seasonal_decompose,
         "pca_latent_features": q_pca_latent,
         "knn_imputation": q_knn_imputation,
+        "knn_imputation_exact": q_knn_imputation_exact,
         "als_imputation": q_als_imputation,
         "regression_imputation": q_regression_imputation,
         "monotonic_binning": q_monotonic_binning,
@@ -2947,6 +3077,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "mixture_plan": q_mixture_plan,
         "feature_recommender_embedded": q_feature_recommender_embedded,
+        "feature_recommender_gemm": q_feature_recommender_gemm,
         "pca_closed_form": q_pca_closed_form,
         "dedup_minhash_incremental": q_minhash_incremental,
         "streaming_dedup_incremental": q_streaming_dedup,

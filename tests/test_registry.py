@@ -19,13 +19,8 @@ def test_oracles_subset_of_queries():
     mod = _entry_module()
     q, o = mod.queries(), mod.oracle_sql()
     assert set(o) <= set(q), sorted(set(o) - set(q))
-    # rows-only tail stays small and intentional
-    rows_only = sorted(set(q) - set(o))
-    assert rows_only == [
-        "autoencoder_latent",
-        "feature_recommender_embedded",
-        "pca_latent_features",
-    ]
+    # every registry entry is oracle-backed (0 rows-only since round 4)
+    assert sorted(set(q) - set(o)) == []
 
 
 def test_registry_order_oracles_first():
