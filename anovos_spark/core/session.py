@@ -28,6 +28,26 @@ DEFAULT_CONF = {
 }
 
 
+MIN_SPARK = (3, 5)
+
+
+def require_spark_version(spark: SparkSession) -> None:
+    """Fail with a clear message — not a mid-query AnalysisException —
+    on clusters older than Spark 3.5.  The engine uses expressions that
+    do not exist before then (``try_sum``/``try_cast``, named lambda
+    higher-order forms); the reference supports 2.4-3.2, so a user
+    moving from it to an old EMR would otherwise hit an opaque parser
+    error deep inside the first query."""
+    ver = tuple(int(p) for p in spark.version.split(".")[:2])
+    if ver < MIN_SPARK:
+        raise RuntimeError(
+            f"anovos_spark requires Spark >= {MIN_SPARK[0]}.{MIN_SPARK[1]} "
+            f"(found {spark.version}): the engine relies on try_sum/try_cast "
+            "and Spark 3.5 expression semantics. Upgrade the cluster, or "
+            "stay on the reference implementation for 2.4-3.2 clusters."
+        )
+
+
 def get_session(
     app_name: str = "anovos_spark",
     master: str | None = None,
@@ -42,4 +62,6 @@ def get_session(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    require_spark_version(spark)
+    return spark

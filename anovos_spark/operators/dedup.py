@@ -630,49 +630,13 @@ def minhash_estimate_pairs(
     )
 
 
-def fuzzy_match_pairs(
-    idf: DataFrame,
-    col: str,
-    id_col: str,
-    max_distance: int = 1,
-    max_length: int = 64,
-    eager: bool = True,
-) -> DataFrame:
-    """Entity-resolution fuzzy pairs: [id_a, id_b, distance] with
-    Levenshtein(a, b) <= max_distance (k in {1, 2}), id_a < id_b —
-    FastSS deletion neighborhoods, not gram blocking.
-
-    Candidate scheme: every string emits its <= k-deletion variants
-    (itself, all 1-deletions, and for k=2 all ordered 2-deletions);
-    two strings within edit distance k ALWAYS share a variant (delete
-    the edited positions on each side), so an equi-join on the variant
-    is a 100%-recall candidate generator.  Crucially its candidate
-    count tracks the TRUE pair count: a variant bucket only holds
-    strings one edit apart, so repetitive key spaces (zero-padded ids,
-    serial numbers) don't explode the way shared-q-gram blocking does
-    (measured on 15k zero-padded names: 10.4M gram-block candidates vs
-    ~300k here for 262k true pairs).  Exact Levenshtein verifies the
-    survivors (a shared variant proves distance <= 2k, not <= k).
-
-    Scale: shuffle O(N * C(len, k)) variant rows — len is capped at
-    ``max_length`` (the neighborhood is quadratic in length for k=2);
-    longer strings should dedup via ngram_jaccard/minhash instead, and
-    the operator refuses them loudly rather than degrade.
-    """
-    k = int(max_distance)
-    if k not in (1, 2):
-        raise ValueError("fuzzy_match_pairs supports max_distance 1 or 2")
-    base = _spread(idf).select(
-        F.col(id_col).alias("id"), F.col(col).alias("__s__")
-    )
-    too_long = idf.where(F.length(F.col(col)) > max_length).limit(1).count()
-    if too_long:
-        raise ValueError(
-            f"fuzzy_match_pairs caps len({col}) at {max_length} (the "
-            "deletion neighborhood grows as C(len, k)); use the shingle "
-            "dedup family for long strings"
-        )
-    s = F.col("__s__")
+def deletion_variants(s: Column, k: int) -> Column:
+    """FastSS ≤k-deletion neighborhood of a string column as an array
+    column (the string itself, every 1-deletion, and for k=2 every
+    2-deletion), deduplicated.  Size is bounded by 1 + L + L·(L−1)/2
+    for a length-L input — the bound the property test pins so the
+    candidate join's expansion is provably bounded by max_length, never
+    by an adversarial key's raw length."""
     del1 = F.transform(
         F.sequence(F.lit(1), F.length(s)),
         lambda i: F.concat(s.substr(F.lit(1), i - 1), s.substr(i + 1, F.length(s))),
@@ -694,7 +658,65 @@ def fuzzy_match_pairs(
             )
         )
         variants = F.array_union(variants, F.array_distinct(del2))
-    docs = base.withColumn("__v__", variants)
+    return variants
+
+
+def fuzzy_match_pairs(
+    idf: DataFrame,
+    col: str,
+    id_col: str,
+    max_distance: int = 1,
+    max_length: int = 64,
+    on_long: str = "error",
+    eager: bool = True,
+) -> DataFrame:
+    """Entity-resolution fuzzy pairs: [id_a, id_b, distance] with
+    Levenshtein(a, b) <= max_distance (k in {1, 2}), id_a < id_b —
+    FastSS deletion neighborhoods, not gram blocking.
+
+    Candidate scheme: every string emits its <= k-deletion variants
+    (itself, all 1-deletions, and for k=2 all ordered 2-deletions);
+    two strings within edit distance k ALWAYS share a variant (delete
+    the edited positions on each side), so an equi-join on the variant
+    is a 100%-recall candidate generator.  Crucially its candidate
+    count tracks the TRUE pair count: a variant bucket only holds
+    strings one edit apart, so repetitive key spaces (zero-padded ids,
+    serial numbers) don't explode the way shared-q-gram blocking does
+    (measured on 15k zero-padded names: 10.4M gram-block candidates vs
+    ~300k here for 262k true pairs).  Exact Levenshtein verifies the
+    survivors (a shared variant proves distance <= 2k, not <= k).
+
+    Scale: shuffle O(N * C(len, k)) variant rows — len is capped at
+    ``max_length`` (the neighborhood is quadratic in length for k=2).
+    ``on_long='error'`` (default) refuses longer strings loudly —
+    they belong in the shingle dedup family; ``on_long='truncate'``
+    normalizes instead: blocking runs on the first ``max_length``
+    chars (an adversarial 1 MB key still emits ≤ 1+L+L(L−1)/2
+    variants of length ≤ L) while the exact Levenshtein verify runs
+    on the FULL strings, so precision stays 100% and only recall
+    for pairs whose sole edits sit past the truncation point is
+    given up (documented approximation).
+    """
+    k = int(max_distance)
+    if k not in (1, 2):
+        raise ValueError("fuzzy_match_pairs supports max_distance 1 or 2")
+    if on_long not in ("error", "truncate"):
+        raise ValueError("on_long must be 'error' or 'truncate'")
+    base = _spread(idf).select(
+        F.col(id_col).alias("id"), F.col(col).alias("__s__")
+    )
+    if on_long == "error":
+        too_long = idf.where(F.length(F.col(col)) > max_length).limit(1).count()
+        if too_long:
+            raise ValueError(
+                f"fuzzy_match_pairs caps len({col}) at {max_length} (the "
+                "deletion neighborhood grows as C(len, k)); use the shingle "
+                "dedup family for long strings, or on_long='truncate'"
+            )
+        blk = F.col("__s__")
+    else:
+        blk = F.col("__s__").substr(1, int(max_length))
+    docs = base.withColumn("__v__", deletion_variants(blk, k))
     docs.persist()
     ex = docs.select("id", F.explode("__v__").alias("v"))
     a, b = ex.alias("a"), ex.alias("b")

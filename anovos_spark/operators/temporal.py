@@ -159,6 +159,30 @@ def asof_join(
     )
 
 
+def auto_bucket_seconds(
+    intervals: DataFrame, start_col: str, end_col: str
+) -> int:
+    """Default grid width for the interval-bucketing joins: the p99
+    interval length (minute-rounded, one scalar agg) instead of the max
+    — a single year-long outlier among minute-long intervals must not
+    set a degenerate one-bucket grid that crowds every point into the
+    same join key.  Longer-than-p99 intervals simply explode onto more
+    grid rows (the explode IS the pre-split: total exploded rows ≈
+    interval mass / bucket, bounded by the p99 choice for 99% of rows);
+    a floor of max_len/10,000 keeps any SINGLE interval's explode under
+    10k rows so one extreme outlier cannot build a huge sequence array.
+    """
+    dur = F.unix_timestamp(F.col(end_col)) - F.unix_timestamp(F.col(start_col))
+    row = intervals.agg(
+        F.max(dur).alias("mx"),
+        F.percentile_approx(dur, F.lit(0.99), F.lit(1000)).alias("p99"),
+    ).collect()[0]
+    mx = int(row["mx"] or 60)
+    p99 = int(row["p99"] if row["p99"] is not None else mx)
+    minute_rounded = -(-max(p99, 60) // 60) * 60
+    return max(60, minute_rounded, -(-mx // 10_000))
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -178,13 +202,12 @@ def range_join(
     bucket, so the physical plan is a plain equi-join on
     (by..., bucket) followed by the exact containment filter.
 
-    ``bucket_seconds`` defaults to the longest interval (one scalar agg)
-    rounded up to a minute: every interval then explodes to at most 2
-    grid rows.  Pass it explicitly when the interval-length distribution
-    is skewed (a few year-long intervals would otherwise set a huge
-    bucket and crowd pairs into few buckets, or — if set small — explode
-    the long intervals into many rows; cap it at the p99 length and
-    pre-split longer intervals if that matters).
+    ``bucket_seconds`` defaults to the P99 interval length
+    (auto_bucket_seconds, one scalar agg): 99% of intervals explode to
+    ≤ 2 grid rows, and a skewed tail (a few year-long intervals among
+    minutes) explodes onto more rows instead of setting a degenerate
+    one-bucket grid that would crowd every point into the same join
+    key.  Pass it explicitly only to tune the grid further.
 
     ``how='inner'`` keeps matched pairs; ``'left'`` keeps unmatched
     points with null interval columns.
@@ -194,12 +217,7 @@ def range_join(
     by = ensure_list(by) if by is not None else []
 
     if bucket_seconds is None:
-        longest = intervals.agg(
-            F.max(
-                F.unix_timestamp(F.col(end_col)) - F.unix_timestamp(F.col(start_col))
-            )
-        ).collect()[0][0]
-        bucket_seconds = max(60, int(-(-int(longest or 60) // 60) * 60))
+        bucket_seconds = auto_bucket_seconds(intervals, start_col, end_col)
 
     p_bucket = (F.unix_timestamp(F.col(point_col)) / F.lit(bucket_seconds)).cast("long")
     i_lo = (F.unix_timestamp(F.col(start_col)) / F.lit(bucket_seconds)).cast("long")
@@ -516,20 +534,17 @@ def interval_overlap_join(
     at that range's FIRST bucket (bucket == greatest of the two floors)
     yields each pair exactly once — no DISTINCT over payload columns.
 
-    bucket_seconds defaults to the longer side's longest interval (two
-    scalar aggs, minute-rounded): each interval then explodes to <= 2
-    grid rows.  Same skew caveat as range_join: cap it explicitly when
-    a few huge intervals would set a degenerate grid.
+    bucket_seconds defaults to the larger of the two sides' P99
+    interval lengths (auto_bucket_seconds per side): 99% of intervals
+    explode to ≤ 2 grid rows, and a skewed tail explodes onto more
+    rows instead of setting a degenerate one-bucket grid.
     """
     by = ensure_list(by) if by is not None else []
     if bucket_seconds is None:
-        longest = 0
-        for df, s, e in ((left, l_start, l_end), (right, r_start, r_end)):
-            m = df.agg(
-                F.max(F.unix_timestamp(F.col(e)) - F.unix_timestamp(F.col(s)))
-            ).collect()[0][0]
-            longest = max(longest, int(m or 0))
-        bucket_seconds = max(60, -(-max(longest, 60) // 60) * 60)
+        bucket_seconds = max(
+            auto_bucket_seconds(left, l_start, l_end),
+            auto_bucket_seconds(right, r_start, r_end),
+        )
 
     def grid(df, s, e):
         lo = (F.unix_timestamp(F.col(s)) / F.lit(bucket_seconds)).cast("long")

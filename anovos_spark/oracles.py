@@ -2083,7 +2083,7 @@ QUALIFY row_number() OVER (
   ORDER BY md5(doc_id::VARCHAR || '|' || '42') ASC, doc_id ASC) <= 15""",
         "ngram_counts": """
 WITH tok AS (
-  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
   FROM documents),
 grams AS (
   SELECT array_to_string(w[i:i+1], ' ') AS gram
@@ -2357,7 +2357,7 @@ FROM h GROUP BY 1""",
 WITH tok AS (
   SELECT doc_id, lower(t.token) AS token
   FROM documents,
-       unnest(string_split_regex(trim(text), '\s+')) AS t(token)
+       unnest(string_split_regex(trim(text), '\\s+')) AS t(token)
   WHERE t.token <> ''),
 agg AS (
   SELECT token, count(*)::BIGINT AS "count",
@@ -2387,25 +2387,25 @@ WITH t0 AS (
   FROM documents),
 t1 AS (
   SELECT doc_id,
-         len(regexp_extract_all(tx, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS e,
-         regexp_replace(tx, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[REDACTED]', 'g') AS tx1
+         len(regexp_extract_all(tx, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS e,
+         regexp_replace(tx, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[REDACTED]', 'g') AS tx1
   FROM t0),
 t2 AS (
   SELECT doc_id, e,
-         len(regexp_extract_all(tx1, '\\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\\b')) AS i,
-         regexp_replace(tx1, '\\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\\b', '[REDACTED]', 'g') AS tx2
+         len(regexp_extract_all(tx1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS i,
+         regexp_replace(tx1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[REDACTED]', 'g') AS tx2
   FROM t1),
 t3 AS (
   SELECT doc_id, e, i,
-         len(regexp_extract_all(tx2, '\+[0-9][0-9()\- ]{6,}[0-9]')) AS p,
-         regexp_replace(tx2, '\+[0-9][0-9()\- ]{6,}[0-9]', '[REDACTED]', 'g') AS tx3
+         len(regexp_extract_all(tx2, '\\+[0-9][0-9()\\- ]{6,}[0-9]')) AS p,
+         regexp_replace(tx2, '\\+[0-9][0-9()\\- ]{6,}[0-9]', '[REDACTED]', 'g') AS tx3
   FROM t2)
 SELECT doc_id, (e + i + p)::BIGINT AS n_redactions, length(tx3)::BIGINT AS redacted_len
 FROM t3""",
         "repetition_stats": """
 WITH tok AS (
   SELECT doc_id AS id,
-         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
   FROM documents),
 grams AS (
   SELECT id, len(w)::BIGINT AS n_tokens, array_to_string(w[i:i+1], ' ') AS g
@@ -2421,7 +2421,7 @@ FROM per_gram GROUP BY 1, 2""",
         "contamination_check": """
 WITH tok AS (
   SELECT doc_id,
-         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
   FROM documents),
 doc_grams AS (
   SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+4], ' ') AS g

@@ -89,6 +89,9 @@ def run_pipeline(
     spark: SparkSession, config: dict | str, stats_store: StatsStore | None = None
 ) -> PipelineResult:
     """Execute a pipeline config (dict or path to YAML)."""
+    from anovos_spark.core.session import require_spark_version
+
+    require_spark_version(spark)  # loud, not a mid-query AnalysisException
     if isinstance(config, str):
         if yaml is None:
             raise RuntimeError("pyyaml not available; pass a dict config")

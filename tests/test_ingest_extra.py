@@ -294,3 +294,17 @@ def test_weighted_sample_k(spark):
     g = weighted_sample_k(big, "w", k=20, by=None, id_col="id")
     heavy = sum(1 for r in g.collect() if r["id"] < 50)
     assert heavy >= 18  # overwhelming odds under the weight ratio
+
+
+def test_spark_version_guard(spark):
+    from unittest import mock
+
+    from anovos_spark.core.session import require_spark_version
+
+    require_spark_version(spark)  # current session passes
+    old = mock.Mock()
+    old.version = "3.2.1"
+    import pytest as _p
+
+    with _p.raises(RuntimeError, match="requires Spark >= 3.5"):
+        require_spark_version(old)

@@ -359,3 +359,58 @@ def test_fuzzy_match_equals_bruteforce(spark, base, k):
             if d <= k:
                 want[(i, j)] = d
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    s=st.text(alphabet="abcxyz", min_size=0, max_size=64),
+    k=st.sampled_from([1, 2]),
+)
+def test_deletion_neighborhood_bounded(spark, s, k):
+    """The FastSS variant array never exceeds 1 + L + L·(L−1)/2 entries
+    — the bound that keeps the candidate join's shuffle O(N·C(len,k))."""
+    from pyspark.sql import functions as F
+
+    from anovos_spark.operators.dedup import deletion_variants
+
+    df = spark.createDataFrame([(s,)], "s string")
+    n = df.select(F.size(deletion_variants(F.col("s"), k)).alias("n")).collect()[0]["n"]
+    L = len(s)
+    bound = 1 + L + (L * (L - 1) // 2 if k == 2 else 0)
+    assert n <= bound
+
+
+def test_fuzzy_match_truncate_long_keys(spark):
+    """on_long='truncate': an adversarial 5,000-char key must not
+    explode the variant join — blocking runs on the first max_length
+    chars while the exact verify runs on the FULL strings, so the
+    near-identical long pair matches and the far pair does not."""
+    from pyspark.sql import functions as F
+
+    from anovos_spark.operators.dedup import deletion_variants, fuzzy_match_pairs
+
+    long_a = "x" * 5000
+    long_b = "x" * 4999 + "y"          # distance 1, edit at the far end
+    far = "z" * 5000                   # distance 5000 from both
+    df = spark.createDataFrame(
+        [(0, long_a), (1, long_b), (2, far), (3, "short"), (4, "shorp")],
+        "id long, s string",
+    )
+    # default mode refuses loudly
+    import pytest as _p
+
+    with _p.raises(ValueError, match="caps len"):
+        fuzzy_match_pairs(df, "s", "id", max_distance=1)
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_match_pairs(
+            df, "s", "id", max_distance=1, max_length=64, on_long="truncate"
+        ).collect()
+    }
+    assert got == {(0, 1): 1, (3, 4): 1}
+    # bounded expansion: the truncated key's neighborhood is the
+    # max_length bound, not the raw-length one
+    n = df.where(F.col("id") == 0).select(
+        F.size(deletion_variants(F.col("s").substr(1, 64), 1)).alias("n")
+    ).collect()[0]["n"]
+    assert n <= 1 + 64

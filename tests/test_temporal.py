@@ -288,6 +288,39 @@ def test_cohort_retention_dst(spark):
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def test_range_join_skewed_interval_autobucket(spark):
+    """One year-long interval among minute-long ones: the default grid
+    must follow the p99 length (clamped so the outlier's own explode
+    stays under 10k rows), never the max — a max-based bucket would
+    crowd every point into one or two join keys."""
+    import datetime as dt
+
+    from anovos_spark.operators.temporal import auto_bucket_seconds, range_join
+
+    base = dt.datetime(2024, 1, 1)
+    D = dt.timedelta
+    ivs = [
+        (i, base + D(minutes=2 * i), base + D(minutes=2 * i, seconds=60))
+        for i in range(200)
+    ]
+    year = 365 * 86400
+    ivs.append((999, base, base + D(seconds=year)))
+    intervals = spark.createDataFrame(ivs, "iv_id int, s timestamp, e timestamp")
+    ab = auto_bucket_seconds(intervals, "s", "e")
+    # p99 is the minute grid; the only lift is the single-interval
+    # explode clamp (<=10k rows for the year-long outlier)
+    assert ab == -(-year // 10_000)
+    assert ab < 2 * 3600  # nowhere near the max-based year bucket
+    pts = [(j, base + D(minutes=2 * j, seconds=30)) for j in range(200)]
+    points = spark.createDataFrame(pts, "p_id int, t timestamp")
+    got = {
+        (r["p_id"], r["iv_id"])
+        for r in range_join(points, intervals, "t", "s", "e").collect()
+    }
+    want = {(j, j) for j in range(200)} | {(j, 999) for j in range(200)}
+    assert got == want
+
+
 def test_interval_overlap_join(spark):
     import datetime as dt
 
