@@ -2923,6 +2923,8 @@ _APPROX_COST = {
     "ann_lsh_topk": 5.7, "streaming_sessions": 7.0, "streaming_window_agg": 7.2,
     "invalid_entries_detection": 8.7,
     "dateformat_conversion": 0.5, "regression_imputation": 2.0,
+    "knn_imputation_exact": 2.5, "autoencoder_optimality": 3.0,
+    "feature_recommender_gemm": 1.0,
     "geohash_roundtrip": 0.8, "location_in_country": 0.5, "geo_stats": 1.0,
     "frequency_frame": 0.4, "event_rate_frame": 0.4, "outlier_frame": 2.0,
     "comparative_drift_frame": 0.7, "streaming_drift": 7.0,

@@ -237,6 +237,22 @@ def test_geo_density_clusters(spark):
     assert sorted(v for k, v in d.items() if k != -1) == [40, 40]
 
 
+def test_geo_density_clusters_border(spark):
+    # DBSCAN border semantics via the distributed halo join: a sparse
+    # cell ADJACENT to a dense cell joins that cluster; a sparse cell
+    # two cells away stays noise
+    eps = 30.0
+    cell = eps / 111.32  # one grid step in degrees
+    dense = [(0.5 * cell, 0.5 * cell)] * 6          # one dense cell (n=6)
+    border = [(1.5 * cell, 0.5 * cell)]             # neighbor cell, n=1
+    noise = [(3.5 * cell, 0.5 * cell)]              # 3 cells away, n=1
+    df = spark.createDataFrame(dense + border + noise, "lat double, lon double")
+    odf, stats = GEO.geo_density_clusters(df, "lat", "lon", eps_km=eps,
+                                          min_samples=5)
+    d = {r["cluster"]: r["n_points"] for r in stats.collect()}
+    assert d == {0: 7, -1: 1}  # 6 core + 1 border joined; far point is noise
+
+
 def test_geo_density_clusters_all_sparse(spark):
     # min_samples above every cell count: everything is noise, and only
     # the (empty) dense-cell set is collected — the sparse-cell universe

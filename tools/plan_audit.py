@@ -232,6 +232,45 @@ def main():
     check("twa: no global window", "SinglePartition" not in p)
     check("twa: partial agg", "partial_" in p)
 
+    # 29. spatial_join how='left': matched + anti-join path stays
+    # equi-join-only (the naive formulation would BNLJ the polygons)
+    from anovos_spark.operators.geospatial import spatial_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 30.0, 30.0)], "pid int, lat double, lon double"
+    )
+    polys = spark.createDataFrame(
+        [(100, [(10.0, 0.0), (0.0, 10.0), (-10.0, 0.0), (0.0, -10.0)])],
+        "poly_id int, vertices array<struct<lat:double,lon:double>>",
+    )
+    p = plan_of(spatial_join(pts, polys, "lat", "lon", how="left"))
+    check("spatial_join left: no nested-loop join", "BroadcastNestedLoopJoin" not in p)
+    check("spatial_join left: no cartesian", "CartesianProduct" not in p)
+
+    # 30. geo_density_clusters: the point-labeling join against the
+    # 9-cell halo must broadcast (driver holds only DENSE cells)
+    from anovos_spark.operators.geospatial import geo_density_clusters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("value") / 10).alias("lat"), (F.col("value") / 7).alias("lon")
+    )
+    odf, _ = geo_density_clusters(ev, "lat", "lon", eps_km=200.0, min_samples=5)
+    p = plan_of(odf)
+    check("density_clusters: halo join broadcasts", "BroadcastHashJoin" in p)
+    check("density_clusters: no cartesian", "CartesianProduct" not in p)
+
+    # 31. knn_imputation_exact: only the dirty slice crosses Arrow; the
+    # clean slice stays JVM-side (union of scan + mapInPandas branch)
+    p = plan_of(Q.q_knn_imputation_exact(spark, sf_dir))
+    check("knn_exact: partial agg", "partial_" in p)
+    check("knn_exact: no cartesian", "CartesianProduct" not in p)
+
+    # 32. feature_recommender_gemm: corpus broadcast + Arrow GEMM — the
+    # scorer must not shuffle the attribute side into a join
+    p = plan_of(Q.q_feature_recommender_gemm(spark, sf_dir))
+    check("featrec_gemm: no cartesian", "CartesianProduct" not in p)
+    check("featrec_gemm: no sort-merge join", "SortMergeJoin" not in p)
+
     print(f"\n{'ALL CLEAR' if not failures else f'{len(failures)} audit failures: {failures}'}")
     spark.stop()
     sys.exit(1 if failures else 0)
