@@ -1537,14 +1537,17 @@ def q_streaming_window(spark, sf_dir):
         agg_exprs={"n_events": ("event_type", "count"), "value_sum": ("value", "sum")},
     )
     name = f"stream_win_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from anovos_spark.streaming.ops import streaming_shuffle_partitions
+
+    with streaming_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -1595,14 +1598,17 @@ def q_streaming_drift(spark, sf_dir):
         sdf, "ts", "value", cuts, props, window_duration="1 hour", watermark="1 hour"
     )
     name = f"stream_drift_{uuid.uuid4().hex[:8]}"
-    q = (
-        mon.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from anovos_spark.streaming.ops import streaming_shuffle_partitions
+
+    with streaming_shuffle_partitions(spark):
+        q = (
+            mon.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "n_events",
@@ -1654,14 +1660,17 @@ def q_streaming_join(spark, sf_dir):
         right_watermark="3 hours",
     )
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from anovos_spark.streaming.ops import streaming_shuffle_partitions
+
+    with streaming_shuffle_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select("signup_id", "error_id", "user_id")
 
 
@@ -1683,14 +1692,17 @@ def q_streaming_sessions(spark, sf_dir):
     sdf = _normalize_event_ts(sdf)
     sessions = sessionize(sdf, "ts", "user_id", gap="30 minutes", watermark="1 hour")
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from anovos_spark.streaming.ops import streaming_shuffle_partitions
+
+    with streaming_shuffle_partitions(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -2515,6 +2527,9 @@ def q_streaming_dedup(spark, sf_dir):
             spark, "parquet", source, schema=docs_schema,
             options={"pathGlobFilter": glob} if glob else {},
         )
+        # NO streaming_shuffle_partitions here: foreachBatch has no state
+        # stores (the per-partition startup cost doesn't apply) and the
+        # batch-side minhash joins want the full shuffle width
         q = streaming_dedup_sink(
             sdf.select("doc_id", "text"), index_path, pairs_path,
             query_name=qn, run_id=run_id, threshold=0.5,
