@@ -2551,9 +2551,10 @@ WITH melted AS (
   SELECT 'l_quantity', abs(l_quantity) FROM lineitem WHERE abs(l_quantity) > 0),
 digits AS (
   SELECT attribute,
-         substring(regexp_replace(printf('%.10f', v), '[0.,]', '', 'g'), 1, 1)::INT
-           AS digit
-  FROM melted),
+         CASE d WHEN 10 THEN 1 WHEN 0 THEN 9 ELSE d END AS digit
+  FROM (SELECT attribute,
+               CAST(floor(v / pow(10, floor(log10(v)))) AS INT) AS d
+        FROM melted)),
 counts AS (
   SELECT attribute, digit, count(*)::BIGINT AS n
   FROM digits WHERE digit BETWEEN 1 AND 9 GROUP BY 1, 2)

@@ -428,3 +428,18 @@ def test_streaming_dedup_sink_intra_batch(spark, tmp_path):
     pairs = spark.read.parquet(str(tmp_path / "pairs")).collect()
     # no index yet -> only the within-batch near-dup, tagged intra
     assert [(r["new_id"], r["index_id"], r["intra"]) for r in pairs] == [(1, 2, True)]
+
+
+def test_streaming_shuffle_partitions_scope(spark):
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with S.streaming_shuffle_partitions(spark, 3):
+        assert spark.conf.get(key) == "3"
+    assert spark.conf.get(key) == before
+    # restores on exception too
+    try:
+        with S.streaming_shuffle_partitions(spark, 5):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before
