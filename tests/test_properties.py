@@ -414,3 +414,44 @@ def test_fuzzy_match_truncate_long_keys(spark):
         F.size(deletion_variants(F.col("s").substr(1, 64), 1)).alias("n")
     ).collect()[0]["n"]
     assert n <= 1 + 64
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),      # start offset s
+            st.integers(min_value=0, max_value=400_000),   # length s (incl. long tails)
+        ),
+        min_size=1, max_size=12,
+    ),
+    pts=st.lists(st.integers(min_value=-500, max_value=410_000),
+                 min_size=1, max_size=20),
+)
+def test_range_join_random_equals_bruteforce(spark, ivs, pts):
+    """range_join with the AUTO p99 bucket must equal the brute-force
+    containment join on arbitrary interval shapes, including heavy
+    length skew (lengths span 0 s to ~4.6 days)."""
+    import datetime as dt
+
+    from anovos_spark.operators.temporal import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    iv_rows = [
+        (i, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + ln))
+        for i, (s, ln) in enumerate(ivs)
+    ]
+    pt_rows = [(j, base + dt.timedelta(seconds=p)) for j, p in enumerate(pts)]
+    intervals = spark.createDataFrame(iv_rows, "iv_id int, s timestamp, e timestamp")
+    points = spark.createDataFrame(pt_rows, "p_id int, t timestamp")
+    got = {
+        (r["p_id"], r["iv_id"])
+        for r in range_join(points, intervals, "t", "s", "e").collect()
+    }
+    want = {
+        (j, i)
+        for j, p in enumerate(pts)
+        for i, (s, ln) in enumerate(ivs)
+        if s <= p <= s + ln
+    }
+    assert got == want
