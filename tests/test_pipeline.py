@@ -507,6 +507,34 @@ def test_pipeline_events_stages(spark, sf_dir):
         run_pipeline(spark, cfg)
 
 
+def test_text_pipeline_example_yaml(spark, tmp_path):
+    """The checked-in examples/text_pipeline.yaml runs end to end — every
+    stage name it references must have a live handler (the
+    interval_coverage regression class) and the mutating chain must
+    produce a non-empty fold-split corpus."""
+    import yaml
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "examples",
+                           "text_pipeline.yaml")) as fh:
+        cfg = yaml.safe_load(fh)
+    cfg["input_dataset"]["read"]["file_path"] = "/root/testdata/sf0.001/documents.parquet"
+    cfg["text_pipeline"]["incremental_dedup"]["index_path"] = str(tmp_path / "mh_index")
+    cfg["text_pipeline"]["contamination_check"]["benchmark_read"]["file_path"] = (
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    res = run_pipeline(spark, cfg)
+    out = res.df
+    assert out.count() > 0
+    assert "split" in out.columns  # hash_split ran last in the mutating chain
+    # analytical frames landed in the stats store
+    for frame in ("incremental_dedup_pairs", "mixture_plan", "repetition_stats",
+                  "vocabulary", "contamination_check"):
+        assert res.stats.get("main", frame) is not None, frame
+    # contamination against itself: every doc is contaminated (frac 1.0)
+    cont = res.stats.get("main", "contamination_check")
+    assert cont.where("contamination_frac >= 0.99").count() == cont.count()
+
+
 def test_pipeline_interval_coverage_stage(spark, tmp_path):
     # interval_coverage is a valid _EVENT_STAGES name, so it must actually
     # run (a validated-but-unhandled stage would silently do nothing)
