@@ -445,6 +445,15 @@ def funnel(
     counts = tagged.groupBy("step_idx", "step").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+    # a step nobody reaches must still appear with n_users = 0 (groupBy
+    # alone silently drops it — the funnel contract is one row PER STEP)
+    step_frame = idf.sparkSession.createDataFrame(
+        list(enumerate(steps)), schema="step_idx int, step string"
+    )
+    counts = step_frame.join(counts, ["step_idx", "step"], "left_outer").select(
+        "step_idx", "step",
+        F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+    )
     from pyspark.sql import Window
 
     base = F.first("n_users").over(
@@ -454,7 +463,8 @@ def funnel(
     )
     return counts.select(
         "step_idx", "step", "n_users",
-        F.round(F.col("n_users") / base, 6).alias("conversion"),
+        F.when(base > 0, F.round(F.col("n_users") / base, 6))
+        .otherwise(F.lit(0.0)).alias("conversion"),
     )
 
 

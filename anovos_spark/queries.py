@@ -1336,7 +1336,9 @@ def q_data_sample(spark, sf_dir):
     deterministic in practice — at 60k rows the ratio's σ ≈ 0.0012, so the
     0.005 rounding boundary sits 4σ out, per stratum and overall.  This
     catches a wrong fraction or broken stratification, which is what the
-    operator promises."""
+    operator promises.  Valid for sf ≥ 0.01 ONLY: at sf0.001 (600 rows)
+    σ ≈ 0.012 swallows the rounding band and the comparison is noise —
+    the driver's gate runs at sf0.01, where the band holds."""
     from anovos_spark.operators.ingest import data_sample
 
     li = table(spark, sf_dir, "lineitem")

@@ -262,6 +262,28 @@ def test_funnel_and_cohort(spark):
     assert ret[("2024-01-01", 1)]["retention"] == 0.25
 
 
+def test_funnel_emits_unreached_steps(spark):
+    """A step nobody reaches must still appear with n_users=0 — the
+    funnel contract is one row per step (regression: groupBy silently
+    dropped it, caught by the sf0.001 cross-scale differential)."""
+    import datetime as dt
+
+    from anovos_spark.operators.temporal import funnel
+
+    ev = spark.createDataFrame(
+        [(1, "signup", dt.datetime(2024, 1, 1)),
+         (2, "signup", dt.datetime(2024, 1, 2))],
+        "user_id int, event_type string, ts timestamp",
+    )
+    out = {r["step"]: r for r in funnel(
+        ev, "user_id", "event_type", "ts", ["signup", "click", "purchase"]
+    ).collect()}
+    assert len(out) == 3
+    assert out["signup"]["n_users"] == 2
+    assert out["click"]["n_users"] == 0 and out["click"]["conversion"] == 0.0
+    assert out["purchase"]["n_users"] == 0
+
+
 def test_cohort_retention_dst(spark):
     """Weekly period index must survive a DST-observing session timezone:
     the spring-forward week is 604800-3600 s long, so unix-second division
