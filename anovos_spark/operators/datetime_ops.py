@@ -574,6 +574,17 @@ def benford_check(
     counts = stacked.where(F.col("digit").between(1, 9)).groupBy(
         "attribute", "digit"
     ).agg(F.count(F.lit(1)).alias("n"))
+    # a digit with ZERO observations must still emit its row: its χ² term
+    # is tot·P(d), and dropping it silently under-counts the statistic
+    # (same empty-group class as the funnel step fix)
+    full = idf.sparkSession.createDataFrame(
+        [(c, d) for c in cols for d in range(1, 10)],
+        schema="attribute string, digit int",
+    )
+    counts = full.join(counts, ["attribute", "digit"], "left_outer").select(
+        "attribute", "digit",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
     from pyspark.sql import Window
 
     tot = F.sum("n").over(Window.partitionBy("attribute"))

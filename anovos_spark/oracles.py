@@ -2555,9 +2555,15 @@ digits AS (
   FROM (SELECT attribute,
                CAST(floor(v / pow(10, floor(log10(v)))) AS INT) AS d
         FROM melted)),
-counts AS (
+raw_counts AS (
   SELECT attribute, digit, count(*)::BIGINT AS n
-  FROM digits WHERE digit BETWEEN 1 AND 9 GROUP BY 1, 2)
+  FROM digits WHERE digit BETWEEN 1 AND 9 GROUP BY 1, 2),
+counts AS (
+  SELECT f.attribute, f.digit, coalesce(c.n, 0)::BIGINT AS n
+  FROM (SELECT a.attribute, d.digit
+        FROM (SELECT unnest(['l_extendedprice', 'l_quantity']) AS attribute) a,
+             (SELECT unnest(range(1, 10)) AS digit) d) f
+  LEFT JOIN raw_counts c USING (attribute, digit))
 SELECT attribute, digit, n,
        round(n * 1.0 / sum(n) OVER (PARTITION BY attribute), 6) AS observed_frac,
        round(log10(1.0 + 1.0 / digit), 6) AS expected_frac,

@@ -154,7 +154,14 @@ def test_benford_check(spark):
     df = spark.createDataFrame(rows, "x double")
     out = benford_check(df, ["x"])
     assert out.agg(F.max("chi2_term")).collect()[0][0] < 1.0
-    # sub-1 values take their first SIGNIFICANT digit
+    # sub-1 values take their first SIGNIFICANT digit; every digit 1-9
+    # emits a row (zero-count digits carry chi2 = tot·P(d), not silence)
     df2 = spark.createDataFrame([(0.053,), (0.9,), (700.0,)], "x double")
-    digits = sorted(r["digit"] for r in benford_check(df2, ["x"]).collect())
-    assert digits == [5, 7, 9]
+    rows2 = benford_check(df2, ["x"]).collect()
+    assert len(rows2) == 9
+    assert sorted(r["digit"] for r in rows2 if r["n"] > 0) == [5, 7, 9]
+    zero = {r["digit"]: r for r in rows2 if r["n"] == 0}
+    assert sorted(zero) == [1, 2, 3, 4, 6, 8]
+    for d, r in zero.items():
+        assert r["observed_frac"] == 0.0
+        assert abs(r["chi2_term"] - 3 * math.log10(1 + 1 / d)) < 1e-6
