@@ -179,7 +179,7 @@ def embedding_near_dup_pairs(
         _norm2(F.col(vec_col)).alias("nb"),
     )
 
-    def score(pairs: DataFrame) -> Column:
+    def score() -> Column:
         return F.round(
             F.try_divide(
                 _dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
@@ -278,7 +278,7 @@ def embedding_near_dup_pairs(
         )
         # score BEFORE dedup so the distinct shuffles 3 narrow columns, not
         # the embedding vectors (same (id_a,id_b) always scores identically)
-        scored = pairs.select("id_a", "id_b", score(pairs).alias("cos_sim")).distinct()
+        scored = pairs.select("id_a", "id_b", score().alias("cos_sim")).distinct()
     return scored.where(F.col("cos_sim") >= threshold)
 
 
@@ -581,7 +581,9 @@ def quantize_embeddings(
 
     Pure array expressions (transform + array_max), scan-speed, no UDF;
     zero vectors quantize to all-zero with scale 0.  Returns the input
-    columns minus ``vec_col`` plus [qvec array<int>, scale double]."""
+    columns minus ``vec_col`` plus [qvec array<int>, scale double]
+    (``id_col`` is accepted for signature symmetry and passes through
+    untouched, like every non-vector column)."""
     qmax = float(2 ** (bits - 1) - 1)
     v = F.col(vec_col)
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))

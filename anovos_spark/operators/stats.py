@@ -408,7 +408,7 @@ def key_skew_report(
     per_key = long_df.groupBy("attribute", "value").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    return per_key.groupBy("attribute").agg(
+    rollup = per_key.groupBy("attribute").agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
         F.max("cnt").alias("max_rows"),
@@ -416,6 +416,31 @@ def key_skew_report(
         F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_ratio"),
         F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top1_share"),
     )
+    # the top_k hottest keys per attribute as a CSV string (the values a
+    # salting/AQE decision actually needs to see) — partial top-k per
+    # partition via the rank window, never a global sort
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("attribute").orderBy(
+        F.col("cnt").desc(), F.col("value").asc()
+    )
+    hot = (
+        per_key.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= int(top_k))
+        .groupBy("attribute")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__rn__", "value"))
+                    ),
+                    lambda s: s["value"],
+                ),
+            ).alias("top_keys")
+        )
+    )
+    return rollup.join(hot, "attribute", "left_outer")
 
 
 def grouped_summary(

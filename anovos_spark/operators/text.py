@@ -360,7 +360,9 @@ def pii_redact(
     input columns with `text_col` redacted plus [n_redactions].
 
     Pure regexp_replace/regexp_count expressions — scan-speed, zero
-    shuffle, no UDF.  Patterns apply in the given order (email before
+    shuffle, no UDF.  ``id_col`` is accepted for signature symmetry with
+    the rest of the text battery and passes through untouched (ALL input
+    columns are preserved).  Patterns apply in the given order (email before
     phone so digits inside an address are consumed first); counts are
     computed per pattern BEFORE its replacement so overlapping patterns
     never double-count a span already redacted."""

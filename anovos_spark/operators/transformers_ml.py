@@ -89,7 +89,9 @@ def imputation_als(
     (reference: transformers.py:2022-2257, ALS params :2186-2194).
 
     Melt observed cells to (id, attr_idx, value), fit ALS, predict the
-    missing cells, pivot back and coalesce.  Differences vs reference:
+    missing cells, pivot back and coalesce.  ``output_mode='append'``
+    keeps the original columns and adds ``{col}_imputed``; 'replace'
+    overwrites in place (the transformers.py convention).  Differences vs reference:
     a user-supplied natural ``id_col`` keys the rows (the reference builds
     a global row_number over an unpartitioned window — single-task at
     scale, SURVEY §4), and values are z-scaled per attribute before
@@ -177,12 +179,19 @@ def imputation_als(
     joined = idf.join(
         renamed, idf[id_col].cast("int") == renamed["__join_id__"], "left_outer"
     )
+    if output_mode not in ("replace", "append"):
+        raise ValueError(f"output_mode must be replace|append, got {output_mode!r}")
     exprs = []
     for c in idf.columns:
         if c in cols and f"__pred_{c}__" in joined.columns:
             mu, sd = scale[c]
             restored = F.col(f"__pred_{c}__").cast("double") * F.lit(sd) + F.lit(mu)
-            exprs.append(F.coalesce(F.col(c), restored).alias(c))
+            filled_c = F.coalesce(F.col(c), restored)
+            if output_mode == "append":
+                exprs.append(F.col(c))
+                exprs.append(filled_c.alias(f"{c}_imputed"))
+            else:
+                exprs.append(filled_c.alias(c))
         else:
             exprs.append(F.col(c))
     return joined.select(*exprs)

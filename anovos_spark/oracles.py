@@ -2125,15 +2125,25 @@ WITH pk AS (
     SELECT 'l_suppkey', l_suppkey::VARCHAR FROM lineitem
     UNION ALL
     SELECT 'l_returnflag', l_returnflag FROM lineitem)
-  GROUP BY 1, 2)
-SELECT attribute,
+  GROUP BY 1, 2),
+hot AS (
+  SELECT attribute, string_agg(value, ',' ORDER BY cnt DESC, value ASC)
+           FILTER (WHERE rn <= 3) AS top_keys
+  FROM (SELECT attribute, value, cnt,
+               row_number() OVER (PARTITION BY attribute
+                                  ORDER BY cnt DESC, value ASC) AS rn
+        FROM pk)
+  GROUP BY 1)
+SELECT p.attribute,
        count(*)::BIGINT AS n_keys,
        sum(cnt)::BIGINT AS n_rows,
        max(cnt)::BIGINT AS max_rows,
        round(avg(cnt), 6) AS avg_rows,
        round(max(cnt) / avg(cnt), 6) AS skew_ratio,
-       round(max(cnt) * 1.0 / sum(cnt), 6) AS top1_share
-FROM pk GROUP BY 1""",
+       round(max(cnt) * 1.0 / sum(cnt), 6) AS top1_share,
+       max(h.top_keys) AS top_keys
+FROM pk p JOIN hot h ON p.attribute = h.attribute
+GROUP BY 1""",
         "q14_promo_revenue": q14_sql(),
         "null_columns_detection": """
 WITH inj AS (

@@ -43,6 +43,20 @@ def test_als_imputation(spark, mdf):
     assert imputed.count() == 400
 
 
+def test_als_imputation_append_mode(spark, mdf):
+    # output_mode='append' keeps the holey original and adds a_imputed
+    # (regression: the parameter used to be accepted and ignored)
+    holey = mdf.withColumn("a", F.when(F.col("id") % 11 == 0, None).otherwise(F.col("a")))
+    n_null = holey.where(F.col("a").isNull()).count()
+    out = TML.imputation_als(holey, "id", ["a", "b", "c"], rank=4, max_iter=8,
+                             output_mode="append")
+    assert "a_imputed" in out.columns and "a" in out.columns
+    assert out.where(F.col("a").isNull()).count() == n_null  # original untouched
+    assert out.where(F.col("a_imputed").isNull()).count() == 0
+    with pytest.raises(ValueError, match="output_mode"):
+        TML.imputation_als(holey, "id", ["a"], output_mode="bogus")
+
+
 def test_regression_imputation(spark, mdf):
     holey = mdf.withColumn("a", F.when(F.col("id") % 7 == 0, None).otherwise(F.col("a")))
     imputed = TML.imputation_regression(holey, ["a", "b", "c"], sample_size=400)
