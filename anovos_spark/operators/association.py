@@ -185,7 +185,8 @@ def ig_calculation(
     total = idf.agg(
         F.avg((F.col(label_col) == F.lit(event_label)).cast("double")).alias("p")
     ).collect()[0]["p"]
-    if total in (0.0, 1.0):
+    if total is None or total in (0.0, 1.0):
+        # None: zero rows — entropy 0 lets the empty frame flow through
         total_entropy = 0.0
     else:
         import math

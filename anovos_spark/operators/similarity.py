@@ -251,7 +251,12 @@ def embedding_near_dup_pairs(
         # dots): fan the scan out so it doesn't run single-task when the
         # corpus arrives as one parquet row group
         c1, c2 = fan_out(c1), fan_out(c2)
-        dim = len(corpus.select(vec_col).first()[0])
+        first_vec = corpus.select(vec_col).first()
+        if first_vec is None or first_vec[0] is None:
+            raise ValueError(
+                "embedding_near_dup_pairs: corpus is empty (nothing to index)"
+            )
+        dim = len(first_vec[0])
         planes = {
             (t, b): _hyperplane(dim, seed, t, b)
             for t in range(n_tables)
@@ -321,7 +326,10 @@ def lsh_bucket_topk(
 
     from anovos_spark.core.utils import fan_out
 
-    dim = len(corpus.select(vec_col).first()[0])
+    first_vec = corpus.select(vec_col).first()
+    if first_vec is None or first_vec[0] is None:
+        raise ValueError("lsh_bucket_topk: corpus is empty (nothing to index)")
+    dim = len(first_vec[0])
     # (dim, tables·bits) plane matrix; column t*n_bits+b = plane (t, b)
     P = np.array(
         [_hyperplane(dim, seed, t, b) for t in range(n_tables) for b in range(n_bits)],

@@ -84,7 +84,7 @@ def missing_count(idf: DataFrame, list_of_cols="all", drop_cols=()) -> DataFrame
     for c in cols:
         wide = wide.withColumn(
             f"{c}__missing_pct",
-            F.round(F.col(f"{c}__missing_count") / F.col("__total__"), 6),
+            F.round(F.try_divide(F.col(f"{c}__missing_count"), F.col("__total__")), 6),
         )
     return _stack_wide_row(wide, cols, ["missing_count", "missing_pct"], {"missing_count": "long"})
 
@@ -103,7 +103,7 @@ def nonzero_count(idf: DataFrame, list_of_cols="all", drop_cols=()) -> DataFrame
     for c in cols:
         wide = wide.withColumn(
             f"{c}__nonzero_pct",
-            F.round(F.col(f"{c}__nonzero_count") / F.col("__total__"), 6),
+            F.round(F.try_divide(F.col(f"{c}__nonzero_count"), F.col("__total__")), 6),
         )
     return _stack_wide_row(wide, cols, ["nonzero_count", "nonzero_pct"], {"nonzero_count": "long"})
 
@@ -165,7 +165,7 @@ def measures_of_cardinality(
     for c in cols:
         wide = wide.withColumn(
             f"{c}__IDness",
-            F.round(F.col(f"{c}__unique_values") / F.col(f"{c}__nonnull"), 6),
+            F.round(F.try_divide(F.col(f"{c}__unique_values"), F.col(f"{c}__nonnull")), 6),
         )
     return _stack_wide_row(wide, cols, ["unique_values", "IDness"], {"unique_values": "long"})
 
@@ -181,14 +181,14 @@ def measures_of_counts(idf: DataFrame, list_of_cols="all", drop_cols=()) -> Data
     for c in cols:
         wide = (
             wide.withColumn(
-                f"{c}__fill_pct", F.round(F.col(f"{c}__fill_count") / F.col("__total__"), 6)
+                f"{c}__fill_pct", F.round(F.try_divide(F.col(f"{c}__fill_count"), F.col("__total__")), 6)
             )
             .withColumn(
                 f"{c}__missing_count", F.col("__total__") - F.col(f"{c}__fill_count")
             )
             .withColumn(
                 f"{c}__missing_pct",
-                F.round(1.0 - F.col(f"{c}__fill_count") / F.col("__total__"), 6),
+                F.round(1.0 - F.try_divide(F.col(f"{c}__fill_count"), F.col("__total__")), 6),
             )
         )
     return _stack_wide_row(

@@ -213,9 +213,11 @@ def ts_eligibility_check(
         else None
     )
     spark = idf.sparkSession
+    empty = agg["min_date"] is None or agg["max_date"] is None
     data = [
-        ("n_dates", float(agg["n_dates"])),
-        ("span_days", float((agg["max_date"] - agg["min_date"]).days)),
+        ("n_dates", float(agg["n_dates"] or 0)),
+        ("span_days",
+         None if empty else float((agg["max_date"] - agg["min_date"]).days)),
         ("gap_mean", g["gap_mean"]),
         ("gap_stddev", g["gap_stddev"]),
         ("gap_cov", cov),

@@ -47,6 +47,11 @@ def pca_latent_features(
     cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
     vec = VectorAssembler(inputCols=cols, outputCol="__feat__", handleInvalid="skip")
     df = vec.transform(idf)
+    if df.isEmpty():
+        raise ValueError(
+            "pca_latent_features: no rows to fit on (empty input, or every "
+            "row dropped by handleInvalid='skip')"
+        )
     feat_col = "__feat__"
     if standardize:
         scaler = StandardScaler(
@@ -147,6 +152,11 @@ def imputation_als(
     # sessions that has produced StackOverflowError during task
     # deserialization.  checkpointInterval=10 (ALS default) truncates it,
     # but only if a checkpoint dir exists.
+    if observed.isEmpty():
+        raise ValueError(
+            "imputation_als: no observed cells to factorize (empty input "
+            "or every value null)"
+        )
     sc = idf.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         sc.setCheckpointDir("/tmp/anovos_spark_checkpoints")
@@ -688,6 +698,10 @@ def autoencoder_latent_features(
     pdf = (
         idf.select(cols).dropna().sample(False, frac, seed).limit(sample_size).toPandas()
     )
+    if pdf.empty:
+        raise ValueError(
+            "autoencoder_latent_features: no complete rows to fit on"
+        )
     X = pdf.to_numpy(dtype=np.float64)
     mu, sd = X.mean(axis=0), X.std(axis=0)
     sd[sd == 0] = 1.0

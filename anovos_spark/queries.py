@@ -245,6 +245,8 @@ def q_z_standardization(spark, sf_dir):
 
     li = table(spark, sf_dir, "lineitem")
     odf, model = z_standardization(li, LINEITEM_NUM)
+    if not model:
+        raise ValueError("nothing fitted: empty or constant input")
     aggs = []
     for c in model:
         aggs.append(F.round(F.min(c), 6).alias(f"{c}__z_min"))
@@ -260,6 +262,8 @@ def q_normalization(spark, sf_dir):
 
     li = table(spark, sf_dir, "lineitem")
     odf, model = normalization(li, LINEITEM_NUM)
+    if not model:
+        raise ValueError("nothing fitted: empty or constant input")
     aggs = []
     for c in model:
         aggs.append(F.round(F.min(c), 6).alias(f"{c}__n_min"))
@@ -1343,6 +1347,8 @@ def q_data_sample(spark, sf_dir):
 
     li = table(spark, sf_dir, "lineitem")
     total = li.count()
+    if total == 0:
+        raise ValueError("empty input: sampling ratios undefined")
     s = data_sample(li, fraction=0.1, seed=12)
     strat = data_sample(
         li, strata_cols=["l_returnflag"], fraction=0.1, method_type="stratified", seed=12
@@ -1407,6 +1413,8 @@ def q_iqr_standardization(spark, sf_dir):
 
     li = table(spark, sf_dir, "lineitem")
     odf, model = iqr_standardization(li, LINEITEM_NUM, exact=_exact())
+    if not model:
+        raise ValueError("nothing fitted: empty or constant input")
     aggs = []
     for c in model:
         aggs.append(F.round(F.min(c), 6).alias(f"{c}__s_min"))
@@ -1421,6 +1429,8 @@ def q_one_hot(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     odf = one_hot_encoding(li, ["l_returnflag", "l_linestatus"])
     dummy_cols = [c for c in odf.columns if c not in li.columns]
+    if not dummy_cols:
+        raise ValueError("nothing encoded: empty or single-valued input")
     aggs = [F.sum(c).alias(c) for c in sorted(dummy_cols)]
     wide = odf.agg(*aggs)
     stack = ", ".join(f"'{c}', cast(`{c}` as long)" for c in sorted(dummy_cols))
@@ -1570,11 +1580,12 @@ def q_streaming_drift(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    cuts = list(
-        batch.agg(
-            F.expr("percentile(value, array(0.2, 0.4, 0.6, 0.8))")
-        ).collect()[0][0]
-    )
+    raw_cuts = batch.agg(
+        F.expr("percentile(value, array(0.2, 0.4, 0.6, 0.8))")
+    ).collect()[0][0]
+    if raw_cuts is None:
+        raise ValueError("empty input: no baseline distribution to fit")
+    cuts = list(raw_cuts)
     bin_expr = F.lit(1)
     for cut in cuts:
         bin_expr = bin_expr + (F.col("value") > F.lit(float(cut))).cast("int")
@@ -2148,8 +2159,9 @@ def q11_important_parts(spark, sf_dir):
         F.sum(_rev_dec()).alias("part_value_dec")
     )
     mean_v = per_part.agg(F.avg(F.col("part_value_dec").cast("double"))).collect()[0][0]
+    # empty input: mean is None; no part can beat the threshold
     return (
-        per_part.where(F.col("part_value_dec").cast("double") > 2.0 * float(mean_v))
+        per_part.where(F.col("part_value_dec").cast("double") > 2.0 * float(mean_v or 0.0))
         .select("l_partkey", F.col("part_value_dec").cast("double").alias("part_value"))
     )
 
