@@ -250,11 +250,12 @@ def feature_recommender_match_embedded(
         )
 
     if attr_emb_col and corpus_emb_col:
-        attr_emb = attr_df.select(
+        # bring-your-own embeddings may carry nulls — no geometry, excluded
+        attr_emb = attr_df.where(F.col(attr_emb_col).isNotNull()).select(
             F.col(attr_col).alias("attribute"),
             F.col(attr_emb_col).alias("embedding"),
         )
-        corpus_emb = corpus_df.select(
+        corpus_emb = corpus_df.where(F.col(corpus_emb_col).isNotNull()).select(
             "feature_name", "industry", "usecase",
             F.col(corpus_emb_col).alias("embedding"),
         )

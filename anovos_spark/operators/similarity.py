@@ -83,6 +83,9 @@ def brute_force_topk(
 
     from anovos_spark.core.utils import fan_out
 
+    # null vectors carry no geometry — excluded on both sides
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     q_rows = queries.select(id_col, vec_col).collect()
     if len(q_rows) > 10_000:
         raise ValueError(
@@ -168,6 +171,8 @@ def embedding_near_dup_pairs(
     if exact == "auto":
         exact = threshold < 0.7
 
+    # null vectors carry no geometry — excluded before either path
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     c1 = corpus.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
@@ -203,6 +208,7 @@ def embedding_near_dup_pairs(
         from anovos_spark.core.utils import fan_out
 
         rows = corpus.select(id_col, vec_col).collect()
+        rows = [r for r in rows if r[1] is not None]
         n = len(rows)
         if n > 200_000:
             raise ValueError(
@@ -326,6 +332,9 @@ def lsh_bucket_topk(
 
     from anovos_spark.core.utils import fan_out
 
+    # null vectors carry no geometry — excluded before sketching
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     first_vec = corpus.select(vec_col).first()
     if first_vec is None or first_vec[0] is None:
         raise ValueError("lsh_bucket_topk: corpus is empty (nothing to index)")
@@ -417,6 +426,9 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
+    # null vectors carry no geometry — excluded (KMeans.fit dies on them)
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     corp = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -488,6 +500,8 @@ def ivf_build_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # null vectors carry no geometry — excluded (KMeans.fit dies on them)
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     corp = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
