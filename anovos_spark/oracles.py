@@ -2035,10 +2035,10 @@ fullg AS (
 SELECT source, CAST(bin AS INT) AS bin, round(avg(d), 6) AS avg_density
 FROM fullg GROUP BY 1, 2""",
         "data_sample": """
-SELECT 'overall:random' AS stratum, 0.1 AS ratio
-UNION ALL SELECT 'overall:stratified', 0.1
+SELECT 'overall:random' AS stratum, 1.0 AS ratio
+UNION ALL SELECT 'overall:stratified', 1.0
 UNION ALL
-SELECT 'stratum:' || l_returnflag, 0.1 FROM lineitem GROUP BY l_returnflag
+SELECT 'stratum:' || l_returnflag, 1.0 FROM lineitem GROUP BY l_returnflag
 UNION ALL
 SELECT 'balanced:' || l_returnflag, 1.0 FROM lineitem GROUP BY l_returnflag""",
         "comparative_drift_frame": """

@@ -1336,26 +1336,31 @@ def q_comparative_drift_frame(spark, sf_dir):
 
 def q_data_sample(spark, sf_dir):
     """Statistical oracle: Spark's Bernoulli sampler isn't bit-reproducible
-    in DuckDB, but the realized sampling ratio rounded to 2 decimals IS
-    deterministic in practice — at 60k rows the ratio's σ ≈ 0.0012, so the
-    0.005 rounding boundary sits 4σ out, per stratum and overall.  This
-    catches a wrong fraction or broken stratification, which is what the
-    operator promises.  Valid for sf ≥ 0.01 ONLY: at sf0.001 (600 rows)
-    σ ≈ 0.012 swallows the rounding band and the comparison is noise —
-    the driver's gate runs at sf0.01, where the band holds."""
+    in DuckDB, so every check is a 5σ binomial indicator band around the
+    requested fraction — |realized − 0.1| ≤ 5·sqrt(0.1·0.9/n) per stratum
+    and overall.  Deterministic-in-practice at EVERY scale factor (the
+    former 2-decimal rounding band collapsed below σ at sf0.001) and
+    robust to partition-seeded sampling; catches a wrong fraction or
+    broken stratification, which is what the operator promises."""
     from anovos_spark.operators.ingest import data_sample
 
     li = table(spark, sf_dir, "lineitem")
     total = li.count()
     if total == 0:
         raise ValueError("empty input: sampling ratios undefined")
+
+    def _band(n):
+        return 5.0 * (0.1 * 0.9 / float(n)) ** 0.5
+
     s = data_sample(li, fraction=0.1, seed=12)
     strat = data_sample(
         li, strata_cols=["l_returnflag"], fraction=0.1, method_type="stratified", seed=12
     )
     overall = spark.createDataFrame(
-        [("overall:random", round(s.count() / total, 2)),
-         ("overall:stratified", round(strat.count() / total, 2))],
+        [("overall:random",
+          float(abs(s.count() / total - 0.1) <= _band(total))),
+         ("overall:stratified",
+          float(abs(strat.count() / total - 0.1) <= _band(total)))],
         schema="stratum string, ratio double",
     )
     per_stratum = (
@@ -1366,7 +1371,10 @@ def q_data_sample(spark, sf_dir):
         )
         .select(
             F.concat(F.lit("stratum:"), F.col("l_returnflag")).alias("stratum"),
-            F.round(F.col("n") / F.col("nt"), 2).alias("ratio"),
+            (
+                F.abs(F.col("n") / F.col("nt") - 0.1)
+                <= 5.0 * F.sqrt(F.lit(0.09) / F.col("nt"))
+            ).cast("double").alias("ratio"),
         )
     )
     # balanced mode: every stratum's sample ≈ fraction × |smallest stratum|.
