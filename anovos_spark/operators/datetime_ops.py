@@ -533,8 +533,12 @@ def cusum_changepoints(
         "value",
         F.round(s_pos, 6).alias("cusum_pos"),
         F.round(s_neg, 6).alias("cusum_neg"),
+        # flag on the ROUNDED statistic (the one reported): the raw
+        # running sum carries ~1e-12 float-association noise, and a value
+        # sitting exactly on the threshold would flip with it
         (
-            (s_pos > F.lit(float(threshold))) | (s_neg > F.lit(float(threshold)))
+            (F.round(s_pos, 6) > F.lit(float(threshold)))
+            | (F.round(s_neg, 6) > F.lit(float(threshold)))
         ).cast("int").alias("flagged"),
     )
 

@@ -274,8 +274,11 @@ def sessionize(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col))
-    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
-        F.lag(ts_col, 1).over(w)
+    # cast-to-double keeps fractional seconds: unix_timestamp TRUNCATES,
+    # which shifted 1799.x-second gaps to 1800 and opened phantom sessions
+    # (caught by the sf0.1 cross-scale differential vs session_window)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col), 1).over(w).cast(
+        "double"
     )
     opens = F.when(gap.isNull() | (gap >= gap_seconds), 1).otherwise(0)
     tagged = idf.select(

@@ -704,10 +704,15 @@ SELECT pred_lang, count(*)::BIGINT AS n_docs FROM p GROUP BY 1"""
 
 def exact_dedup_sql() -> str:
     # the query doubles the corpus (union with itself): every fingerprint
-    # group has exactly its in-corpus multiplicity × 2 members
+    # group has 2× its in-corpus multiplicity.  GROUP BY, don't assume
+    # multiplicity 1 — sf0.1's synthetic corpus DOES contain docs that
+    # collide after normalization (caught by the sf0.1 cross-scale sweep)
     return f"""
-SELECT md5({_NORM}) AS fingerprint, 2::BIGINT AS n_docs, doc_id AS keep_id
-FROM documents"""
+SELECT md5({_NORM}) AS fingerprint,
+       2 * count(*) AS n_docs,
+       min(doc_id) AS keep_id
+FROM documents
+GROUP BY 1"""
 
 
 # word 3-gram shingles over the normalized text (n = normalized column)
