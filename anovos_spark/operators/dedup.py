@@ -53,16 +53,34 @@ def _shingles(col: Column, n: int, mode: str = "word") -> Column:
     mode='word' (default): token n-grams — the standard for document-level
     dedup; document frequencies stay low even on boilerplate-heavy corpora,
     which is what keeps prefix filtering and LSH candidate counts bounded.
-    mode='char': character n-grams (finer, for short strings)."""
+    mode='char': character n-grams (finer, for short strings).
+
+    Built from n−1 zip_with joins of SHIFTED arrays, not a per-position
+    lambda: expressions inside a higher-order lambda re-evaluate per
+    element, so substr(i)/slice(toks, i) re-normalized or re-split the
+    whole document once per position — O(len²), a hang on 100k-token
+    docs (adversarial-text probe).  Documents shorter than n grams keep
+    the historical semantics: ONE shingle = the whole (truncated)
+    document — zip_with pads the short side with null, and the lambda
+    falls back to the accumulated prefix."""
     s = _norm(col)
     if mode == "char":
-        idxs = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1)))
-        return F.array_distinct(F.transform(idxs, lambda i: s.substr(i, F.lit(n))))
-    toks = F.split(s, " ")
-    idxs = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
-    return F.array_distinct(
-        F.transform(idxs, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+        units, sep = F.split(s, ""), None
+        m = F.greatest(F.length(s) - n + 1, F.lit(1))
+    else:
+        units, sep = F.split(s, " "), " "
+        m = F.greatest(F.size(units) - n + 1, F.lit(1))
+    grams = F.slice(units, 1, m)
+    for j in range(1, n):
+        nxt = F.slice(units, F.lit(1 + j), m)
+        if sep is None:
+            join = lambda a, b: F.when(b.isNull(), a).otherwise(F.concat(a, b))
+        else:
+            join = lambda a, b: F.when(b.isNull(), a).otherwise(
+                F.concat(a, F.lit(sep), b)
+            )
+        grams = F.zip_with(grams, nxt, join)
+    return F.array_distinct(grams)
 
 
 def exact_dedup(

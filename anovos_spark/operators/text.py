@@ -327,16 +327,28 @@ def word_ngrams(col: Column, n: int, distinct: bool = False) -> Column:
     expression (no UDF).  Documents with fewer than n tokens yield an
     EMPTY array — important cross-engine detail: a naive
     sequence(1, size-n+1) goes DESCENDING in Spark when size < n and
-    would fabricate grams, while SQL range() is simply empty."""
+    would fabricate grams, while SQL range() is simply empty.
+
+    Built from n−1 zip_with joins of SHIFTED token arrays, NOT a
+    per-position slice lambda: expressions inside a higher-order lambda
+    re-evaluate per element, so the old transform(sequence, i →
+    slice(toks, i, n)) re-split the document once per token — O(tokens²)
+    work that hung on a 100k-token document (caught by the
+    adversarial-text probe).  The shifted-zip form re-evaluates the
+    split n times total: linear."""
     s = F.regexp_replace(F.lower(F.trim(col)), _WS, " ")
     toks = F.split(s, " ")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(toks) - n + 1, F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
     return F.array_distinct(grams) if distinct else grams
 
 
