@@ -594,13 +594,22 @@ def benford_check(
     tot = F.sum("n").over(Window.partitionBy("attribute"))
     expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
     obs = F.col("n") / tot
-    return counts.select(
-        "attribute",
-        "digit",
-        "n",
-        F.round(obs, 6).alias("observed_frac"),
-        F.round(expected, 6).alias("expected_frac"),
-        F.round(tot * (obs - expected) * (obs - expected) / expected, 6).alias(
-            "chi2_term"
-        ),
+    return (
+        counts.select(
+            "attribute",
+            "digit",
+            "n",
+            F.round(obs, 6).alias("observed_frac"),
+            F.round(expected, 6).alias("expected_frac"),
+            F.round(
+                tot * (obs - expected) * (obs - expected) / expected, 6
+            ).alias("chi2_term"),
+            tot.alias("__tot__"),
+        )
+        # an attribute whose values are ALL null/zero has no leading
+        # digits at all — emitting 9 rows of 0/0-null statistics would
+        # make downstream chi2 sums silently treat the nulls as 0, so
+        # such attributes are absent entirely (pre-grid behavior)
+        .where(F.col("__tot__") > 0)
+        .drop("__tot__")
     )

@@ -928,22 +928,28 @@ def spatial_join(
             .where(contained)
             .drop("__la__", "__lo__")
         )
-    # left: matched pairs + anti-join for points with no containing polygon.
-    # __pid__ is deterministic here (narrow transforms over a deterministic
-    # source), so the two branches below see the same ids.
-    pts_id = pts.withColumn("__pid__", F.monotonically_increasing_id())
+    # left: matched pairs + anti-join of the points against the matched
+    # point VALUES with null-safe equality — same pattern as
+    # temporal.range_join how='left'.  No synthetic row id: a
+    # monotonically_increasing_id referenced from two plan subtrees is only
+    # stable when the upstream plan is deterministic, and the caller's
+    # `points` may contain a shuffle/sample stage.  EqualNullSafe keys
+    # still plan as a hash equi-join, and left_anti preserves the
+    # multiplicity of duplicate unmatched point rows.
     matched = (
-        pts_id.join(polys, on=["__la__", "__lo__"], how="inner")
+        pts.join(polys, on=["__la__", "__lo__"], how="inner")
         .where(contained)
+        .drop("__la__", "__lo__")
     )
-    unmatched = pts_id.join(
-        matched.select("__pid__").distinct(), on="__pid__", how="left_anti"
-    )
+    m_pts = matched.select(*points.columns).distinct().alias("__m__")
+    p_al = points.alias("__p__")
+    anti_cond = None
+    for col in points.columns:
+        eq = F.col(f"__p__.{col}").eqNullSafe(F.col(f"__m__.{col}"))
+        anti_cond = eq if anti_cond is None else anti_cond & eq
+    unmatched = p_al.join(m_pts, on=anti_cond, how="left_anti")
     for fld in polygons.schema.fields:
         unmatched = unmatched.withColumn(
             fld.name, F.lit(None).cast(fld.dataType)
         )
-    out_cols = [
-        col for col in matched.columns if col not in ("__la__", "__lo__", "__pid__")
-    ]
-    return matched.select(*out_cols).unionByName(unmatched.select(*out_cols))
+    return matched.unionByName(unmatched.select(*matched.columns))

@@ -273,13 +273,15 @@ def sessionize(
     no iteration, no state."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col))
-    # cast-to-double keeps fractional seconds: unix_timestamp TRUNCATES,
-    # which shifted 1799.x-second gaps to 1800 and opened phantom sessions
-    # (caught by the sf0.1 cross-scale differential vs session_window)
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col), 1).over(w).cast(
-        "double"
-    )
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).cast("timestamp"))
+    # timestamp-then-double keeps fractional seconds: unix_timestamp
+    # TRUNCATES, which shifted 1799.x-second gaps to 1800 and opened
+    # phantom sessions (caught by the sf0.1 cross-scale differential vs
+    # session_window).  The intermediate cast('timestamp') keeps string /
+    # date ts columns working — a bare cast('double') on those yields
+    # null gaps and a silent session-per-event.
+    ts_sec = F.col(ts_col).cast("timestamp").cast("double")
+    gap = ts_sec - F.lag(ts_sec, 1).over(w)
     opens = F.when(gap.isNull() | (gap >= gap_seconds), 1).otherwise(0)
     tagged = idf.select(
         F.col(user_col),

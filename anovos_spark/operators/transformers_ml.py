@@ -244,7 +244,7 @@ def imputation_knn(
 
     def score(batches):
         ref_, ref_z_, mu_, sd_ = b_ref.value
-        kk = min(k, len(ref_) - 1)
+        kk = min(k, len(ref_))
         for pdf in batches:
             X = pdf[cols].to_numpy(dtype="float64")
             nan_mask = np.isnan(X)
@@ -275,8 +275,19 @@ def imputation_knn(
                         chunk = rows[start : start + 128]
                         A = Xz[chunk][:, obs]
                         d = (A * A).sum(axis=1)[:, None] + r_sq[None, :] - 2.0 * (A @ R.T)
-                        nn = np.argpartition(d, kk, axis=1)[:, :kk]
-                        fill = ref_[nn][:, :, mask].mean(axis=1)
+                        # tie policy: average over ALL refs tied at the
+                        # k-th distance boundary (d <= k-th smallest), not
+                        # an arbitrary argpartition pick — duplicate (obs)
+                        # tuples in the fit sample otherwise make the fill
+                        # depend on partition order.  Mirrors the DuckDB
+                        # oracle's rank()<=k selection exactly.
+                        if kk < d.shape[1]:
+                            dk = np.partition(d, kk - 1, axis=1)[:, kk - 1 : kk]
+                            sel = d <= dk
+                        else:
+                            sel = np.ones_like(d, dtype=bool)
+                        cnt = sel.sum(axis=1, keepdims=True).astype("float64")
+                        fill = (sel.astype("float64") @ ref_[:, mask]) / cnt
                         X[np.ix_(chunk, np.where(mask)[0])] = fill
                 for c, i in col_idx.items():
                     pdf[c] = X[:, i]

@@ -1910,9 +1910,13 @@ cand AS (
          power((n.e - r.e) / m.sd_e, 2) + power((n.d - r.d) / m.sd_d, 2) AS d2
   FROM nulls n, ref r, mom m),
 ranked AS (
+  -- rank() (not row_number) so ALL refs tied at the k=5 distance
+  -- boundary enter the average: rank<=5 ≡ d2 <= 5th-smallest d2, the
+  -- same deterministic tie policy the numpy operator applies — a
+  -- row_number pick at a tied boundary was engine-order-dependent
   SELECT l_orderkey, l_linenumber, e, d, n_rows, rq,
-         row_number() OVER (PARTITION BY l_orderkey, l_linenumber, e, d
-                            ORDER BY d2 ASC) AS rn
+         rank() OVER (PARTITION BY l_orderkey, l_linenumber, e, d
+                      ORDER BY d2 ASC) AS rn
   FROM cand)
 SELECT l_orderkey, l_linenumber, e, d, max(n_rows) AS n_rows,
        round(avg(rq), 6) AS q_filled

@@ -165,3 +165,24 @@ def test_benford_check(spark):
     for d, r in zero.items():
         assert r["observed_frac"] == 0.0
         assert abs(r["chi2_term"] - 3 * math.log10(1 + 1 / d)) < 1e-6
+
+
+def test_benford_check_all_null_attribute_absent(spark):
+    # regression (r5): an attribute whose values are ALL null/zero must be
+    # absent entirely — not emit 9 rows of 0/0-null statistics that
+    # downstream chi2 sums would silently treat as 0
+    from pyspark.sql import functions as F
+
+    from anovos_spark.operators.datetime_ops import benford_check
+
+    df = spark.createDataFrame(
+        [(123.0, None, 0.0), (456.0, None, 0.0)],
+        "good double, allnull double, allzero double",
+    )
+    out = benford_check(df, ["good", "allnull", "allzero"])
+    attrs = sorted(r["attribute"] for r in out.select("attribute").distinct().collect())
+    assert attrs == ["good"]
+    # and no null statistic cells anywhere
+    assert out.where(
+        F.col("observed_frac").isNull() | F.col("chi2_term").isNull()
+    ).count() == 0

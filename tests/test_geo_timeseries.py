@@ -386,3 +386,32 @@ def test_spatial_join_left(spark):
     )
     # matched pairs as in inner, PLUS points 2 and 3 with null polygon cols
     assert got == [(1, 100), (2, None), (3, None), (4, 100), (5, 200)]
+
+
+def test_spatial_join_left_nondeterministic_upstream(spark):
+    # regression (r5): the 'left' path used monotonically_increasing_id
+    # referenced from two plan subtrees — under a non-deterministic
+    # upstream (sample/shuffle) the ids could diverge, duplicating or
+    # dropping points.  Now a null-safe value anti-join (range_join's
+    # pattern): duplicates keep multiplicity, null payloads match
+    # themselves, totals are exact even over a shuffled/sampled input.
+    from pyspark.sql import functions as F
+
+    from anovos_spark.operators.geospatial import spatial_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (1, 0.0, 0.0),          # duplicate matched row
+         (2, 30.0, 30.0), (2, 30.0, 30.0),      # duplicate unmatched row
+         (None, 9.0, 9.0)],                     # null payload, unmatched
+        "pid int, lat double, lon double",
+    ).repartition(5).sample(False, 1.0, seed=7)  # non-deterministic-shaped plan
+    polys = spark.createDataFrame(
+        [(100, [(10.0, 0.0), (0.0, 10.0), (-10.0, 0.0), (0.0, -10.0)])],
+        "poly_id int, vertices array<struct<lat:double,lon:double>>",
+    )
+    out = spatial_join(pts, polys, "lat", "lon", how="left")
+    got = sorted(
+        ((r["pid"] if r["pid"] is not None else -1), r["poly_id"])
+        for r in out.collect()
+    )
+    assert got == [(-1, None), (1, 100), (1, 100), (2, None), (2, None)]

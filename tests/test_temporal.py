@@ -401,3 +401,30 @@ def test_merge_intervals_and_coverage(spark):
         "k = 'k'"
     )
     assert bridged.count() == 1
+
+
+def test_batch_sessionize_string_and_date_ts(spark):
+    # regression (r5): gap must go through cast('timestamp') first — a
+    # bare cast('double') on a STRING ts yields null gaps and silently
+    # opens a session per event
+    from anovos_spark.operators.temporal import sessionize
+
+    rows = [
+        ("u1", "2024-01-01 09:00:00"),
+        ("u1", "2024-01-01 09:20:00"),   # same session
+        ("u1", "2024-01-01 09:50:00"),   # >= 30 min -> new session
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sessionize(df, "ts", "user_id", gap_seconds=1800).collect()
+    assert sorted(r["n_events"] for r in out) == [1, 2]
+
+    import datetime as dt
+
+    ddf = spark.createDataFrame(
+        [("u1", dt.date(2024, 1, 1)), ("u1", dt.date(2024, 1, 1)),
+         ("u1", dt.date(2024, 1, 3))],
+        "user_id string, ts date",
+    )
+    out2 = sessionize(ddf, "ts", "user_id", gap_seconds=86400).collect()
+    # two same-day events merge; the +2d event opens a new session
+    assert sorted(r["n_events"] for r in out2) == [1, 2]

@@ -132,3 +132,20 @@ def test_autoencoder_latent_features(spark):
         df, reduction_params=2, sample_size=800, epochs=60, batch_size=128, seed=1
     )
     assert model2["train_mse"] == model["train_mse"]
+
+
+def test_knn_imputation_boundary_tie_averages(spark):
+    # regression (r5): refs tied at the k-th distance boundary must ALL
+    # enter the fill average (deterministic), not an arbitrary
+    # argpartition pick.  Three refs equidistant from the probe with
+    # k=2: fill = mean of all three tied q values.
+    rows = [
+        (1, 10.0, 1.0),    # ref q=10 at b=1
+        (2, 20.0, 1.0),    # ref q=20 at b=1 (tied distance to probe)
+        (3, 60.0, 1.0),    # ref q=60 at b=1 (tied distance to probe)
+        (4, None, 1.0),    # probe: all three refs at distance 0
+    ]
+    df = spark.createDataFrame(rows, "id int, q double, b double")
+    out = TML.imputation_knn(df, ["q", "b"], k=2, sample_size=100)
+    got = out.where(F.col("id") == 4).collect()[0]["q"]
+    assert abs(got - 30.0) < 1e-9

@@ -27,10 +27,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events",
-]
+# Dimensions stay fixed (TPC-H dims grow sub-linearly with SF anyway);
+# fact tables (orders/lineitem/events) are replicated 10x with remapped
+# keys and deterministic value jitter so group cardinalities really grow.
+DIM_TABLES = ["region", "nation", "customer", "supplier", "part"]
+FACT_SHIFT = 10_000_000  # key-space stride per replica
 
 
 def main():
@@ -125,12 +126,99 @@ def main():
         f"{out_dir}/embeddings.parquet"
     )
 
-    for t in TABLES:
+    # --- fact tables: real 10x replication with remapped keys ------------
+    def jitter(*cols, span=2001, scale=1.0):
+        """Deterministic value in [-scale, +scale] from a hash of cols+rep."""
+        return (
+            F.pmod(F.xxhash64(*cols, F.col("rep")), F.lit(span)).cast("double")
+            / ((span - 1) / 2.0)
+            - 1.0
+        ) * F.lit(scale)
+
+    orders = spark.read.parquet(f"{SRC}/orders.parquet").crossJoin(reps)
+    out_orders = orders.select(
+        (F.col("o_orderkey") + F.col("rep").cast("long") * FACT_SHIFT).alias(
+            "o_orderkey"
+        ),
+        "o_custkey",
+        "o_orderstatus",
+        F.round(
+            F.col("o_totalprice")
+            * (1.0 + jitter(F.col("o_orderkey"), scale=0.05)),
+            2,
+        ).alias("o_totalprice"),
+        F.timestamp_add("DAY", F.col("rep"), F.col("o_orderdate")).alias(
+            "o_orderdate"
+        ),
+        "o_orderpriority",
+    )
+    out_orders.repartition(16).write.mode("overwrite").parquet(
+        f"{out_dir}/orders.parquet"
+    )
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet").crossJoin(reps)
+    out_li = li.select(
+        (F.col("l_orderkey") + F.col("rep").cast("long") * FACT_SHIFT).alias(
+            "l_orderkey"
+        ),
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        # keep quantity integral (1..50-ish) but vary it across replicas
+        F.greatest(
+            F.lit(1.0),
+            F.round(
+                F.col("l_quantity")
+                + F.pmod(
+                    F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber"),
+                               F.col("rep")),
+                    F.lit(7),
+                ).cast("double")
+                - 3.0,
+                0,
+            ),
+        ).alias("l_quantity"),
+        F.round(
+            F.col("l_extendedprice")
+            * (1.0 + jitter(F.col("l_orderkey"), F.col("l_linenumber"),
+                            scale=0.05)),
+            2,
+        ).alias("l_extendedprice"),
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        F.timestamp_add("DAY", F.col("rep"), F.col("l_shipdate")).alias(
+            "l_shipdate"
+        ),
+    )
+    out_li.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet").crossJoin(reps)
+    out_ev = ev.select(
+        (F.col("event_id") + F.col("rep").cast("long") * FACT_SHIFT).alias(
+            "event_id"
+        ),
+        F.timestamp_add("SECOND", F.col("rep") * 17, F.col("ts")).alias("ts"),
+        "user_id",
+        "event_type",
+        F.round(
+            F.col("value") * (1.0 + jitter(F.col("event_id"), scale=0.1)), 4
+        ).alias("value"),
+        "props",
+    )
+    out_ev.repartition(8).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
+    )
+
+    for t in DIM_TABLES:
         link = f"{out_dir}/{t}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{SRC}/{t}.parquet", link)
 
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "orders", "lineitem", "events"):
         n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
         print(f"{t}: {n} rows")
     spark.stop()
