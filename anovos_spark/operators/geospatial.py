@@ -758,8 +758,9 @@ def geo_density_clusters(
     eps_km: float = 50.0,
     min_samples: int = 5,
     cluster_col: str = "cluster",
+    dense_cell_limit: int = 5_000_000,
 ) -> tuple[DataFrame, DataFrame]:
-    """DBSCAN-style grid density clustering, distributed
+    """DBSCAN-style grid density clustering, distributed end-to-end
     (reference: geospatial_analyzer.py:390-850 runs sklearn DBSCAN on a
     driver-side pandas sample — that caps it at the sample; this variant
     scales to the full frame).
@@ -767,15 +768,24 @@ def geo_density_clusters(
     Algorithm: snap points to an eps-sized grid (equirectangular degrees,
     documented approximation), count per cell in ONE groupBy; dense cells
     (count ≥ min_samples) form a graph with their 8-neighbors; connected
-    components run driver-side over the DENSE-CELL graph ONLY (bounded by
-    occupied DENSE area — sparse cells, whose count approaches N at fine
-    eps on a 100 TB table, never touch the driver).  Border handling
-    (DBSCAN semantics: sparse-cell points adjacent to a dense cell join
-    that cluster, min label for determinism) happens distributed: the
-    dense label frame explodes into its 3×3 neighbor halo and points
-    broadcast-equi-join it — adjacent dense cells share a component
-    label by construction, so min-over-halo never relabels a dense cell.
-    Points with no dense neighbor get cluster −1 (noise).
+    components over the DENSE-CELL graph (sparse cells, whose count
+    approaches N at fine eps on a 100 TB table, never enter the
+    component step).  Below ``dense_cell_limit`` dense cells the
+    components run driver-side (union-find, one collect of the bounded
+    dense set); above it they run FULLY DISTRIBUTED through
+    dedup.near_dup_components min-label propagation — the 8-neighbor
+    adjacency is an equi-join on packed cell coordinates, so a uniformly
+    dense planet at fine eps no longer has a driver bottleneck.  Both
+    paths label components identically: representative = min (cx, cy)
+    cell, cluster id = rank of the representative in sorted order.
+
+    Border handling (DBSCAN semantics: sparse-cell points adjacent to a
+    dense cell join that cluster, min label for determinism) happens
+    distributed: the dense label frame explodes into its 3×3 neighbor
+    halo and points equi-join it (broadcast on the driver path, plain
+    hash join on the distributed path) — adjacent dense cells share a
+    component label by construction, so min-over-halo never relabels a
+    dense cell.  Points with no dense neighbor get cluster −1 (noise).
 
     Returns (points with cluster_col, stats [cluster, n_points]).
     """
@@ -786,37 +796,48 @@ def geo_density_clusters(
         "__cx__", cx
     ).withColumn("__cy__", cy)
     cells = pts.groupBy("__cx__", "__cy__").agg(F.count(F.lit(1)).alias("n"))
-    # ONLY dense cells reach the driver (union-find needs the graph);
-    # the sparse-cell set stays distributed
-    dense = [
-        (r["__cx__"], r["__cy__"])
-        for r in cells.where(F.col("n") >= int(min_samples)).collect()
-    ]
-    # union-find over dense cells (driver-side; |dense| ≪ N)
-    parent = {c: c for c in dense}
-
-    def find(c):
-        while parent[c] != c:
-            parent[c] = parent[parent[c]]
-            c = parent[c]
-        return c
-
-    dense_set = set(dense)
-    for (x, y) in dense:
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                nb = (x + dx, y + dy)
-                if nb != (x, y) and nb in dense_set:
-                    ra, rb = find((x, y)), find(nb)
-                    if ra != rb:
-                        parent[rb] = ra
-    roots = sorted({find(c) for c in dense})
-    root_id = {r: i for i, r in enumerate(roots)}
-    labels = [(x, y, root_id[find((x, y))]) for (x, y) in dense]
-    spark = idf.sparkSession
-    label_df = spark.createDataFrame(
-        labels, schema="__cx__ long, __cy__ long, __lbl__ int"
+    dense_df = cells.where(F.col("n") >= int(min_samples)).select(
+        "__cx__", "__cy__"
     )
+    n_dense = dense_df.count()
+    spark = idf.sparkSession
+    small = n_dense <= int(dense_cell_limit)
+    if small:
+        # union-find over dense cells (driver-side; |dense| bounded by
+        # dense_cell_limit — the distributed branch takes over beyond it)
+        dense = [(r["__cx__"], r["__cy__"]) for r in dense_df.collect()]
+        parent = {c: c for c in dense}
+
+        def find(c):
+            while parent[c] != c:
+                parent[c] = parent[parent[c]]
+                c = parent[c]
+            return c
+
+        dense_set = set(dense)
+        for (x, y) in dense:
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = (x + dx, y + dy)
+                    if nb != (x, y) and nb in dense_set:
+                        ra, rb = find((x, y)), find(nb)
+                        if ra != rb:
+                            parent[rb] = ra
+        # representative = MIN cell of each component (matches the
+        # distributed min-label path bit-for-bit), cluster id = rank of
+        # the representative in sorted (cx, cy) order
+        min_of_root: dict = {}
+        for c in dense:
+            r = find(c)
+            if r not in min_of_root or c < min_of_root[r]:
+                min_of_root[r] = c
+        root_id = {m: i for i, m in enumerate(sorted(min_of_root.values()))}
+        labels = [(x, y, root_id[min_of_root[find((x, y))]]) for (x, y) in dense]
+        label_df = spark.createDataFrame(
+            labels, schema="__cx__ long, __cy__ long, __lbl__ int"
+        )
+    else:
+        label_df = _dense_labels_distributed(dense_df)
     # distributed border labeling: explode each dense cell's label into
     # its 9-cell halo, min per cell (9·|dense| rows, broadcastable
     # whenever the union-find itself was feasible)
@@ -837,13 +858,73 @@ def geo_density_clusters(
         .groupBy("__cx__", "__cy__")
         .agg(F.min("__lbl__").alias("__lbl__"))
     )
+    halo_side = F.broadcast(halo) if small else halo
     odf = (
-        pts.join(F.broadcast(halo), ["__cx__", "__cy__"], "left_outer")
+        pts.join(halo_side, ["__cx__", "__cy__"], "left_outer")
         .withColumn(cluster_col, F.coalesce(F.col("__lbl__"), F.lit(-1)))
         .drop("__cx__", "__cy__", "__lbl__")
     )
     stats = odf.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("n_points"))
     return odf, stats
+
+
+def _dense_labels_distributed(dense_df: DataFrame) -> DataFrame:
+    """Distributed connected components over the dense-cell 8-neighbor
+    graph → [__cx__, __cy__, __lbl__] with cluster ids 0..k−1 ranked by
+    each component's minimum (cx, cy) cell — identical labeling to the
+    driver union-find path.
+
+    Cell coords pack into one long — (cx+2³⁰)·2³¹ + (cy+2³⁰) — whose
+    numeric order IS the (cx, cy) lexicographic order, so
+    dedup.near_dup_components' min-label propagation directly yields the
+    min-cell representative.  Adjacency is an equi-join of the 8-neighbor
+    halo against the dense set (no cartesian); isolated dense cells
+    (no dense neighbor) keep themselves as representative.  The final
+    0..k−1 renumbering is a rank window over the DISTINCT-ROOTS frame
+    only — bounded by the number of clusters, not cells."""
+    from pyspark.sql.window import Window
+
+    from anovos_spark.operators.dedup import near_dup_components
+
+    OFF = 1 << 30
+    MUL = 1 << 31
+    packed = (
+        (F.col("__cx__") + F.lit(OFF)) * F.lit(MUL)
+        + (F.col("__cy__") + F.lit(OFF))
+    ).alias("cell")
+    d = dense_df.select("__cx__", "__cy__", packed)
+    nbr_offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    ])
+    probes = d.select(
+        F.col("cell").alias("id_a"),
+        F.explode(nbr_offsets).alias("__o__"),
+        "__cx__", "__cy__",
+    ).select(
+        "id_a",
+        (F.col("__cx__") + F.col("__o__.dx")).alias("__cx__"),
+        (F.col("__cy__") + F.col("__o__.dy")).alias("__cy__"),
+    )
+    edges = probes.join(
+        d.select("__cx__", "__cy__", F.col("cell").alias("id_b")),
+        ["__cx__", "__cy__"],
+    ).select("id_a", "id_b")
+    comp = near_dup_components(edges, "id_a", "id_b")
+    labeled = d.join(
+        comp.withColumnRenamed("id", "cell"), "cell", "left_outer"
+    ).select(
+        "__cx__", "__cy__",
+        F.coalesce("component", F.col("cell")).alias("root"),
+    )
+    roots = labeled.select("root").distinct()
+    rank_w = Window.orderBy("root")
+    root_ids = roots.select(
+        "root", (F.row_number().over(rank_w) - 1).cast("int").alias("__lbl__")
+    )
+    return labeled.join(root_ids, "root").select("__cx__", "__cy__", "__lbl__")
 
 
 def point_in_polygon_col(

@@ -415,3 +415,45 @@ def test_spatial_join_left_nondeterministic_upstream(spark):
         for r in out.collect()
     )
     assert got == [(-1, None), (1, 100), (1, 100), (2, None), (2, None)]
+
+
+def test_geo_density_clusters_distributed_matches_driver(spark):
+    # r5: above dense_cell_limit the components run through the
+    # distributed near_dup_components min-label path; both paths use
+    # min-(cx,cy) representatives ranked in sorted order, so labels must
+    # match EXACTLY — including interleaved components (a shape where an
+    # arbitrary-representative ordering would permute the ids) and an
+    # isolated dense cell
+    import random
+
+    import anovos_spark.operators.geospatial as GEO
+
+    rng = random.Random(5)
+    pts = []
+    # component A: an L of cells spanning cx 0..6 around lat 10
+    for cxi in range(7):
+        for _ in range(6):
+            pts.append((10.0 + rng.random() * 0.2, cxi * 0.3 + rng.random() * 0.2))
+    # component B: interleaved in lon range but lower lat (sorts between
+    # A's min and max in (cx, cy) space)
+    for _ in range(8):
+        pts.append((2.0 + rng.random() * 0.2, 1.0 + rng.random() * 0.2))
+    # component C: isolated single dense cell far away
+    for _ in range(6):
+        pts.append((-40.0 + rng.random() * 0.1, -100.0 + rng.random() * 0.1))
+    # noise points (sparse, some adjacent to dense cells)
+    for i in range(10):
+        pts.append((60.0 + i * 3.0, 120.0 + i * 3.0))
+    df = spark.createDataFrame(pts, "lat double, lon double")
+
+    kw = dict(eps_km=30.0, min_samples=5)
+    odf_drv, _ = GEO.geo_density_clusters(df, "lat", "lon", **kw)
+    odf_dst, _ = GEO.geo_density_clusters(
+        df, "lat", "lon", dense_cell_limit=0, **kw
+    )
+    key = lambda r: (r["lat"], r["lon"])
+    drv = {key(r): r["cluster"] for r in odf_drv.collect()}
+    dst = {key(r): r["cluster"] for r in odf_dst.collect()}
+    assert drv == dst
+    assert len({v for v in drv.values() if v >= 0}) >= 3  # ≥3 real clusters
+    assert -1 in drv.values()                             # noise preserved
