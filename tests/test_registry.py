@@ -39,3 +39,29 @@ def test_oracle_sql_is_nonempty_ansi():
     mod = _entry_module()
     for name, sql in mod.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_registry_names_are_stable():
+    """Registry names are the driver's correctness-sampling key: renaming
+    a query resets its cumulative driver-verified coverage.  New names
+    may be ADDED (append them to registry_names_pinned.txt in the same
+    commit); existing names must never change or disappear (r5 pin,
+    per VERDICT r4 #7)."""
+    import os
+
+    from anovos_spark import queries
+
+    pin_path = os.path.join(os.path.dirname(__file__), "registry_names_pinned.txt")
+    with open(pin_path) as f:
+        pinned = {l.strip() for l in f if l.strip()}
+    current = set(queries.registry().keys())
+    missing = pinned - current
+    assert not missing, (
+        f"registry names removed/renamed (breaks driver coverage accretion): "
+        f"{sorted(missing)}"
+    )
+    unpinned = current - pinned
+    assert not unpinned, (
+        f"new registry names not pinned — append to registry_names_pinned.txt: "
+        f"{sorted(unpinned)}"
+    )

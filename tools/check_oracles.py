@@ -49,10 +49,13 @@ def main():
 
     from anovos_spark import oracles, queries
 
+    import os
+
+    cpus = os.environ.get("ORACLE_CHECK_CPUS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("oracle-check")
-        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
