@@ -200,6 +200,59 @@ def _hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _cap_buckets(rows: DataFrame, keys, cap: int):
+    """Skew guard for banded candidate joins: split ``rows`` into
+    (small, over) by bucket size, where a bucket is one ``keys`` group.
+
+    A degenerate corpus (N identical documents) puts N members into one
+    bucket, and a self-join on that key emits N²/2 rows FROM A SINGLE
+    TASK — the one shape AQE skew handling can't fix, because the blowup
+    is the join result, not the input partition.  Buckets over ``cap``
+    are diverted to a chain fallback at the call site (consecutive-id
+    links: same connectivity for the components consumer, O(N log N)
+    sort instead of O(N²) pairs).
+
+    The oversized-bucket key list is bounded by N/cap and in practice a
+    handful, so it broadcasts; the split itself is one partial-agg
+    count + two broadcast joins — no extra shuffle of ``rows``."""
+    big = F.broadcast(
+        rows.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bsz__"))
+        .where(F.col("__bsz__") > int(cap))
+        .select(*keys)
+    )
+    return (
+        rows.join(big, keys, "left_anti"),
+        rows.join(big, keys, "left_semi"),
+    )
+
+
+def _chain_pairs(over: DataFrame, keys, order_col: str, payload=()):
+    """Spanning-STAR candidates inside oversized buckets: every member
+    links to the bucket's minimum-id member.  Emits
+    [id_a, id_b(, payload_a, payload_b…)] with id_a < id_b.  A star
+    touches every member, so downstream connected components see the
+    same groups as the all-pairs join would, and its diameter is 2 —
+    near_dup_components' min-label propagation converges in one round
+    (a consecutive-id CHAIN was tried first and is a trap: diameter N
+    exceeds the propagation round bound, silently fragmenting the
+    component — pinned by the degenerate-corpus tests).  Only the
+    exhaustive pair LISTING is reduced (documented at call sites)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    sel = [
+        F.first(order_col).over(w).alias("id_a"),
+        F.col(order_col).alias("id_b"),
+    ]
+    for p in payload:
+        sel.append(F.first(p).over(w).alias(f"{p}_a"))
+        sel.append(F.col(p).alias(f"{p}_b"))
+    # strict < also drops the center's self-link and duplicate ids (e.g.
+    # a string meeting one variant via two deletion paths)
+    return over.select(*sel).where(F.col("id_a") < F.col("id_b"))
+
+
 def minhash_signatures(
     idf: DataFrame,
     text_col: str = "text",
@@ -232,13 +285,22 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.4,
     eager: bool = True,
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """LSH candidate pairs + exact Jaccard verification.
 
     Bands of r = num_hashes/bands signature values are hashed to buckets;
     docs sharing any band bucket become candidates (equi-join — the LSH
     trick that keeps this O(N) in shuffle volume); candidates are then
-    verified with exact n-gram Jaccard.  [id_a, id_b, jaccard]."""
+    verified with exact n-gram Jaccard.  [id_a, id_b, jaccard].
+
+    Skew guard: a band bucket larger than ``bucket_cap`` (a degenerate
+    corpus of N identical docs fills one bucket with all N) would emit
+    N²/2 candidates from one join task.  Such buckets instead emit a
+    consecutive-id spanning CHAIN — identical connectivity for
+    near_dup_components/apply_dedup, O(N log N) cost — so the pair
+    listing inside a pathological bucket is a connected subset, not
+    exhaustive.  bucket_cap=None restores unguarded all-pairs."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
@@ -259,6 +321,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    chain = None
+    if bucket_cap is not None:
+        band_rows, over = _cap_buckets(band_rows, ["band", "bucket"], bucket_cap)
+        chain = _chain_pairs(over, ["band", "bucket"], "id")
     a, b = band_rows.alias("a"), band_rows.alias("b")
     candidates = (
         a.join(
@@ -268,8 +334,10 @@ def minhash_lsh_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    if chain is not None:
+        candidates = candidates.unionByName(chain)
+    candidates = candidates.distinct()
     # exact verification on CANDIDATES ONLY (array_intersect per pair) —
     # cost O(|candidates|), never the all-pairs join
     grams = _shingles(F.col(text_col), n)
@@ -383,9 +451,13 @@ def simhash_pairs(
     id_col: str = "doc_id",
     bits: int = 32,
     max_distance: int = 3,
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_distance.
-    [id_a, id_b, hamming].
+    [id_a, id_b, hamming].  Segment buckets larger than ``bucket_cap``
+    (degenerate identical-content corpora) emit consecutive-id spanning
+    chains instead of all pairs — same skew guard and connectivity
+    contract as minhash_lsh_pairs.
 
     Candidate generation bands the signature into max_distance+1 disjoint
     bit segments; by pigeonhole, any pair within hamming max_distance
@@ -416,6 +488,18 @@ def simhash_pairs(
             )
         ).alias("bs"),
     ).select("id", "simhash", F.col("bs.band").alias("band"), F.col("bs.seg").alias("seg"))
+    chain = None
+    if bucket_cap is not None:
+        band_rows, over = _cap_buckets(band_rows, ["band", "seg"], bucket_cap)
+        chain = _chain_pairs(
+            over, ["band", "seg"], "id", payload=["simhash"]
+        ).select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+            ).alias("hamming"),
+        ).where(F.col("hamming") <= max_distance)
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
         a.join(
@@ -432,9 +516,10 @@ def simhash_pairs(
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_distance)
-        .distinct()
     )
-    return cand
+    if chain is not None:
+        cand = cand.unionByName(chain)
+    return cand.distinct()
 
 
 def apply_dedup(
@@ -687,6 +772,7 @@ def fuzzy_match_pairs(
     max_length: int = 64,
     on_long: str = "error",
     eager: bool = True,
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Entity-resolution fuzzy pairs: [id_a, id_b, distance] with
     Levenshtein(a, b) <= max_distance (k in {1, 2}), id_a < id_b —
@@ -714,6 +800,12 @@ def fuzzy_match_pairs(
     on the FULL strings, so precision stays 100% and only recall
     for pairs whose sole edits sit past the truncation point is
     given up (documented approximation).
+
+    Skew guard: a variant bucket over ``bucket_cap`` members (N
+    identical keys all share the identity variant) emits a
+    consecutive-id spanning chain instead of all pairs — connectivity
+    preserved for entity-resolution grouping, O(N log N) instead of
+    the N²/2-rows-from-one-task join.  bucket_cap=None disables.
     """
     k = int(max_distance)
     if k not in (1, 2):
@@ -737,6 +829,10 @@ def fuzzy_match_pairs(
     docs = base.withColumn("__v__", deletion_variants(blk, k))
     docs.persist()
     ex = docs.select("id", F.explode("__v__").alias("v"))
+    chain = None
+    if bucket_cap is not None:
+        ex, over = _cap_buckets(ex, ["v"], bucket_cap)
+        chain = _chain_pairs(over, ["v"], "id")
     a, b = ex.alias("a"), ex.alias("b")
     candidates = (
         a.join(
@@ -744,8 +840,10 @@ def fuzzy_match_pairs(
             (F.col("a.v") == F.col("b.v")) & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    if chain is not None:
+        candidates = candidates.unionByName(chain)
+    candidates = candidates.distinct()
     sa = docs.select(F.col("id").alias("id_a"), F.col("__s__").alias("__sa__"))
     sb = docs.select(F.col("id").alias("id_b"), F.col("__s__").alias("__sb__"))
     out = (

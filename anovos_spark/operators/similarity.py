@@ -144,6 +144,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 8,
     seed: int = 42,
     exact="auto",
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: [id_a, id_b, cos_sim] with
     id_a < id_b and cos_sim ≥ threshold.
@@ -283,13 +284,39 @@ def embedding_near_dup_pairs(
 
         sa = sketch(c1, "id_a", "va", "na")
         sb = sketch(c2, "id_b", "vb", "nb")
+        # skew guard (same contract as dedup's banded joins): a sketch
+        # bucket over bucket_cap members — N identical embeddings land in
+        # one (table, bucket) key — would emit N²/2 pairs from one join
+        # task; such buckets emit a consecutive-id spanning chain instead
+        # (connectivity-equivalent for near-dup grouping).  Only sa needs
+        # the filter: sb rows in oversized buckets then find no partner.
+        chain_scored = None
+        if bucket_cap is not None:
+            from anovos_spark.operators.dedup import _cap_buckets, _chain_pairs
+
+            sa, over = _cap_buckets(sa, ["t", "bk"], bucket_cap)
+            chain = _chain_pairs(over, ["t", "bk"], "id_a", payload=["va", "na"])
+            chain_scored = chain.select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.try_divide(
+                        _dot(F.col("va_a"), F.col("va_b")),
+                        F.col("na_a") * F.col("na_b"),
+                    ),
+                    6,
+                ).alias("cos_sim"),
+            )
         pairs = (
             sa.join(sb, ["t", "bk"])
             .where(F.col("id_a") < F.col("id_b"))
         )
         # score BEFORE dedup so the distinct shuffles 3 narrow columns, not
         # the embedding vectors (same (id_a,id_b) always scores identically)
-        scored = pairs.select("id_a", "id_b", score().alias("cos_sim")).distinct()
+        scored = pairs.select("id_a", "id_b", score().alias("cos_sim"))
+        if chain_scored is not None:
+            scored = scored.unionByName(chain_scored)
+        scored = scored.distinct()
     return scored.where(F.col("cos_sim") >= threshold)
 
 

@@ -636,3 +636,72 @@ def test_zipf_fit(spark):
     # counts ~ 1000/r  =>  ln(c) ~ ln(1000) - 1*ln(r)
     assert abs(out["slope"] + 1.0) < 0.01
     assert out["r2"] > 0.999
+
+
+def test_bucket_cap_chain_preserves_components(spark):
+    # r5 skew guard: a degenerate corpus (many identical docs) overflows
+    # one band bucket; above bucket_cap the operators emit spanning
+    # CHAINS instead of all pairs — far fewer pairs, identical connected
+    # components, no N²-from-one-task join.
+    from anovos_spark.operators import dedup as DD
+
+    n_dup = 120
+    rows = [(i, "the exact same document text repeated verbatim", "en", "s", 44)
+            for i in range(n_dup)]
+    rows += [(1000 + i, f"totally unique content number {i} with words {i*7}",
+              "en", "s", 40) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    capped = DD.minhash_lsh_pairs(df, bucket_cap=30)
+    pairs = capped.collect()
+    all_pairs_count = n_dup * (n_dup - 1) // 2
+    assert 0 < len(pairs) < all_pairs_count / 4     # chains, not all-pairs
+    comp = DD.near_dup_components(capped)
+    groups = comp.groupBy("component").count().collect()
+    assert max(r["count"] for r in groups) == n_dup  # one component, all dups
+    assert all(r["jaccard"] == 1.0 for r in pairs if r["id_a"] < n_dup <= 1 or True)
+
+    sh = DD.simhash_pairs(df, bucket_cap=30)
+    comp2 = DD.near_dup_components(sh)
+    g2 = comp2.groupBy("component").count().collect()
+    assert max(r["count"] for r in g2) == n_dup
+    assert sh.count() < all_pairs_count / 4
+
+
+def test_fuzzy_match_bucket_cap_chain(spark):
+    from anovos_spark.operators import dedup as DD
+
+    n = 80
+    rows = [(i, "samekey") for i in range(n)]
+    rows += [(100 + i, f"key{i:03d}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = DD.fuzzy_match_pairs(df, "s", "id", max_distance=1, bucket_cap=20)
+    pairs = out.collect()
+    assert all(r["distance"] == 0 for r in pairs if r["id_a"] < n and r["id_b"] < n)
+    assert 0 < len([r for r in pairs if r["id_b"] < n]) < n * (n - 1) // 4
+    comp = DD.near_dup_components(out)
+    assert max(
+        r["count"] for r in comp.groupBy("component").count().collect()
+    ) == n
+
+
+def test_embedding_near_dup_bucket_cap_chain(spark):
+    from anovos_spark.operators.similarity import embedding_near_dup_pairs
+
+    n = 60
+    vec = [1.0, 0.5, -0.25, 0.125]
+    rows = [(i, vec) for i in range(n)]
+    rows += [(100 + i, [float((i * 13 + j * 7) % 11 - 5) for j in range(4)])
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(df, threshold=0.95, bucket_cap=15)
+    pairs = out.collect()
+    assert 0 < len(pairs) < n * (n - 1) // 4
+    assert all(abs(r["cos_sim"] - 1.0) < 1e-6 for r in pairs if r["id_a"] < n and r["id_b"] < n)
+    from anovos_spark.operators.dedup import near_dup_components
+    comp = near_dup_components(out.select("id_a", "id_b"))
+    assert max(
+        r["count"] for r in comp.groupBy("component").count().collect()
+    ) == n

@@ -65,7 +65,11 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files; DuckDB needs
+        # the glob form for those (single-file testdata reads as-is)
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qreg = queries.registry()
     oreg = oracles.registry()
