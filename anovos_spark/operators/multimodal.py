@@ -2,10 +2,12 @@
 
 Policy: media travel as opaque ``binary`` columns with typed metadata
 structs beside them.  The Spark-side machinery — schema, Arrow-batched
-mapInPandas, partition sizing — is real and tested; the actual codec calls
-are stubbed behind ``_decode_image``/``_decode_audio`` because the codec
-libraries are not in this container (clearly marked; swap the stub body
-for PIL/soundfile in production).
+mapInPandas, partition sizing — is real and tested.  Image decode /
+resize run REAL bytes everywhere: PIL when importable, else the
+dependency-free pure-python PNG codec (png_codec.py); only non-PNG
+formats without PIL fall back to the clearly-flagged deterministic
+fake.  Audio/video decode remain gated on their codec libraries
+(_decode_audio stub pattern).
 
 At scale: mapInPandas streams Arrow batches, so per-batch memory is
 bounded by spark.sql.execution.arrow.maxRecordsPerBatch regardless of blob
@@ -40,13 +42,13 @@ def _sniff_format(b: bytes) -> str:
     return "unknown"
 
 
-def _decode_image(b: bytes) -> dict:
-    """STUB: image decode (PIL not in this container).
+def _decode_audio(b: bytes) -> dict:
+    """STUB: audio decode (soundfile/librosa not in this container).
 
-    Production body: ``img = PIL.Image.open(io.BytesIO(b))`` →
-    width/height/mode + resize/feature-extract.  The deterministic fake
-    keeps the pipeline testable end to end."""
-    raise NotImplementedError("image codec not available in this environment")
+    Production body: ``data, sr = soundfile.read(io.BytesIO(b))`` →
+    duration/sample-rate/channels + feature-extract.  Image decode is NOT
+    stubbed — see decode_images (PIL or the pure-python PNG codec)."""
+    raise NotImplementedError("audio codec not available in this environment")
 
 
 def media_metadata(
@@ -83,47 +85,57 @@ def decode_images(
     idf: DataFrame, binary_col: str, id_col: str, fake: bool = True
 ) -> DataFrame:
     """Image decode over a binary column → [id, width, height, mode,
-    decoded, fake].
+    decoded, fake, pixel_sum, n_pixels].
 
-    Real plumbing, gated codec: if PIL is importable the real decoder runs
-    (``fake=False`` to require it); otherwise a clearly-flagged
-    deterministic fake derives dimensions from the content md5 so the
-    pipeline (schema, Arrow batches, downstream joins) is testable end to
-    end.  Swap-in cost in production: none — the fake and the real path
-    emit the same schema."""
-    try:
-        from PIL import Image  # noqa: F401
-
-        have_pil = True
-    except ImportError:
-        have_pil = False
-    if not fake and not have_pil:
-        raise NotImplementedError("PIL not available; pass fake=True for the fake path")
-
+    Codec ladder (fake=False): PIL when importable (full format
+    coverage), else the dependency-free pure-python PNG codec
+    (png_codec.decode_png — REAL bytes, all five scanline filters,
+    gray/RGB/RGBA/palette).  Non-decodable blobs emit decoded=0.
+    pixel_sum/n_pixels are the decoded-sample checksum the differential
+    oracle replays in closed form.  fake=True keeps the deterministic
+    md5-derived fake (schema-identical, pixel stats null) for plumbing
+    tests on non-image bytes."""
     b_col, i_col = binary_col, id_col
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if have_pil and not fake:
-            import io
+        if not fake:
+            try:
+                import io
 
-            from PIL import Image as _I
+                from PIL import Image as _I
 
-            def one(x):
-                if x is None:
-                    return (None, None, None, 0, 0)
-                try:
-                    img = _I.open(io.BytesIO(bytes(x)))
-                    return (img.width, img.height, img.mode, 1, 0)
-                except Exception:
-                    return (None, None, None, 0, 0)
+                def one(x):
+                    if x is None:
+                        return (None, None, None, 0, 0, None, None)
+                    try:
+                        img = _I.open(io.BytesIO(bytes(x)))
+                        import numpy as _np
+
+                        arr = _np.asarray(img, dtype="int64")
+                        return (img.width, img.height, img.mode, 1, 0,
+                                int(arr.sum()), int(arr.size))
+                    except Exception:
+                        return (None, None, None, 0, 0, None, None)
+
+            except ImportError:
+                from anovos_spark.operators.png_codec import PngError, decode_png
+
+                def one(x):
+                    if x is None:
+                        return (None, None, None, 0, 0, None, None)
+                    try:
+                        w, h, mode, px = decode_png(bytes(x))
+                        return (w, h, mode, 1, 0, sum(px), len(px))
+                    except Exception:
+                        return (None, None, None, 0, 0, None, None)
 
         else:
 
             def one(x):
                 if x is None:
-                    return (None, None, None, 0, 1)
+                    return (None, None, None, 0, 1, None, None)
                 h = hashlib.md5(bytes(x)).digest()
-                return (64 + h[0] % 192, 64 + h[1] % 192, "RGB", 1, 1)
+                return (64 + h[0] % 192, 64 + h[1] % 192, "RGB", 1, 1, None, None)
 
         for pdf in batches:
             rows = [one(x) for x in pdf[b_col]]
@@ -135,11 +147,17 @@ def decode_images(
                     "mode": [r[2] for r in rows],
                     "decoded": [r[3] for r in rows],
                     "fake": [r[4] for r in rows],
+                    "pixel_sum": pd.array([r[5] for r in rows], dtype="Int64"),
+                    "n_pixels": pd.array([r[6] for r in rows], dtype="Int64"),
                 }
             )
 
     return idf.select(i_col, b_col).mapInPandas(
-        extract, schema="id long, width int, height int, mode string, decoded int, fake int"
+        extract,
+        schema=(
+            "id long, width int, height int, mode string, decoded int, "
+            "fake int, pixel_sum long, n_pixels long"
+        ),
     )
 
 
@@ -183,10 +201,12 @@ def resize_images(
     target_h: int,
     fake: bool = True,
 ) -> DataFrame:
-    """Resize plumbing → [id, blob binary, width, height, fake].  With PIL
-    present (and fake=False) blobs are re-encoded at the target size; the
-    deterministic fake passes the original bytes through with the target
-    dimensions stamped, keeping schema and batch shape production-true."""
+    """Resize plumbing → [id, blob binary, width, height, fake].  With
+    fake=False, blobs are decoded, nearest-neighbor resampled, and
+    re-encoded as PNG at the target size — via PIL when importable, else
+    the pure-python PNG codec (real bytes, fake=0).  The deterministic
+    fake passes the original bytes through with the target dimensions
+    stamped, keeping schema and batch shape production-true."""
     try:
         import io
 
@@ -195,24 +215,38 @@ def resize_images(
         have_pil = True
     except ImportError:
         have_pil = False
-    if not fake and not have_pil:
-        raise NotImplementedError("PIL not available; pass fake=True for the fake path")
 
     b_col, i_col = binary_col, id_col
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake and not have_pil:
+            from anovos_spark.operators.png_codec import (
+                decode_png,
+                encode_png,
+                resize_nearest,
+            )
         for pdf in batches:
             out_blobs, fakes = [], []
             for x in pdf[b_col]:
                 if x is None:
                     out_blobs.append(None)
                     fakes.append(1)
-                elif have_pil and not fake:
+                elif not fake and have_pil:
                     img = _I.open(io.BytesIO(bytes(x))).resize((target_w, target_h))
                     buf = io.BytesIO()
                     img.save(buf, format="PNG")
                     out_blobs.append(buf.getvalue())
                     fakes.append(0)
+                elif not fake:
+                    try:
+                        w, h, mode, px = decode_png(bytes(x))
+                        ch = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}[mode]
+                        rs = resize_nearest(px, w, h, ch, target_w, target_h)
+                        out_blobs.append(encode_png(target_w, target_h, mode, rs))
+                        fakes.append(0)
+                    except Exception:
+                        out_blobs.append(bytes(x))
+                        fakes.append(1)
                 else:
                     out_blobs.append(bytes(x))
                     fakes.append(1)

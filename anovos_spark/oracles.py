@@ -2025,6 +2025,23 @@ FROM lineitem GROUP BY 1""",
         "boxcox_transformation": boxcox_sql(),
         "monotonic_binning": monotonic_binning_sql(),
         "seasonal_decompose": seasonal_decompose_sql(),
+        "media_decode": """
+-- closed-form replay of the deterministic PNG battery: the Spark side
+-- ENCODES pixel(x,y) = (doc_id + 3x + 5y) mod 256 into real PNGs
+-- (cycling scanline filters) and DECODES them with the pure-python
+-- codec; this oracle recomputes the pixel sums arithmetically, so a
+-- match proves the codec chain bit-exact
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id*7) % 11 AS h
+  FROM documents WHERE doc_id % 13 = 0),
+px AS (
+  SELECT d.doc_id, d.w, d.h, ((d.doc_id + 3*x.g + 5*y.g) % 256) AS v
+  FROM d, generate_series(0, 16) x(g), generate_series(0, 14) y(g)
+  WHERE x.g < d.w AND y.g < d.h)
+SELECT doc_id AS id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+       'L' AS mode, 1 AS decoded, CAST(sum(v) AS BIGINT) AS pixel_sum,
+       CAST(max(w)*max(h) AS BIGINT) AS n_pixels
+FROM px GROUP BY doc_id""",
         "media_byte_histogram": """
 -- byte-value histogram replayed per character: valid because this corpus
 -- is pure ASCII (verified octet_length(encode(text)) == length(text) for

@@ -685,6 +685,46 @@ def q_media_metadata(spark, sf_dir):
     return media_metadata(bin_df, "blob", "doc_id")
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL image decode end-to-end (r5 — closes the codec gate): build a
+    deterministic 8-bit grayscale PNG per sampled doc (pixel(x,y) =
+    (doc_id + 3x + 5y) mod 256, scanline filters CYCLING 0-4), run it
+    through decode_images' dependency-free PNG codec, and emit per-image
+    width/height/pixel_sum/n_pixels.  The oracle replays the pixel
+    arithmetic in closed form, so a hash match proves the whole chain —
+    encode, zlib, de-filter (all five types), sample reconstruction —
+    bit-exact."""
+    import pandas as pd
+
+    from anovos_spark.operators.multimodal import decode_images
+    from anovos_spark.operators.png_codec import encode_png
+
+    docs = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % 13 == 0
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 4 + did % 13
+                h = 4 + (did * 7) % 11
+                px = bytes(
+                    (did + 3 * x + 5 * y) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                blobs.append(encode_png(w, h, "L", px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    bin_df = docs.mapInPandas(gen, schema="doc_id long, blob binary")
+    dec = decode_images(bin_df, "blob", "doc_id", fake=False)
+    return dec.select(
+        "id", "width", "height", "mode", "decoded", "pixel_sum", "n_pixels"
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Binary feature extraction (byte histogram) + per-source centroid —
     rows-only (byte-level histograms aren't practical in SQL)."""
@@ -3028,6 +3068,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "ivf_topk_recall": q_ivf_topk,
         "media_metadata": q_media_metadata,
+        "media_decode": q_media_decode,
         "media_byte_histogram": q_media_features,
         "time_units_extraction": q_time_units,
         "dateformat_conversion": q_dateformat_conversion,

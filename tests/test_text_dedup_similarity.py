@@ -705,3 +705,73 @@ def test_embedding_near_dup_bucket_cap_chain(spark):
     assert max(
         r["count"] for r in comp.groupBy("component").count().collect()
     ) == n
+
+
+def test_png_codec_roundtrip_and_palette():
+    # pure-python PNG codec (r5): encode cycles all five scanline filters,
+    # decode must reconstruct samples exactly for every mode
+    import struct
+    import zlib
+
+    from anovos_spark.operators.png_codec import (
+        PngError, decode_png, encode_png, resize_nearest,
+    )
+
+    for mode, ch in [("L", 1), ("LA", 2), ("RGB", 3), ("RGBA", 4)]:
+        for w, h in [(1, 1), (3, 7), (16, 16), (31, 9)]:
+            px = bytes(
+                (x * 7 + y * 13 + c * 29) % 256
+                for y in range(h) for x in range(w) for c in range(ch)
+            )
+            b = encode_png(w, h, mode, px)
+            w2, h2, m2, px2 = decode_png(b)
+            assert (w2, h2, m2, px2) == (w, h, mode, px)
+
+    # hand-built palette (color type 3) image: 2x2 indices 0..3 expand to RGB
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, body):
+        return (struct.pack(">I", len(body)) + t + body
+                + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF))
+
+    plte = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  7, 8, 9])
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 3])
+    img = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", plte) + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    w, h, mode, px = decode_png(img)
+    assert (w, h, mode) == (2, 2, "RGB")
+    assert px == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+
+    import pytest
+    with pytest.raises(PngError):
+        decode_png(b"notapng")
+
+    # nearest-neighbor: 4x4 -> 2x2 picks every other pixel
+    src = bytes(range(16))
+    assert resize_nearest(src, 4, 4, 1, 2, 2) == bytes([0, 2, 8, 10])
+
+
+def test_decode_resize_real_png_path(spark):
+    # decode_images / resize_images run REAL bytes without PIL (fake=0)
+    from anovos_spark.operators import multimodal as MM
+    from anovos_spark.operators.png_codec import decode_png, encode_png
+
+    px = bytes((x + 2 * y) % 256 for y in range(10) for x in range(6))
+    blob = encode_png(6, 10, "L", px)
+    df = spark.createDataFrame([(1, bytearray(blob)), (2, bytearray(b"junk"))],
+                               "doc_id long, blob binary")
+    dec = {r["id"]: r for r in MM.decode_images(df, "blob", "doc_id", fake=False).collect()}
+    assert dec[1]["fake"] == 0 and dec[1]["decoded"] == 1
+    assert (dec[1]["width"], dec[1]["height"], dec[1]["mode"]) == (6, 10, "L")
+    assert dec[1]["pixel_sum"] == sum(px) and dec[1]["n_pixels"] == 60
+    assert dec[2]["decoded"] == 0  # junk bytes: loud zero, no crash
+
+    rs = {r["id"]: r for r in
+          MM.resize_images(df, "blob", "doc_id", 3, 5, fake=False).collect()}
+    assert rs[1]["fake"] == 0
+    w, h, mode, rpx = decode_png(bytes(rs[1]["blob"]))
+    assert (w, h, mode) == (3, 5, "L")
+    # nearest-neighbor: out(x,y) = src(2x, 2y) = 2x + 4y mod 256
+    assert rpx == bytes((2 * x + 2 * (2 * y)) % 256 for y in range(5) for x in range(3))
+    assert rs[2]["fake"] == 1  # junk passes through, flagged
