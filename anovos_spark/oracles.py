@@ -2025,6 +2025,24 @@ FROM lineitem GROUP BY 1""",
         "boxcox_transformation": boxcox_sql(),
         "monotonic_binning": monotonic_binning_sql(),
         "seasonal_decompose": seasonal_decompose_sql(),
+        "feature_explorer_industries": """
+SELECT DISTINCT p_brand AS industry FROM part""",
+        "feature_explorer_usecases": """
+SELECT DISTINCT p_type AS usecase FROM part WHERE p_brand = 'Brand#13'""",
+        "feature_explorer_ranked": """
+-- verbatim replay of list_feature_by_industry: distinct corpus rows of
+-- one industry, usecase-popularity count window, deterministic rank
+WITH c AS (
+  SELECT DISTINCT p_name AS feature_name, p_brand AS industry,
+         p_type AS usecase, p_name AS description
+  FROM part WHERE p_brand = 'Brand#13'),
+r AS (SELECT *, count(*) OVER (PARTITION BY usecase) AS cnt FROM c),
+k AS (
+  SELECT feature_name, industry, usecase, description,
+         row_number() OVER (ORDER BY cnt DESC, usecase ASC,
+                            feature_name ASC, description ASC) AS feat_rank
+  FROM r)
+SELECT * FROM k WHERE feat_rank <= 25""",
         "media_decode": """
 -- closed-form replay of the deterministic PNG battery: the Spark side
 -- ENCODES pixel(x,y) = (doc_id + 3x + 5y) mod 256 into real PNGs

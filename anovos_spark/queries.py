@@ -685,6 +685,43 @@ def q_media_metadata(spark, sf_dir):
     return media_metadata(bin_df, "blob", "doc_id")
 
 
+def _part_corpus(spark, sf_dir):
+    """Feature-explorer corpus derived from the part table so DuckDB can
+    replay the browse path verbatim: brand=industry, type=usecase."""
+    return table(spark, sf_dir, "part").select(
+        F.col("p_name").alias("feature_name"),
+        F.col("p_brand").alias("industry"),
+        F.col("p_type").alias("usecase"),
+        F.col("p_name").alias("description"),
+    )
+
+
+def q_feature_explorer_industries(spark, sf_dir):
+    from anovos_spark.operators.feature_explorer import list_all_industry
+
+    return list_all_industry(_part_corpus(spark, sf_dir))
+
+
+def q_feature_explorer_usecases(spark, sf_dir):
+    """Fuzzy industry resolution + usecase browse: the input 'brand 13'
+    exact-matches 'Brand#13' after normalization (reference
+    feature_explorer.py:99-137 semantics)."""
+    from anovos_spark.operators.feature_explorer import list_usecase_by_industry
+
+    return list_usecase_by_industry(_part_corpus(spark, sf_dir), "brand 13")
+
+
+def q_feature_explorer_ranked(spark, sf_dir):
+    """Popularity-ranked feature browse (reference :181-225): features of
+    one industry ordered by their usecase's count within it, deterministic
+    tiebreak, top 25 — window + row_number, replayed verbatim in SQL."""
+    from anovos_spark.operators.feature_explorer import list_feature_by_industry
+
+    return list_feature_by_industry(
+        _part_corpus(spark, sf_dir), "Brand#13", num_of_feat=25
+    )
+
+
 def q_media_decode(spark, sf_dir):
     """REAL image decode end-to-end (r5 — closes the codec gate): build a
     deterministic 8-bit grayscale PNG per sampled doc (pixel(x,y) =
@@ -3069,6 +3106,9 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_recall": q_ivf_topk,
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
+        "feature_explorer_industries": q_feature_explorer_industries,
+        "feature_explorer_usecases": q_feature_explorer_usecases,
+        "feature_explorer_ranked": q_feature_explorer_ranked,
         "media_byte_histogram": q_media_features,
         "time_units_extraction": q_time_units,
         "dateformat_conversion": q_dateformat_conversion,

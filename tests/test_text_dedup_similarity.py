@@ -775,3 +775,42 @@ def test_decode_resize_real_png_path(spark):
     # nearest-neighbor: out(x,y) = src(2x, 2y) = 2x + 4y mod 256
     assert rpx == bytes((2 * x + 2 * (2 * y)) % 256 for y in range(5) for x in range(3))
     assert rs[2]["fake"] == 1  # junk passes through, flagged
+
+
+def test_feature_explorer(spark):
+    # r5 parity with reference feature_explorer.py:23-318
+    import pytest
+
+    from anovos_spark.operators import feature_explorer as FE
+
+    corpus = FE._default_corpus(spark)
+    inds = {r["industry"] for r in FE.list_all_industry(corpus).collect()}
+    assert "finance" in inds and "retail" in inds
+    ucs = {r["usecase"] for r in FE.list_all_usecase(corpus).collect()}
+    assert "credit scoring" in ucs
+    assert FE.list_all_pair(corpus).count() >= len(inds)
+
+    # exact-after-normalization and fuzzy (trigram) resolution
+    got = {r["usecase"] for r in
+           FE.list_usecase_by_industry(corpus, "  FINANCE ").collect()}
+    assert "credit scoring" in got and "fraud detection" in got
+    fuzzy = {r["usecase"] for r in
+             FE.list_usecase_by_industry(corpus, "finanse").collect()}
+    assert fuzzy == got
+    with pytest.raises(ValueError):
+        FE.list_usecase_by_industry(corpus, "finanse", semantic=False)
+    with pytest.raises(TypeError):
+        FE.list_usecase_by_industry(corpus, 42)
+
+    ranked = FE.list_feature_by_industry(corpus, "finance", num_of_feat=3).collect()
+    assert [r["feat_rank"] for r in sorted(ranked, key=lambda r: r["feat_rank"])] == [1, 2, 3]
+    # most popular usecase within finance is credit scoring (3 features)
+    assert ranked[0]["usecase"] == "credit scoring" or \
+        sorted(ranked, key=lambda r: r["feat_rank"])[0]["usecase"] == "credit scoring"
+    by_uc = FE.list_feature_by_usecase(corpus, "churn prediction", num_of_feat="all").collect()
+    assert {r["industry"] for r in by_uc} == {"tech", "telecom"}
+    pair = FE.list_feature_by_pair(corpus, "finance", "fraud detection").collect()
+    assert len(pair) == 2
+    inds2 = {r["industry"] for r in
+             FE.list_industry_by_usecase(corpus, "churn prediction").collect()}
+    assert inds2 == {"tech", "telecom"}
