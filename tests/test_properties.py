@@ -455,3 +455,44 @@ def test_range_join_random_equals_bruteforce(spark, ivs, pts):
         if s <= p <= s + ln
     }
     assert got == want
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_rows=st.sampled_from([2_000, 20_000]),
+    n_groups=st.sampled_from([3, 40]),
+)
+def test_global_windows_run_on_bounded_frames(spark, n_rows, n_groups):
+    """r5 (VERDICT #8): the empty-partitionBy windows in
+    temperature_sample / mixture_plan / zipf_fit are safe only because
+    they run on METADATA-sized frames (group counts, top-k vocab).  This
+    reads the EXECUTED plan metrics and asserts every single-partition
+    exchange feeding a Window carried O(groups/top_k) records — a
+    refactor pointing one at the data frame fails here at 20k rows."""
+    from tests.window_guard import single_partition_window_inputs
+
+    from anovos_spark.operators.ingest import mixture_plan, temperature_sample
+    from anovos_spark.operators.text import zipf_fit
+
+    df = spark.range(n_rows).select(
+        F.col("id"),
+        F.concat(F.lit("g"), (F.col("id") % n_groups).cast("string")).alias("g"),
+        (F.col("id") % 97 + 1).cast("long").alias("tokens"),
+        F.concat(
+            F.lit("tok"), (F.col("id") % 50).cast("string"),
+            F.lit(" tok"), (F.col("id") % 23).cast("string"),
+        ).alias("text"),
+    )
+
+    # temperature_sample: force the in-plan (scale) path
+    ts = temperature_sample(df, "g", "id", max_literal_groups=0)
+    for n in single_partition_window_inputs(ts):
+        assert 0 <= n <= n_groups, f"temperature_sample window saw {n} rows"
+
+    mp = mixture_plan(df, "g", "tokens", {"g0": 0.5, "g1": 0.5})
+    for n in single_partition_window_inputs(mp):
+        assert 0 <= n <= n_groups, f"mixture_plan window saw {n} rows"
+
+    zf = zipf_fit(df, "text", top_k=30)
+    for n in single_partition_window_inputs(zf):
+        assert 0 <= n <= 30, f"zipf_fit window saw {n} rows"
