@@ -441,6 +441,14 @@ def time_weighted_avg(
     One keyed window (lead) + one keyed aggregation; groups with fewer
     than two observations have no interval and report null.
     [group, n_obs, span_seconds, twa, plain_avg].
+
+    Arithmetic is DECIMAL(18,6) end-to-end: float Σ(v·dt) is
+    summation-order-dependent, and at sf1 (10× observations per group)
+    a partial-sum reorder landed a twa within 1 ulp of a round-half
+    boundary, flipping the 6th decimal between engines.  Decimal sums
+    are associative — partition-order- and engine-invariant — so the
+    rounded result is bit-stable at any scale (value quantized at 1e-6,
+    well inside the contract's 6-decimal rounding).
     """
     from pyspark.sql import Window
 
@@ -448,14 +456,14 @@ def time_weighted_avg(
     stepped = idf.select(
         F.col(group_col),
         F.col(ts_col),
-        F.col(value_col).cast("double").alias("__v__"),
+        F.col(value_col).cast("double").cast("decimal(18,6)").alias("__v__"),
         # fractional-second intervals: timestamp->double keeps the
         # microseconds (unix_timestamp truncates and skews short gaps);
         # the intermediate cast makes TIMESTAMP_NTZ inputs castable too
         (
             F.lead(ts_col).over(w).cast("timestamp").cast("double")
             - F.col(ts_col).cast("timestamp").cast("double")
-        ).alias("__dt__"),
+        ).cast("decimal(18,6)").alias("__dt__"),
     )
     span = F.sum("__dt__")
     return stepped.groupBy(group_col).agg(
@@ -463,8 +471,10 @@ def time_weighted_avg(
         F.round(span, 0).cast("long").alias("span_seconds"),
         F.round(
             F.when(span > 0, F.sum(F.col("__v__") * F.col("__dt__")) / span), 6
-        ).alias("twa"),
-        F.round(F.avg("__v__"), 6).alias("plain_avg"),
+        ).cast("double").alias("twa"),
+        F.round(
+            F.sum("__v__") / F.count(F.lit(1)).cast("decimal(18,0)"), 6
+        ).cast("double").alias("plain_avg"),
     )
 
 

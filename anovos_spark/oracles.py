@@ -2564,17 +2564,23 @@ SELECT c_custkey, n_nationkey
 FROM pts, pol
 WHERE abs(lat - clat) + abs(lon - clon) < 15.0""",
         "time_weighted_avg": """
+-- DECIMAL(18,6) arithmetic mirrors the operator: float partial-sum
+-- order flipped a round-half boundary at sf1; decimal sums are
+-- associative and engine-invariant
 WITH s AS (
-  SELECT user_id, value,
-         epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC))
-           - epoch(ts) AS dt
+  -- width 19 (not 18): DuckDB stores w<=18 decimals in int64 and the
+  -- v*dt product overflows there; 19 forces int128 operands
+  SELECT user_id, CAST(value AS DECIMAL(19,6)) AS v,
+         CAST(epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC))
+              - epoch(ts) AS DECIMAL(19,6)) AS dt
   FROM events)
 SELECT user_id,
        count(*)::BIGINT AS n_obs,
        round(sum(dt))::BIGINT AS span_seconds,
-       round(CASE WHEN sum(dt) > 0
-                  THEN sum(value * dt) / sum(dt) END, 6) AS twa,
-       round(avg(value), 6) AS plain_avg
+       CAST(round(CASE WHEN sum(dt) > 0
+                  THEN sum(v * dt) / sum(dt) END, 6) AS DOUBLE) AS twa,
+       CAST(round(sum(v) / CAST(count(*) AS DECIMAL(18,0)), 6) AS DOUBLE)
+         AS plain_avg
 FROM s GROUP BY 1""",
         "cusum_changepoints": """
 WITH c AS (
