@@ -21,6 +21,7 @@ import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _CSS = """
 body { font-family: -apple-system, 'Segoe UI', Roboto, sans-serif; margin: 0;
@@ -109,6 +110,98 @@ def _svg_bars(items: list[tuple[str, float]], title: str, unit: str = "") -> str
     )
 
 
+def _svg_paired_bars(
+    items: list[tuple[str, float, float]],
+    title: str,
+    legend: tuple[str, str] = ("source", "target"),
+) -> str:
+    """Grouped two-series horizontal bars (comparative drift view —
+    reference plot_comparative_drift's shape) as inline SVG."""
+    items = [
+        (k, a, b) for k, a, b in items if a is not None and b is not None
+    ][:20]
+    if not items:
+        return ""
+    vmax = max((max(abs(a), abs(b)) for _, a, b in items), default=0.0) or 1.0
+    bar_h, gap, label_w, plot_w = 9, 10, 180, 420
+    height = len(items) * (2 * bar_h + gap) + 46
+    rows = []
+    for i, (k, a, b) in enumerate(items):
+        y = 40 + i * (2 * bar_h + gap)
+        wa = max(1.0, abs(a) / vmax * plot_w)
+        wb = max(1.0, abs(b) / vmax * plot_w)
+        rows.append(
+            f'<text x="{label_w - 8}" y="{y + bar_h + 3}" text-anchor="end" '
+            f'font-size="11" fill="#1a1a24">{_html.escape(str(k)[:28])}</text>'
+            f'<rect x="{label_w}" y="{y}" width="{wa:.1f}" height="{bar_h}" '
+            f'fill="#3b6fd4" rx="2"></rect>'
+            f'<rect x="{label_w}" y="{y + bar_h + 1}" width="{wb:.1f}" '
+            f'height="{bar_h}" fill="#d4823b" rx="2"></rect>'
+        )
+    leg = (
+        f'<rect x="0" y="22" width="10" height="10" fill="#3b6fd4"></rect>'
+        f'<text x="14" y="31" font-size="10.5" fill="#4a5568">'
+        f"{_html.escape(legend[0])}</text>"
+        f'<rect x="90" y="22" width="10" height="10" fill="#d4823b"></rect>'
+        f'<text x="104" y="31" font-size="10.5" fill="#4a5568">'
+        f"{_html.escape(legend[1])}</text>"
+    )
+    return (
+        f'<svg width="{label_w + plot_w + 90}" height="{height}" '
+        f'xmlns="http://www.w3.org/2000/svg" role="img">'
+        f'<text x="0" y="14" font-size="12" font-weight="600" '
+        f'fill="#1a1a24">{_html.escape(title)}</text>{leg}{"".join(rows)}</svg>'
+    )
+
+
+def _svg_boxes(
+    items: list[tuple[str, float, float, float, float, float]], title: str
+) -> str:
+    """Horizontal box plots (one per attribute) as inline SVG — the
+    stdlib stand-in for the reference's per-attribute outlier violins.
+    items: (label, lower_whisker, q1, median, q3, upper_whisker), each
+    attribute scaled to its own whisker span (mixed-unit attributes
+    share one chart)."""
+    items = [
+        t for t in items if all(v is not None for v in t[1:])
+    ][:20]
+    if not items:
+        return ""
+    bar_h, gap, label_w, plot_w = 16, 10, 180, 420
+    height = len(items) * (bar_h + gap) + 28
+    rows = []
+    for i, (k, lw, q1, med, q3, uw) in enumerate(items):
+        y = 24 + i * (bar_h + gap)
+        span = (uw - lw) or 1.0
+
+        def x(v):
+            return label_w + max(0.0, min(1.0, (v - lw) / span)) * plot_w
+
+        mid = y + bar_h / 2
+        rows.append(
+            f'<text x="{label_w - 8}" y="{y + 12}" text-anchor="end" '
+            f'font-size="11" fill="#1a1a24">{_html.escape(str(k)[:28])}</text>'
+            f'<line x1="{x(lw):.1f}" y1="{mid}" x2="{x(uw):.1f}" y2="{mid}" '
+            f'stroke="#9aa4b2"></line>'
+            f'<line x1="{x(lw):.1f}" y1="{y + 3}" x2="{x(lw):.1f}" '
+            f'y2="{y + bar_h - 3}" stroke="#9aa4b2"></line>'
+            f'<line x1="{x(uw):.1f}" y1="{y + 3}" x2="{x(uw):.1f}" '
+            f'y2="{y + bar_h - 3}" stroke="#9aa4b2"></line>'
+            f'<rect x="{x(q1):.1f}" y="{y}" width="{max(1.0, x(q3) - x(q1)):.1f}" '
+            f'height="{bar_h}" fill="#aecbff" stroke="#3b6fd4" rx="2"></rect>'
+            f'<line x1="{x(med):.1f}" y1="{y}" x2="{x(med):.1f}" '
+            f'y2="{y + bar_h}" stroke="#1a3c82" stroke-width="2"></line>'
+            f'<text x="{label_w + plot_w + 6}" y="{y + 12}" font-size="10.5" '
+            f'fill="#4a5568">med {_fmt(med)}</text>'
+        )
+    return (
+        f'<svg width="{label_w + plot_w + 110}" height="{height}" '
+        f'xmlns="http://www.w3.org/2000/svg" role="img">'
+        f'<text x="0" y="14" font-size="12" font-weight="600" '
+        f'fill="#1a1a24">{_html.escape(title)}</text>{"".join(rows)}</svg>'
+    )
+
+
 def _section(anchor: str, title: str, parts: list[str]) -> str:
     inner = "".join(p for p in parts if p)
     return f'<section id="{anchor}"><h2>{_html.escape(title)}</h2>{inner}</section>'
@@ -122,6 +215,10 @@ def anovos_report(
     drift_frames: dict[str, DataFrame] | None = None,
     extra_frames: dict[str, DataFrame] | None = None,
     report_name: str = "ml_anovos_report.html",
+    charts: bool = True,
+    max_chart_attrs: int = 12,
+    max_chart_cardinality: int = 40,
+    source_df: DataFrame | None = None,
 ) -> str:
     """Assemble the full HTML report from the analyzer battery and write
     ``<output_path>/ml_anovos_report.html`` (reference naming,
@@ -132,6 +229,18 @@ def anovos_report(
     given), Drift & Stability (when drift frames are passed).  Charts are
     inline SVG; tables are the stats frames themselves — all driver-sized
     (one row per attribute), so the report never pulls data rows.
+
+    With ``charts=True`` (default) the reference's PER-ATTRIBUTE chart
+    inventory (report_generation.py's charts_to_objects: frequency bars,
+    event-rate bars, outlier violins, comparative drift) renders too:
+    frequency + event-rate bars for each low-cardinality attribute
+    (frequency_frame / event_rate_frame), one box-plot panel over the
+    numeric attributes (outlier_frame — the seven box numbers, never raw
+    rows), and paired source/target bars per drifted attribute when
+    ``source_df`` is given.  Attribute count capped at
+    ``max_chart_attrs`` (noted in the report when truncated) — every
+    chart frame is a per-attribute groupBy, so cost is bounded and the
+    HTML stays driver-sized.
     """
     from anovos_spark.plans.report import basic_report
 
@@ -166,6 +275,75 @@ def anovos_report(
         )
     exec_parts = ["".join(kpis), missing_chart]
 
+    # --- per-attribute chart inventory (reference charts_to_objects) ------
+    freq_charts, rate_charts, outlier_chart, drift_charts = [], [], "", []
+    if charts:
+        from anovos_spark.plans.report_frames import (
+            comparative_drift_frame,
+            event_rate_frame,
+            frequency_frame,
+            outlier_frame,
+        )
+
+        string_cols = [
+            f.name for f in idf.schema.fields
+            if f.dataType.simpleString() == "string" and f.name != label_col
+        ]
+        num_cols = [
+            f.name for f in idf.schema.fields
+            if f.dataType.simpleString() in
+            ("int", "bigint", "smallint", "tinyint", "float", "double")
+            and f.name != label_col
+        ]
+        if string_cols:
+            card = idf.agg(
+                *[F.approx_count_distinct(c).alias(c) for c in string_cols]
+            ).collect()[0]
+            cat_cols = [
+                c for c in string_cols if card[c] <= max_chart_cardinality
+            ][:max_chart_attrs]
+        else:
+            cat_cols = []
+        for c in cat_cols:
+            fr = frequency_frame(idf, c).orderBy(F.col("count").desc()).limit(
+                max_chart_cardinality
+            ).toPandas()
+            freq_charts.append(
+                _svg_bars(
+                    list(zip(fr[c], fr["count"])), f"Frequency — {c}"
+                )
+            )
+            if label_col is not None:
+                er = event_rate_frame(idf, c, label_col, event_label).orderBy(
+                    F.col("event_rate").desc()
+                ).limit(max_chart_cardinality).toPandas()
+                rate_charts.append(
+                    _svg_bars(
+                        list(zip(er[c], er["event_rate"])),
+                        f"Event rate — {c}", unit="%",
+                    )
+                )
+        if num_cols:
+            ofr = outlier_frame(idf, num_cols[:max_chart_attrs]).toPandas()
+            outlier_chart = _svg_boxes(
+                list(zip(ofr["attribute"], ofr["lower_whisker"], ofr["q1"],
+                         ofr["median"], ofr["q3"], ofr["upper_whisker"])),
+                "Outlier profile (box, whiskers at 1.5·IQR)",
+            )
+        if source_df is not None:
+            for c in cat_cols:
+                # signature: (idf_target, idf_source, col)
+                cd = comparative_drift_frame(idf, source_df, c).orderBy(
+                    F.col("countpct_source").desc()
+                ).limit(max_chart_cardinality).toPandas()
+                drift_charts.append(
+                    _svg_paired_bars(
+                        list(zip(cd[c], cd["countpct_source"],
+                                 cd["countpct_target"])),
+                        f"Distribution drift — {c}",
+                    )
+                )
+
     # --- descriptive statistics -------------------------------------------
     stat_keys = [
         ("global_summary", "Global summary"),
@@ -179,6 +357,9 @@ def anovos_report(
     stats_parts = [
         f"<h3>{t}</h3>{_table(pd_frames[k])}" for k, t in stat_keys if k in pd_frames
     ]
+    if freq_charts:
+        stats_parts.append("<h3>Attribute frequency charts</h3>")
+        stats_parts.extend(freq_charts)
 
     # --- quality check -----------------------------------------------------
     quality_keys = [
@@ -195,6 +376,8 @@ def anovos_report(
         for k, t in quality_keys
         if k in pd_frames
     ]
+    if outlier_chart:
+        quality_parts.append(outlier_chart)
 
     # --- attribute associations -------------------------------------------
     assoc_parts = []
@@ -213,11 +396,17 @@ def anovos_report(
                  ("variable_clustering", "Variable clustering")]:
         if k in pd_frames:
             assoc_parts.append(f"<h3>{t}</h3>{_table(pd_frames[k])}")
+    if rate_charts:
+        assoc_parts.append("<h3>Event-rate charts</h3>")
+        assoc_parts.extend(rate_charts)
 
     # --- drift & stability -------------------------------------------------
     drift_parts = []
     for name, frame in (drift_frames or {}).items():
         drift_parts.append(f"<h3>{_html.escape(name)}</h3>{_table(frame.toPandas())}")
+    if drift_charts:
+        drift_parts.append("<h3>Comparative distribution charts</h3>")
+        drift_parts.extend(drift_charts)
 
     sections, nav = [], []
     for anchor, title, parts in [

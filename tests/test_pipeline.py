@@ -342,7 +342,10 @@ def test_anovos_report_html(spark, sf_dir, tmp_path):
     od = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
         "label", (F.col("o_orderstatus") == "F").cast("int")
     )
-    dest = anovos_report(od, str(tmp_path / "html_report"), label_col="label")
+    source = od.where(F.col("o_orderkey") % 2 == 0)   # drift comparison side
+    dest = anovos_report(
+        od, str(tmp_path / "html_report"), label_col="label", source_df=source
+    )
     assert dest.endswith("ml_anovos_report.html")
     txt = open(dest).read()
     for needle in [
@@ -356,6 +359,20 @@ def test_anovos_report_html(spark, sf_dir, tmp_path):
         assert needle in txt
     # tables are escaped — no raw angle brackets from data can leak
     assert "<script" not in txt
+    # r5 chart inventory (reference charts_to_objects parity): per-attribute
+    # frequency + event-rate bars for each low-cardinality attribute, one
+    # box panel over the numerics, comparative drift per attribute, plus
+    # the summary/IV charts — orders has 2 low-card string attrs
+    # (status, priority), so >= 2+2+1+2+2 SVGs
+    n_cat = 2
+    assert txt.count("<svg") >= 3 * n_cat + 1 + 2
+    for needle in [
+        "Frequency — o_orderstatus",
+        "Event rate — o_orderpriority",
+        "Outlier profile",
+        "Distribution drift — o_orderstatus",
+    ]:
+        assert needle in txt
 
 
 def test_pipeline_training_data_stages(spark, sf_dir, tmp_path):
