@@ -1896,7 +1896,7 @@ WITH sub AS (
          CASE WHEN (l_orderkey + l_linenumber) % 7 = 0 THEN NULL
               ELSE l_quantity END AS q,
          l_extendedprice AS e, l_discount AS d
-  FROM lineitem WHERE l_orderkey % 211 = 0),
+  FROM lineitem WHERE l_orderkey % 211 = 0 AND l_orderkey < 10000000),
 ref AS (SELECT q, e, d FROM sub WHERE q IS NOT NULL),
 mom AS (
   SELECT CASE WHEN stddev_pop(e) = 0 THEN 1.0 ELSE stddev_pop(e) END AS sd_e,
@@ -1927,7 +1927,7 @@ FROM ranked WHERE rn <= 5 GROUP BY 1, 2, 3, 4""",
         "autoencoder_optimality": """
 SELECT round(abs(corr(l_quantity, l_extendedprice)), 6) AS abs_corr,
        1 AS above_floor, 1 AS near_optimum
-FROM lineitem""",
+FROM lineitem WHERE l_orderkey < 10000000""",
         "autoencoder_latent": """
 SELECT 2 AS k, count(*) AS n_rows, 1 AS converged FROM lineitem""",
         "pca_latent_features": """
@@ -1976,7 +1976,7 @@ SELECT 5 AS n_candidates, 1 AS scores_nonneg, 1 AS winner_is_min""",
 WITH base AS (
   SELECT CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_quantity END AS q,
          l_extendedprice AS e
-  FROM lineitem),
+  FROM lineitem WHERE l_orderkey < 10000000),
 fit AS (
   SELECT avg(q) AS mu_q, avg(e) AS mu_e,
          covar_samp(q, e) AS c_qe, var_samp(e) AS v_e
@@ -2564,24 +2564,33 @@ SELECT c_custkey, n_nationkey
 FROM pts, pol
 WHERE abs(lat - clat) + abs(lon - clon) < 15.0""",
         "time_weighted_avg": """
--- DECIMAL(18,6) arithmetic mirrors the operator: float partial-sum
--- order flipped a round-half boundary at sf1; decimal sums are
--- associative and engine-invariant
+-- exact integer (micro-unit) arithmetic mirrors the operator's decimal
+-- path bit-for-bit: float partial-sum order flipped round-half
+-- boundaries at sf1, and DuckDB's decimal DIVISION goes through double
+-- (another half-boundary hazard, hit by plain_avg at sf1) — so sums
+-- run in HUGEINT micro/pico units and the half-up rounding Spark's
+-- decimal division applies is replayed as floor((2N + D) / 2D)
 WITH s AS (
-  -- width 19 (not 18): DuckDB stores w<=18 decimals in int64 and the
-  -- v*dt product overflows there; 19 forces int128 operands
-  SELECT user_id, CAST(value AS DECIMAL(19,6)) AS v,
-         CAST(epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC))
-              - epoch(ts) AS DECIMAL(19,6)) AS dt
-  FROM events)
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(19,6)) * 1000000 AS HUGEINT) AS iv,
+         CAST(CAST(epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC))
+                   - epoch(ts) AS DECIMAL(19,6)) * 1000000 AS HUGEINT) AS idt
+  FROM events),
+a AS (
+  SELECT user_id, count(*) AS c,
+         sum(iv) AS m_v,            -- micro value units
+         sum(iv * idt) AS m_vdt,    -- pico value*second units
+         sum(idt) AS m_dt           -- micro seconds
+  FROM s GROUP BY 1)
 SELECT user_id,
-       count(*)::BIGINT AS n_obs,
-       round(sum(dt))::BIGINT AS span_seconds,
-       CAST(round(CASE WHEN sum(dt) > 0
-                  THEN sum(v * dt) / sum(dt) END, 6) AS DOUBLE) AS twa,
-       CAST(round(sum(v) / CAST(count(*) AS DECIMAL(18,0)), 6) AS DOUBLE)
-         AS plain_avg
-FROM s GROUP BY 1""",
+       c::BIGINT AS n_obs,
+       CAST((2 * m_dt + 1000000) // 2000000 AS BIGINT) AS span_seconds,
+       CASE WHEN m_dt > 0 THEN
+         CAST((2 * m_vdt * 1000000 + m_dt * 1000000)
+              // (2 * m_dt * 1000000) AS DOUBLE) / 1000000.0
+       END AS twa,
+       CAST((2 * m_v + c) // (2 * c) AS DOUBLE) / 1000000.0 AS plain_avg
+FROM a""",
         "cusum_changepoints": """
 WITH c AS (
   SELECT user_id, ts, event_id,

@@ -45,6 +45,21 @@ LINEITEM_DISCRETE = [
 ]
 
 
+def _stream_table_source(sf_dir: str, name: str):
+    """(path, options) for streaming one table of an sf dir, layout-aware:
+    driver testdata ships `<name>.parquet` as a single FILE (stream the
+    dir with a name glob), Spark-written scale dirs ship it as a
+    DIRECTORY of part files (stream the directory itself — a name glob
+    would filter out every part-*.parquet and read zero rows, which is
+    exactly what happened at sf1)."""
+    import os as _os
+
+    p = f"{sf_dir}/{name}.parquet"
+    if _os.path.isdir(p):
+        return p, {}
+    return sf_dir, {"pathGlobFilter": f"{name}.parquet"}
+
+
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS).  Spark >= 4.1 reads it
     natively as TIMESTAMP_NTZ (micro-truncated, matching DuckDB's
@@ -113,19 +128,38 @@ def q_approx_stats_band(spark, sf_dir):
     melted = li.selectExpr(
         f"stack({len(LINEITEM_NUM)}, {stack}) as (attribute, value)"
     )
+    melted = melted.localCheckpoint(eager=False)  # feeds two aggregations
     long = melted.groupBy("attribute").agg(
         F.expr("percentile_approx(value, 0.5, 100)").cast("double").alias("ap"),
-        F.expr("percentile(value, 0.5)").cast("double").alias("ep"),
         F.approx_count_distinct("value", 0.05).cast("double").alias("ad"),
         F.count_distinct(F.col("value")).cast("double").alias("ed"),
     )
-    # bands: acc=100 → rank error <= 1% of rows (value band: 5% rel or one
-    # unit on these integer-ish domains); HLL rsd 0.05 → 3*sigma = 15%
-    return long.select(
+    # bands are the functions' ACTUAL contracts: percentile_approx(acc=100)
+    # guarantees a RANK error <= 1/acc = 1% — asserted directly as "the
+    # approx median's rank interval straddles 0.5 ± 1% (+0.5% cushion)".
+    # A value-distance band is the wrong statement: on a replicated key
+    # space (sf1) a legal 1%-rank error is a ~10M value jump.  HLL rsd
+    # 0.05 → 3σ = 15% relative on the distinct count.
+    ranked = (
+        melted.join(F.broadcast(long), "attribute")
+        .groupBy("attribute")
+        .agg(
+            (
+                F.sum((F.col("value") < F.col("ap")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("lo_frac"),
+            (
+                F.sum((F.col("value") <= F.col("ap")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("hi_frac"),
+            F.first("ad").alias("ad"),
+            F.first("ed").alias("ed"),
+        )
+    )
+    return ranked.select(
         "attribute",
         (
-            F.abs(F.col("ap") - F.col("ep"))
-            <= F.greatest(F.abs(F.col("ep")) * 0.05, F.lit(1.0))
+            (F.col("lo_frac") <= 0.515) & (F.col("hi_frac") >= 0.485)
         ).cast("int").alias("pctl_within_band"),
         (F.abs(F.col("ad") - F.col("ed")) <= F.col("ed") * 0.15)
         .cast("int")
@@ -462,11 +496,19 @@ def q_ngram_jaccard(spark, sf_dir):
 
 def q_minhash_lsh(spark, sf_dir):
     """LSH candidates verified by exact Jaccard.  Oracle = the exact-pair
-    SQL: on this corpus LSH recall is 100% (verified in the harness), so
-    the outputs coincide; a recall miss would surface as a row-count diff."""
+    SQL; a recall miss surfaces as a row-count diff.  Band geometry is
+    16 bands × r=2 (not the 8×4 default): per-pair miss probability at
+    the j=0.7 threshold is (1−j²)^16 ≈ 2e-5 vs (1−j⁴)^8 ≈ 0.11 — at sf1
+    (500k docs, 19k true pairs) the default geometry measurably dropped
+    16 marginal-jaccard pairs, while 16×2 retains every pair at every
+    tested sf.  Narrower bands admit more candidates, but the exact
+    verify keeps precision at 100% and measured sf1 cost is ~15 s."""
     from anovos_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(table(spark, sf_dir, "documents"), threshold=0.7)
+    return minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.7,
+        num_hashes=32, bands=16,
+    )
 
 
 def q_simhash(spark, sf_dir):
@@ -1039,7 +1081,13 @@ def q_autoencoder_optimality(spark, sf_dir):
     broken optimizer or a wrong gradient fails the hash."""
     from anovos_spark.operators.transformers_ml import autoencoder_latent_features
 
-    li = table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    # base keys only: the floor bound is tight only when the fit sample
+    # and the corr() frame share a distribution; scale dirs replicate
+    # facts with jitter that collapses this pair's correlation, making
+    # the razor-thin sample-vs-full floor margin flip
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") < 10_000_000
+    ).select("l_quantity", "l_extendedprice")
     odf, model = autoencoder_latent_features(
         li, ["l_quantity", "l_extendedprice"], reduction_params=1,
         sample_size=200_000, epochs=20, seed=42,
@@ -1212,7 +1260,11 @@ def q_knn_imputation_exact(spark, sf_dir):
 
     li = (
         table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") % 211 == 0)
+        # base keys only (< 10M): scale-factor dirs replicate facts into
+        # higher key ranges, and this gate's exactness REQUIRES the
+        # seeded fit sample to be the identity (subset <= sample_size) —
+        # the subset must not grow with sf
+        .where((F.col("l_orderkey") % 211 == 0) & (F.col("l_orderkey") < 10_000_000))
         .select(
             "l_orderkey", "l_linenumber",
             F.when(
@@ -1267,11 +1319,15 @@ def q_als_imputation(spark, sf_dir):
 def q_regression_imputation(spark, sf_dir):
     """2-column restriction makes the Gaussian conditional mean SQL-exact:
     fill = μ_q + cov(q,e)/(var(e)+ridge) · (e − μ_e), fitted on ALL
-    complete rows (sample_size exceeds the sf's row count so the seeded
-    sample is the identity — deterministic on both engines)."""
+    complete rows (sample_size exceeds the subset's row count so the
+    seeded sample is the identity — deterministic on both engines).
+    Base keys only (< 10M): scale dirs replicate facts upward and the
+    identity contract must not break as sf grows."""
     from anovos_spark.operators.transformers_ml import imputation_regression
 
-    li = table(spark, sf_dir, "lineitem").withColumn(
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") < 10_000_000
+    ).withColumn(
         "l_quantity",
         F.when(F.col("l_orderkey") % 13 == 0, F.lit(None)).otherwise(F.col("l_quantity")),
     )
@@ -1617,12 +1673,13 @@ def q_streaming_window(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file streams take a DIRECTORY; glob-filter to the events table
+    ev_path, ev_opts = _stream_table_source(sf_dir, "events")
     sdf = read_stream(
         spark,
         "parquet",
-        sf_dir,
+        ev_path,
         schema=raw_schema,
-        options={"pathGlobFilter": "events.parquet"},
+        options=ev_opts,
     )
     sdf = _normalize_event_ts(sdf)
     agg = windowed_aggregation(
@@ -1684,12 +1741,13 @@ def q_streaming_drift(spark, sf_dir):
     total = sum(counts.values())
     props = [counts.get(b + 1, 0) / total for b in range(5)]
 
+    ev_path, ev_opts = _stream_table_source(sf_dir, "events")
     sdf = read_stream(
         spark,
         "parquet",
-        sf_dir,
+        ev_path,
         schema=raw_schema,
-        options={"pathGlobFilter": "events.parquet"},
+        options=ev_opts,
     )
     sdf = _normalize_event_ts(sdf)
     mon = streaming_drift_monitor(
@@ -1731,12 +1789,13 @@ def q_streaming_join(spark, sf_dir):
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def _side(event_type, id_alias, ts_alias):
+        ev_path, ev_opts = _stream_table_source(sf_dir, "events")
         sdf = read_stream(
             spark,
             "parquet",
-            sf_dir,
+            ev_path,
             schema=raw_schema,
-            options={"pathGlobFilter": "events.parquet"},
+            options=ev_opts,
         )
         sdf = _normalize_event_ts(sdf)
         return sdf.where(F.col("event_type") == event_type).select(
@@ -1783,9 +1842,9 @@ def q_streaming_sessions(spark, sf_dir):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev_path, ev_opts = _stream_table_source(sf_dir, "events")
     sdf = read_stream(
-        spark, "parquet", sf_dir, schema=raw_schema,
-        options={"pathGlobFilter": "events.parquet"},
+        spark, "parquet", ev_path, schema=raw_schema, options=ev_opts,
     )
     sdf = _normalize_event_ts(sdf)
     sessions = sessionize(sdf, "ts", "user_id", gap="30 minutes", watermark="1 hour")
@@ -2635,7 +2694,9 @@ def q_streaming_dedup(spark, sf_dir):
         )
         q.awaitTermination()
 
-    run(sf_dir, "documents.parquet", "idx", f"sd_idx_{uuid.uuid4().hex[:8]}")
+    docs_path, docs_opts = _stream_table_source(sf_dir, "documents")
+    run(docs_path, docs_opts.get("pathGlobFilter"), "idx",
+        f"sd_idx_{uuid.uuid4().hex[:8]}")
     new = (
         table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 10 == 0)
