@@ -612,6 +612,13 @@ def minhash_lsh_pairs_incremental(
     Pass ``new_sig`` (a precomputed [id, signature] frame for the new
     batch) to skip re-shingling — the streaming sink computes signatures
     once and shares them between index write and candidate join.
+
+    Skew note: unlike the self-join operators, this asymmetric join has
+    NO bucket_cap — each new doc must learn EVERY corpus doc it
+    duplicates, so per-bucket output is |new∩bucket|·|index∩bucket| by
+    contract.  The bound is therefore batch_size · max_bucket, governed
+    by the INGEST batch size (maxFilesPerTrigger in the streaming sink),
+    not by a cap that would silently under-report duplicate hits.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
