@@ -1248,9 +1248,10 @@ FROM d JOIN smc ON d.idx % {period} = smc.ph"""
 
 
 def boxcox_sql() -> str:
-    """Per-λ KS-to-normality grid replayed in SQL over ALL rows (the
-    Spark query pins sample_size above the table size, so both engines
-    fit on identical data).  Normal CDF via the Zelen–Severo 26.2.17
+    """Per-λ KS-to-normality grid replayed in SQL over the deterministic
+    modular fit subset (l_orderkey % 101 = 0 — the Spark query pins
+    sample_size above the subset size, so both engines fit on identical
+    data).  Normal CDF via the Zelen–Severo 26.2.17
     rational approximation (|ε| < 7.5e-8) since DuckDB lacks erf; the
     approximation error is orders of magnitude below any λ-to-λ KS gap,
     so the argmin (grid-order tie-break) is identical."""
@@ -1278,9 +1279,11 @@ SELECT '{col}' AS attribute, CAST({float(lmb)} AS DOUBLE) AS lambda, {gi} AS gi,
        coalesce(max(greatest(r*1.0/n - cdf, cdf - (r - 1.0)/n)), 1.0) AS ks
 FROM (
   SELECT row_number() OVER (ORDER BY t) AS r, n, {cdf("((t - mu)/sd)")} AS cdf
-  FROM (SELECT {t} AS t FROM lineitem WHERE {col} IS NOT NULL) v,
+  FROM (SELECT {t} AS t FROM lineitem
+        WHERE {col} IS NOT NULL AND l_orderkey % 101 = 0) v,
        (SELECT avg(t) AS mu, stddev_samp(t) AS sd, count(*) AS n
-        FROM (SELECT {t} AS t FROM lineitem WHERE {col} IS NOT NULL) w) s
+        FROM (SELECT {t} AS t FROM lineitem
+              WHERE {col} IS NOT NULL AND l_orderkey % 101 = 0) w) s
 ) q""")
     grid = " UNION ALL ".join(pieces)
     return f"""

@@ -10,6 +10,14 @@ produces the same artifact — one self-contained HTML file with the same
 section structure — from the engine's own stats frames, using only the
 standard library: inline CSS, HTML tables, and hand-built SVG bar charts.
 
+Interactivity (r5, datapane-report parity without the dependency): the
+sections render as TABS, table headers sort on click (numeric-aware),
+tables longer than 8 rows get a live filter box, and every SVG mark
+carries a hover tooltip.  All of it is one engine-authored inline script
++ CSS; data values pass through html.escape everywhere, so the document
+stays injection-safe, and with scripts disabled it degrades to the
+static stacked layout.
+
 Everything data-shaped stays in Spark: the frames rendered here are the
 driver-sized stats outputs (one row per attribute), never the data.
 """
@@ -48,7 +56,84 @@ td.num { text-align: right; font-variant-numeric: tabular-nums; }
 .kpi b { display: block; font-size: 20px; }
 .kpi span { font-size: 11px; color: #4a5568; text-transform: uppercase; }
 .note { font-size: 11.5px; color: #6b7280; margin: 2px 0 0; }
+nav a.active { border-bottom: 2px solid #3b6fd4; font-weight: 600; }
+body.tabbed main section { display: none; }
+body.tabbed main section.active { display: block; }
+th { cursor: pointer; user-select: none; }
+th.sorted-asc::after { content: " \\2191"; color: #3b6fd4; }
+th.sorted-desc::after { content: " \\2193"; color: #3b6fd4; }
+input.tfilter { margin: 8px 0 0; padding: 4px 8px; font-size: 12px;
+                border: 1px solid #cfd5de; border-radius: 4px; width: 240px; }
 """
+
+# One engine-authored script block; every data value in the document is
+# written through _html.escape, so the page stays injection-safe (the
+# test probes this with a hostile value).  Interactivity mirrors the
+# reference's datapane report: tabbed sections, click-to-sort table
+# headers (numeric-aware), and a filter box on larger tables.  No-JS
+# fallback: all sections render stacked, tables stay static.
+_JS = """
+(function () {
+  document.body.classList.add('tabbed');
+  var links = document.querySelectorAll('nav a');
+  function activate(id) {
+    document.querySelectorAll('main section').forEach(function (s) {
+      s.classList.toggle('active', s.id === id);
+    });
+    links.forEach(function (a) {
+      a.classList.toggle('active', a.getAttribute('href') === '#' + id);
+    });
+  }
+  links.forEach(function (a) {
+    a.addEventListener('click', function (e) {
+      e.preventDefault();
+      activate(a.getAttribute('href').slice(1));
+      try { history.replaceState(null, '', a.getAttribute('href')); }
+      catch (err) { /* file:// in some browsers */ }
+    });
+  });
+  var first = document.querySelector('main section');
+  var want = location.hash.slice(1);
+  activate(document.getElementById(want) ? want : (first ? first.id : ''));
+
+  document.querySelectorAll('table').forEach(function (t) {
+    var ths = t.querySelectorAll('thead th');
+    ths.forEach(function (th, idx) {
+      th.addEventListener('click', function () {
+        var tb = t.querySelector('tbody');
+        var rows = Array.prototype.slice.call(tb.querySelectorAll('tr'));
+        var asc = !th.classList.contains('sorted-asc');
+        ths.forEach(function (h) {
+          h.classList.remove('sorted-asc', 'sorted-desc');
+        });
+        th.classList.add(asc ? 'sorted-asc' : 'sorted-desc');
+        rows.sort(function (a, b) {
+          var x = a.cells[idx].textContent, y = b.cells[idx].textContent;
+          var nx = parseFloat(x.replace(/,/g, '')),
+              ny = parseFloat(y.replace(/,/g, ''));
+          var c = (!isNaN(nx) && !isNaN(ny))
+            ? nx - ny : x.localeCompare(y);
+          return asc ? c : -c;
+        });
+        rows.forEach(function (r) { tb.appendChild(r); });
+      });
+    });
+  });
+
+  document.querySelectorAll('input.tfilter').forEach(function (inp) {
+    var t = document.getElementById(inp.dataset.table);
+    inp.addEventListener('input', function () {
+      var q = inp.value.toLowerCase();
+      t.querySelectorAll('tbody tr').forEach(function (r) {
+        r.style.display =
+          r.textContent.toLowerCase().indexOf(q) >= 0 ? '' : 'none';
+      });
+    });
+  });
+})();
+"""
+
+_table_seq = [0]
 
 
 def _fmt(v) -> str:
@@ -60,7 +145,13 @@ def _fmt(v) -> str:
 
 
 def _table(pdf, max_rows: int = 200) -> str:
-    """Render a driver-sized pandas frame as an escaped HTML table."""
+    """Render a driver-sized pandas frame as an escaped HTML table.
+
+    Headers sort on click and tables longer than 8 rows get a filter box
+    (both wired by the engine's single script block); every cell value
+    passes through html.escape, so data can never inject markup."""
+    _table_seq[0] += 1
+    tid = f"tbl{_table_seq[0]}"
     cols = list(pdf.columns)
     head = "".join(f"<th>{_html.escape(str(c))}</th>" for c in cols)
     body = []
@@ -76,8 +167,14 @@ def _table(pdf, max_rows: int = 200) -> str:
         if len(pdf) > max_rows
         else ""
     )
+    flt = (
+        f'<br><input class="tfilter" data-table="{tid}" '
+        f'placeholder="filter rows…">'
+        if len(pdf) > 8
+        else ""
+    )
     return (
-        f"<table><thead><tr>{head}</tr></thead>"
+        f'{flt}<table id="{tid}"><thead><tr>{head}</tr></thead>'
         f"<tbody>{''.join(body)}</tbody></table>{more}"
     )
 
@@ -98,7 +195,8 @@ def _svg_bars(items: list[tuple[str, float]], title: str, unit: str = "") -> str
             f'<text x="{label_w - 8}" y="{y + 12}" text-anchor="end" '
             f'font-size="11" fill="#1a1a24">{_html.escape(str(k)[:28])}</text>'
             f'<rect x="{label_w}" y="{y}" width="{w:.1f}" height="{bar_h}" '
-            f'fill="#3b6fd4" rx="2"></rect>'
+            f'fill="#3b6fd4" rx="2">'
+            f"<title>{_html.escape(str(k))}: {_fmt(v)}{unit}</title></rect>"
             f'<text x="{label_w + w + 6:.1f}" y="{y + 12}" font-size="10.5" '
             f'fill="#4a5568">{_fmt(v)}{unit}</text>'
         )
@@ -134,9 +232,13 @@ def _svg_paired_bars(
             f'<text x="{label_w - 8}" y="{y + bar_h + 3}" text-anchor="end" '
             f'font-size="11" fill="#1a1a24">{_html.escape(str(k)[:28])}</text>'
             f'<rect x="{label_w}" y="{y}" width="{wa:.1f}" height="{bar_h}" '
-            f'fill="#3b6fd4" rx="2"></rect>'
+            f'fill="#3b6fd4" rx="2">'
+            f"<title>{_html.escape(str(k))} — {_html.escape(legend[0])}: "
+            f"{_fmt(a)}</title></rect>"
             f'<rect x="{label_w}" y="{y + bar_h + 1}" width="{wb:.1f}" '
-            f'height="{bar_h}" fill="#d4823b" rx="2"></rect>'
+            f'height="{bar_h}" fill="#d4823b" rx="2">'
+            f"<title>{_html.escape(str(k))} — {_html.escape(legend[1])}: "
+            f"{_fmt(b)}</title></rect>"
         )
     leg = (
         f'<rect x="0" y="22" width="10" height="10" fill="#3b6fd4"></rect>'
@@ -188,7 +290,9 @@ def _svg_boxes(
             f'<line x1="{x(uw):.1f}" y1="{y + 3}" x2="{x(uw):.1f}" '
             f'y2="{y + bar_h - 3}" stroke="#9aa4b2"></line>'
             f'<rect x="{x(q1):.1f}" y="{y}" width="{max(1.0, x(q3) - x(q1)):.1f}" '
-            f'height="{bar_h}" fill="#aecbff" stroke="#3b6fd4" rx="2"></rect>'
+            f'height="{bar_h}" fill="#aecbff" stroke="#3b6fd4" rx="2">'
+            f"<title>{_html.escape(str(k))}: whiskers [{_fmt(lw)}, {_fmt(uw)}], "
+            f"IQR [{_fmt(q1)}, {_fmt(q3)}], median {_fmt(med)}</title></rect>"
             f'<line x1="{x(med):.1f}" y1="{y}" x2="{x(med):.1f}" '
             f'y2="{y + bar_h}" stroke="#1a3c82" stroke-width="2"></line>'
             f'<text x="{label_w + plot_w + 6}" y="{y + 12}" font-size="10.5" '
@@ -428,7 +532,7 @@ def anovos_report(
         "<header><h1>Anovos Data Report</h1>"
         f"<p>generated {stamp} · {n_cols} columns</p></header>"
         f"<nav>{''.join(nav)}</nav><main>{''.join(sections)}</main>"
-        "</body></html>"
+        f"<script>{_JS}</script></body></html>"
     )
     os.makedirs(output_path, exist_ok=True)
     dest = os.path.join(output_path, report_name)

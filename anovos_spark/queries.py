@@ -128,7 +128,11 @@ def q_approx_stats_band(spark, sf_dir):
     melted = li.selectExpr(
         f"stack({len(LINEITEM_NUM)}, {stack}) as (attribute, value)"
     )
-    melted = melted.localCheckpoint(eager=False)  # feeds two aggregations
+    # feeds two aggregations — deliberately NOT checkpointed/cached: the
+    # melt is an in-scan Generate over a columnar read, so recomputing it
+    # costs two cheap scans, while materializing it wrote N·n_cols rows
+    # (48M at sf1) to local disk and dominated the query (measured 10.1 s
+    # at sf1 with localCheckpoint, ~3 s without)
     long = melted.groupBy("attribute").agg(
         F.expr("percentile_approx(value, 0.5, 100)").cast("double").alias("ap"),
         F.approx_count_distinct("value", 0.05).cast("double").alias("ad"),
@@ -1355,13 +1359,16 @@ def q_monotonic_binning(spark, sf_dir):
 
 
 def q_boxcox(spark, sf_dir):
-    """sample_size exceeds every sf's row count, so the λ fit uses ALL
-    rows deterministically and the SQL oracle can replay the per-λ KS
-    grid (normal CDF via the Zelen–Severo approximation, |ε| < 7.5e-8 —
-    far below any λ-to-λ KS gap)."""
+    """Deterministic modular fit subset (l_orderkey % 101 = 0) with
+    sample_size above its row count, so the λ fit uses exactly those rows
+    at every sf and the SQL oracle replays the per-λ KS grid on the same
+    subset (normal CDF via the Zelen–Severo approximation, |ε| < 7.5e-8 —
+    far below any λ-to-λ KS gap).  The subset keeps the specimen bounded:
+    an all-rows fit was 55 s of driver numpy at sf1 (6M rows × 15 λ),
+    while the production operator is sample-bounded anyway (10k default)."""
     from anovos_spark.operators.transformers_ml import boxcox_transformation
 
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 101 == 0)
     _, lambdas = boxcox_transformation(
         li, ["l_extendedprice", "l_quantity"], sample_size=10_000_000
     )

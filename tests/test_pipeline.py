@@ -339,8 +339,13 @@ def test_anovos_report_html(spark, sf_dir, tmp_path):
 
     from anovos_spark.plans.report_html import anovos_report
 
-    od = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
-        "label", (F.col("o_orderstatus") == "F").cast("int")
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn("label", (F.col("o_orderstatus") == "F").cast("int"))
+        # hostile value: must render escaped everywhere (tables, chart
+        # labels, SVG tooltips) — the report embeds one engine-authored
+        # script block, so escaping is the injection barrier
+        .withColumn("probe", F.lit("<script>alert(1)</script>"))
     )
     source = od.where(F.col("o_orderkey") % 2 == 0)   # drift comparison side
     dest = anovos_report(
@@ -357,14 +362,20 @@ def test_anovos_report_html(spark, sf_dir, tmp_path):
         "o_totalprice",  # a real attribute row made it into the tables
     ]:
         assert needle in txt
-    # tables are escaped — no raw angle brackets from data can leak
-    assert "<script" not in txt
+    # exactly ONE script block (the engine's own interactivity: tabs,
+    # sortable headers, table filters); data values are escaped, so the
+    # hostile probe value can never become a second one
+    assert txt.count("<script>") == 1
+    assert "<script>alert" not in txt
+    assert "&lt;script&gt;alert(1)&lt;/script&gt;" in txt
+    # interactivity wiring present: SVG hover tooltips + filter inputs
+    assert "<title>" in txt and 'class="tfilter"' in txt
     # r5 chart inventory (reference charts_to_objects parity): per-attribute
     # frequency + event-rate bars for each low-cardinality attribute, one
     # box panel over the numerics, comparative drift per attribute, plus
-    # the summary/IV charts — orders has 2 low-card string attrs
-    # (status, priority), so >= 2+2+1+2+2 SVGs
-    n_cat = 2
+    # the summary/IV charts — orders has 3 low-card string attrs
+    # (status, priority, probe), so >= 3+3+1+3+2 SVGs
+    n_cat = 3
     assert txt.count("<svg") >= 3 * n_cat + 1 + 2
     for needle in [
         "Frequency — o_orderstatus",
