@@ -449,14 +449,35 @@ def time_weighted_avg(
     are associative — partition-order- and engine-invariant — so the
     rounded result is bit-stable at any scale (value quantized at 1e-6,
     well inside the contract's 6-decimal rounding).
+
+    Magnitude bound (explicit, FAIL-FAST): |value| must be < 1e12 —
+    decimal(18,6) holds 12 integer digits, and the v·dt product is only
+    exactly representable (precision 37, scale 12 ≤ 38) at 18-digit
+    operands, so widening would trade silent product rounding for the
+    overflow.  A value at or beyond the bound raises at execution time
+    (in-plan check, no extra pass) instead of the non-ANSI cast's silent
+    NULL, which would drop the row from both averages.  Interval deltas
+    are physically bounded (1e12 seconds ≈ 31,000 years) and need no
+    guard.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc())
+    v_dbl = F.col(value_col).cast("double")
+    v_checked = F.when(v_dbl.isNull() | (F.abs(v_dbl) < F.lit(1e12)), v_dbl).otherwise(
+        F.raise_error(
+            F.format_string(
+                "time_weighted_avg: |%s|=%s exceeds the exact decimal(18,6) "
+                "bound of 1e12; rescale the value column first",
+                F.lit(value_col),
+                v_dbl,
+            )
+        ).cast("double")
+    )
     stepped = idf.select(
         F.col(group_col),
         F.col(ts_col),
-        F.col(value_col).cast("double").cast("decimal(18,6)").alias("__v__"),
+        v_checked.cast("decimal(18,6)").alias("__v__"),
         # fractional-second intervals: timestamp->double keeps the
         # microseconds (unix_timestamp truncates and skews short gaps);
         # the intermediate cast makes TIMESTAMP_NTZ inputs castable too

@@ -208,9 +208,9 @@ def _cap_buckets(rows: DataFrame, keys, cap: int):
     bucket, and a self-join on that key emits N²/2 rows FROM A SINGLE
     TASK — the one shape AQE skew handling can't fix, because the blowup
     is the join result, not the input partition.  Buckets over ``cap``
-    are diverted to a chain fallback at the call site (consecutive-id
-    links: same connectivity for the components consumer, O(N log N)
-    sort instead of O(N²) pairs).
+    are diverted to a spanning-STAR fallback at the call site (two-level
+    when a homogeneity group_col is given: same connectivity for the
+    components consumer, O(N log N) sort instead of O(N²) pairs).
 
     The oversized-bucket key list is bounded by N/cap and in practice a
     handful, so it broadcasts; the split itself is one partial-agg
@@ -227,30 +227,56 @@ def _cap_buckets(rows: DataFrame, keys, cap: int):
     )
 
 
-def _chain_pairs(over: DataFrame, keys, order_col: str, payload=()):
-    """Spanning-STAR candidates inside oversized buckets: every member
-    links to the bucket's minimum-id member.  Emits
+def _chain_pairs(over: DataFrame, keys, order_col: str, payload=(), group_col=None):
+    """Spanning-STAR candidates inside oversized buckets.  Emits
     [id_a, id_b(, payload_a, payload_b…)] with id_a < id_b.  A star
     touches every member, so downstream connected components see the
     same groups as the all-pairs join would, and its diameter is 2 —
     near_dup_components' min-label propagation converges in one round
     (a consecutive-id CHAIN was tried first and is a trap: diameter N
-    exceeds the propagation round bound, silently fragmenting the
-    component — pinned by the degenerate-corpus tests).  Only the
-    exhaustive pair LISTING is reduced (documented at call sites)."""
+    exceeds a fixed propagation round bound, silently fragmenting the
+    component — pinned by the degenerate-corpus tests).
+
+    Star edges still pass through the call site's EXACT verification,
+    and in a MIXED oversized bucket (members not all near-identical) a
+    raw star through the global min-id center can fail verification
+    where suppressed all-pairs edges would have passed — fragmenting
+    true components.  With ``group_col`` (an exact content/homogeneity
+    key: full minhash signature hash, full simhash value, the string
+    itself) the star is TWO-LEVEL: one star per homogeneous sub-group
+    (identical keys ⇒ near-identical content ⇒ star edges verify
+    together, exactly so for bit-identical documents) plus one star
+    over the sub-group min-id representatives.  Total edges stay N−1
+    per bucket; only cross-sub-group recall remains best-effort (a true
+    pair between two sub-groups is found iff the REPRESENTATIVE pair
+    verifies — near-certain when sub-groups are signature-homogeneous,
+    and any such pair can still surface through the other, un-capped
+    bands).  Without group_col the raw single star is used."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(*keys).orderBy(order_col)
-    sel = [
-        F.first(order_col).over(w).alias("id_a"),
-        F.col(order_col).alias("id_b"),
-    ]
-    for p in payload:
-        sel.append(F.first(p).over(w).alias(f"{p}_a"))
-        sel.append(F.col(p).alias(f"{p}_b"))
-    # strict < also drops the center's self-link and duplicate ids (e.g.
-    # a string meeting one variant via two deletion paths)
-    return over.select(*sel).where(F.col("id_a") < F.col("id_b"))
+    def star(df, part_keys):
+        w = Window.partitionBy(*part_keys).orderBy(order_col)
+        sel = [
+            F.first(order_col).over(w).alias("id_a"),
+            F.col(order_col).alias("id_b"),
+        ]
+        for p in payload:
+            sel.append(F.first(p).over(w).alias(f"{p}_a"))
+            sel.append(F.col(p).alias(f"{p}_b"))
+        # strict < also drops the center's self-link and duplicate ids
+        # (e.g. a string meeting one variant via two deletion paths)
+        return df.select(*sel).where(F.col("id_a") < F.col("id_b"))
+
+    if group_col is None:
+        return star(over, list(keys))
+    w_sub = Window.partitionBy(*keys, group_col).orderBy(order_col)
+    intra = star(over, list(keys) + [group_col])
+    reps = (
+        over.withColumn("__rn__", F.row_number().over(w_sub))
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+    return intra.unionByName(star(reps, list(keys)))
 
 
 def minhash_signatures(
@@ -297,16 +323,21 @@ def minhash_lsh_pairs(
     Skew guard: a band bucket larger than ``bucket_cap`` (a degenerate
     corpus of N identical docs fills one bucket with all N) would emit
     N²/2 candidates from one join task.  Such buckets instead emit a
-    consecutive-id spanning CHAIN — identical connectivity for
-    near_dup_components/apply_dedup, O(N log N) cost — so the pair
-    listing inside a pathological bucket is a connected subset, not
-    exhaustive.  bucket_cap=None restores unguarded all-pairs."""
+    two-level spanning STAR keyed on the full-signature hash (see
+    _chain_pairs): identical-content connectivity is preserved exactly,
+    cross-sub-group pairs inside the oversized bucket are found via
+    representatives (best-effort; other bands still cover them), and
+    the pair LISTING is a connected subset, not exhaustive.
+    bucket_cap=None restores unguarded all-pairs."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     sig = minhash_signatures(idf, text_col, id_col, n, num_hashes)
     band_rows = sig.select(
         "id",
+        # full-signature hash: the homogeneity key for the two-level
+        # star fallback in oversized buckets (4 extra bytes per row)
+        F.hash("signature").alias("__hk__"),
         F.explode(
             F.array(
                 *[
@@ -320,11 +351,13 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "id", "__hk__", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     chain = None
     if bucket_cap is not None:
         band_rows, over = _cap_buckets(band_rows, ["band", "bucket"], bucket_cap)
-        chain = _chain_pairs(over, ["band", "bucket"], "id")
+        chain = _chain_pairs(over, ["band", "bucket"], "id", group_col="__hk__")
     a, b = band_rows.alias("a"), band_rows.alias("b")
     candidates = (
         a.join(
@@ -373,13 +406,26 @@ def near_dup_components(
     This is the step every dedup pipeline needs after candidate
     generation: pair lists don't dedup anything until they're grouped.
 
-    Distributed min-label propagation: every node starts labeled with
-    itself; each round joins labels across edges (both directions) and
-    keeps the per-node minimum; lineage is truncated per round
-    (localCheckpoint) and iteration stops at the first fixpoint —
-    O(diameter) rounds, each one equi-join + one groupBy, no driver
-    state.  Near-dup components have tiny diameters (pairs share
-    content), so 2-4 rounds is typical; max_iter bounds pathology."""
+    Distributed min-label propagation WITH pointer doubling: every node
+    starts labeled with itself; each round (1) joins labels across edges
+    (both directions) and keeps the per-node minimum, then (2) shortcuts
+    each label to its label's label (label(label(id))) — the doubling
+    step halves every node's distance to its component minimum, so the
+    loop converges in O(log diameter) rounds instead of O(diameter).
+    That matters for long-chain graphs: the geospatial dense-cell path
+    feeds 8-neighbor grid graphs whose diameter can reach the cell count
+    (a snake-shaped dense region), which one-hop propagation would never
+    close within any fixed round bound.  Lineage is truncated per round
+    (localCheckpoint); iteration stops at the first fixpoint.  Both
+    steps only ever DECREASE a node's label and never below the
+    component minimum, so the fixpoint is exactly min-id labeling.
+
+    Raises RuntimeError if the labels have not reached a fixpoint after
+    ``max_iter`` rounds — a silent non-convergence would split one
+    component into several, which downstream dedup/clustering would
+    misread as distinct groups.  With doubling, the default 20 rounds
+    covers diameters up to ~2^20; pass a larger max_iter for adversarial
+    graphs rather than relying on the partial result."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -393,16 +439,34 @@ def near_dup_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    changed = 0
     for _ in range(max_iter):
         # neighbor labels: for each edge (src,dst), dst's current label
         neighbor = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .select(F.col("src").alias("id"), "component")
         )
-        new_labels = (
+        hop = (
             labels.unionByName(neighbor)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+            # checkpoint BEFORE the self-join: truncating the union's
+            # lineage here both bounds plan growth and sidesteps a
+            # Catalyst constraint-rewrite defect on self-joined unions
+            .localCheckpoint(eager=True)
+        )
+        # pointer doubling: label ← label(label).  Every component value
+        # is itself a node id present in `hop`, so the join is total.
+        new_labels = (
+            hop.alias("a")
+            .join(
+                hop.select(
+                    F.col("id").alias("component"),
+                    F.col("component").alias("__c2__"),
+                ),
+                "component",
+            )
+            .select("id", F.col("__c2__").alias("component"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -415,6 +479,11 @@ def near_dup_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iter} rounds; "
+            "raise max_iter (pointer doubling needs ~log2(diameter) rounds)"
+        )
     return labels
 
 
@@ -455,9 +524,10 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_distance.
     [id_a, id_b, hamming].  Segment buckets larger than ``bucket_cap``
-    (degenerate identical-content corpora) emit consecutive-id spanning
-    chains instead of all pairs — same skew guard and connectivity
-    contract as minhash_lsh_pairs.
+    (degenerate identical-content corpora) emit a two-level spanning STAR
+    keyed on the full simhash instead of all pairs — same skew guard and
+    connectivity contract as minhash_lsh_pairs (hamming-0 sub-groups
+    connect exactly; cross-sub-group recall is representative-mediated).
 
     Candidate generation bands the signature into max_distance+1 disjoint
     bit segments; by pigeonhole, any pair within hamming max_distance
@@ -491,8 +561,10 @@ def simhash_pairs(
     chain = None
     if bucket_cap is not None:
         band_rows, over = _cap_buckets(band_rows, ["band", "seg"], bucket_cap)
+        # group_col = the full simhash value: sub-group stars connect
+        # hamming-0 members exactly; representatives cover the rest
         chain = _chain_pairs(
-            over, ["band", "seg"], "id", payload=["simhash"]
+            over, ["band", "seg"], "id", payload=["simhash"], group_col="simhash"
         ).select(
             "id_a",
             "id_b",
@@ -809,10 +881,11 @@ def fuzzy_match_pairs(
     given up (documented approximation).
 
     Skew guard: a variant bucket over ``bucket_cap`` members (N
-    identical keys all share the identity variant) emits a
-    consecutive-id spanning chain instead of all pairs — connectivity
-    preserved for entity-resolution grouping, O(N log N) instead of
-    the N²/2-rows-from-one-task join.  bucket_cap=None disables.
+    identical keys all share the identity variant) emits a two-level
+    spanning STAR keyed on the full string instead of all pairs —
+    identical strings stay connected exactly, distinct ones bridge via
+    representatives; O(N log N) instead of the N²/2-rows-from-one-task
+    join.  bucket_cap=None disables.
     """
     k = int(max_distance)
     if k not in (1, 2):
@@ -835,11 +908,16 @@ def fuzzy_match_pairs(
         blk = F.col("__s__").substr(1, int(max_length))
     docs = base.withColumn("__v__", deletion_variants(blk, k))
     docs.persist()
-    ex = docs.select("id", F.explode("__v__").alias("v"))
+    # __hk__ = hash of the full string: in an oversized variant bucket
+    # the two-level star connects identical strings exactly (distance 0)
+    # and bridges distinct ones via representatives
+    ex = docs.select(
+        "id", F.hash("__s__").alias("__hk__"), F.explode("__v__").alias("v")
+    )
     chain = None
     if bucket_cap is not None:
         ex, over = _cap_buckets(ex, ["v"], bucket_cap)
-        chain = _chain_pairs(over, ["v"], "id")
+        chain = _chain_pairs(over, ["v"], "id", group_col="__hk__")
     a, b = ex.alias("a"), ex.alias("b")
     candidates = (
         a.join(

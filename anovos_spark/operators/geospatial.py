@@ -912,7 +912,12 @@ def _dense_labels_distributed(dense_df: DataFrame) -> DataFrame:
         d.select("__cx__", "__cy__", F.col("cell").alias("id_b")),
         ["__cx__", "__cy__"],
     ).select("id_a", "id_b")
-    comp = near_dup_components(edges, "id_a", "id_b")
+    # grid graphs can be snake-shaped (diameter ≈ cell count); the
+    # propagation uses pointer doubling, so rounds ≈ log2(diameter) —
+    # 64 covers any physically possible cell count, and the helper
+    # raises rather than returning split components if it ever fails
+    # to reach the fixpoint.
+    comp = near_dup_components(edges, "id_a", "id_b", max_iter=64)
     labeled = d.join(
         comp.withColumnRenamed("id", "cell"), "cell", "left_outer"
     ).select(

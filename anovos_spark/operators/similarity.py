@@ -287,7 +287,7 @@ def embedding_near_dup_pairs(
         # skew guard (same contract as dedup's banded joins): a sketch
         # bucket over bucket_cap members — N identical embeddings land in
         # one (table, bucket) key — would emit N²/2 pairs from one join
-        # task; such buckets emit a consecutive-id spanning chain instead
+        # task; such buckets emit a min-id spanning STAR instead
         # (connectivity-equivalent for near-dup grouping).  Only sa needs
         # the filter: sb rows in oversized buckets then find no partner.
         chain_scored = None

@@ -12,7 +12,7 @@ standard library: inline CSS, HTML tables, and hand-built SVG bar charts.
 
 Interactivity (r5, datapane-report parity without the dependency): the
 sections render as TABS, table headers sort on click (numeric-aware),
-tables longer than 8 rows get a live filter box, and every SVG mark
+tables longer than 3 rows get a live filter box, and every SVG mark
 carries a hover tooltip.  All of it is one engine-authored inline script
 + CSS; data values pass through html.escape everywhere, so the document
 stays injection-safe, and with scripts disabled it degrades to the
@@ -147,7 +147,7 @@ def _fmt(v) -> str:
 def _table(pdf, max_rows: int = 200) -> str:
     """Render a driver-sized pandas frame as an escaped HTML table.
 
-    Headers sort on click and tables longer than 8 rows get a filter box
+    Headers sort on click and tables longer than 3 rows get a filter box
     (both wired by the engine's single script block); every cell value
     passes through html.escape, so data can never inject markup."""
     _table_seq[0] += 1
@@ -170,7 +170,7 @@ def _table(pdf, max_rows: int = 200) -> str:
     flt = (
         f'<br><input class="tfilter" data-table="{tid}" '
         f'placeholder="filter rows…">'
-        if len(pdf) > 8
+        if len(pdf) > 3
         else ""
     )
     return (

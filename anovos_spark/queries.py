@@ -3053,20 +3053,54 @@ def q_interval_coverage(spark, sf_dir):
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry iteration order is deliberate: oracle-backed queries first
-    (cheapest first, by measured sf0.01 cost), rows-only entries last — so
-    a time-capped correctness run covers the maximum number of
-    hash-checked queries before any cap hits (round-1 driver run recorded
-    only 50/80)."""
+    """Registry iteration order is deliberate: oracle-backed queries
+    first (rows-only entries last), and WITHIN the oracle-backed stratum
+    least-previously-sampled first — a time-capped correctness run draws
+    from the front, so static ordering left the same ~50 names sampled
+    every round (rounds 4 and 5 each added ZERO new driver-verified
+    names).  Prior sample counts come from the committed
+    CORRECTNESS_r*.json artifacts, making the rotation deterministic and
+    self-correcting: anything the driver has verified moves to the back
+    of its stratum, never-sampled queries move to the front.  Cost
+    (measured sf0.01 seconds) stays as the tiebreak so equally-sampled
+    queries still run cheapest-first."""
     base = _registry_entries()
     from anovos_spark.oracles import registry as oracle_registry
 
     with_oracle = set(oracle_registry())
+    seen = _prior_driver_sample_counts()
     order = sorted(
         base,
-        key=lambda k: (k not in with_oracle, _APPROX_COST.get(k, 5.0)),
+        key=lambda k: (
+            k not in with_oracle,
+            seen.get(k, 0),
+            _APPROX_COST.get(k, 5.0),
+            k,
+        ),
     )
     return {k: base[k] for k in order}
+
+
+def _prior_driver_sample_counts() -> dict[str, int]:
+    """How many times each query name appeared in a prior driver
+    correctness run (CORRECTNESS_r*.json at the repo root).  Missing or
+    malformed artifacts degrade to zero counts (static order)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    counts: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                payload = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(payload, dict):
+            for name in payload:
+                counts[name] = counts.get(name, 0) + 1
+    return counts
 
 
 # measured sf0.01 bench seconds (round 2); used only to order the

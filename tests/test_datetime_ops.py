@@ -186,3 +186,21 @@ def test_benford_check_all_null_attribute_absent(spark):
     assert out.where(
         F.col("observed_frac").isNull() | F.col("chi2_term").isNull()
     ).count() == 0
+
+
+def test_time_weighted_avg_magnitude_guard(spark):
+    """|value| >= 1e12 must FAIL FAST (in-plan raise), not silently null
+    out of the decimal(18,6) pipeline; NULL values still pass through."""
+    base = [
+        ("g", datetime.datetime(2024, 1, 1, 0, 0, i), float(i + 1))
+        for i in range(4)
+    ]
+    with_null = base + [("g", datetime.datetime(2024, 1, 1, 0, 1, 0), None)]
+    df = spark.createDataFrame(with_null, "g string, ts timestamp, v double")
+    row = DT.time_weighted_avg(df, "g", "ts", "v").collect()[0]
+    assert row["n_obs"] == 5 and row["twa"] is not None
+
+    bad = base + [("g", datetime.datetime(2024, 1, 1, 0, 1, 0), 2e12)]
+    dfb = spark.createDataFrame(bad, "g string, ts timestamp, v double")
+    with pytest.raises(Exception, match="exceeds the exact decimal"):
+        DT.time_weighted_avg(dfb, "g", "ts", "v").collect()

@@ -100,6 +100,33 @@ def test_near_dup_components_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_near_dup_components_long_chain_pointer_doubling(spark):
+    """A 3000-node path graph has diameter 2999 — one-hop min-label
+    propagation could never close it inside the default 20-round bound;
+    pointer doubling must (log2(2999) ≈ 12 rounds).  This is exactly the
+    shape a snake-like dense geo region feeds through
+    _dense_labels_distributed."""
+    n = 3000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], schema="id_a long, id_b long"
+    ).coalesce(4)
+    comp = DD.near_dup_components(pairs)
+    assert comp.where(F.col("component") != 0).count() == 0
+    assert comp.count() == n
+
+
+def test_near_dup_components_raises_on_nonconvergence(spark):
+    """Silent partial labeling would split one component into many —
+    the helper must raise instead when max_iter is too small."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], schema="id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        DD.near_dup_components(pairs, max_iter=1)
+
+
 def test_simhash_pairs_plan_has_no_nested_loop(docs):
     plan = DD.simhash_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
@@ -814,3 +841,73 @@ def test_feature_explorer(spark):
     inds2 = {r["industry"] for r in
              FE.list_industry_by_usecase(corpus, "churn prediction").collect()}
     assert inds2 == {"tech", "telecom"}
+
+
+def test_chain_pairs_two_level_star_mixed_bucket(spark):
+    """A MIXED oversized bucket (two homogeneous sub-groups sharing one
+    band bucket): the two-level star must (1) star each sub-group on its
+    own members — so exact verification passes inside a sub-group even
+    when the global min-id belongs to the OTHER content — and (2) bridge
+    sub-groups through their min-id representatives only."""
+    from anovos_spark.operators.dedup import _chain_pairs
+
+    rows = [("b1", i, 7) for i in range(0, 6)]        # group hk=7, ids 0-5
+    rows += [("b1", i, 9) for i in range(10, 16)]     # group hk=9, ids 10-15
+    over = spark.createDataFrame(rows, "bucket string, id long, __hk__ int")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in _chain_pairs(over, ["bucket"], "id", group_col="__hk__").collect()
+    }
+    intra_a = {(0, i) for i in range(1, 6)}           # star on min id 0
+    intra_b = {(10, i) for i in range(11, 16)}        # star on min id 10
+    rep = {(0, 10)}                                   # representative bridge
+    assert got == intra_a | intra_b | rep
+
+
+def test_fuzzy_two_level_star_mixed_bucket_recall(spark):
+    """End-to-end recall of the two-level star: two DIFFERENT identical-
+    string groups share the oversized variant bucket only via deletion
+    variants; with the raw single star, far-group members would link only
+    through a center that fails Levenshtein verification against them.
+    Two-level: every identical pair survives exactly (distance 0)."""
+    from anovos_spark.operators import dedup as DD
+
+    n = 40
+    rows = [(i, "aaaa") for i in range(n)]            # group 1
+    rows += [(1000 + i, "aaab") for i in range(n)]    # group 2, lev dist 1
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = DD.fuzzy_match_pairs(df, "s", "id", max_distance=1, bucket_cap=15)
+    pairs = out.collect()
+    # each group forms ONE component; the rep pair (0, 1000) verifies at
+    # distance 1, merging the groups — same as all-pairs would
+    comp = DD.near_dup_components(out)
+    assert comp.groupBy("component").count().collect()[0]["count"] == 2 * n
+    # intra-group star edges all verify at distance 0
+    d0 = [r for r in pairs if r["distance"] == 0]
+    assert len(d0) >= 2 * (n - 1)
+    # and the listing stays linear, not quadratic
+    assert len(pairs) < 2 * n * (2 * n - 1) // 4
+
+
+def test_incremental_minhash_degenerate_batch(spark):
+    """VERDICT r5 #7: a pathological all-identical ingest batch against
+    an index that also holds identical docs.  The incremental join has
+    NO bucket_cap by contract (each new doc must learn every corpus doc
+    it duplicates) — output must be exactly |batch|·|index dups|, i.e.
+    governed by the batch size, never |index|² or |batch|²."""
+    from anovos_spark.operators import dedup as DD
+
+    same = "the exact same document text repeated verbatim for the index"
+    idx_rows = [(i, same) for i in range(50)]
+    idx_rows += [(500 + i, f"unique corpus text {i} entry {i * 31}") for i in range(300)]
+    idx_df = spark.createDataFrame(idx_rows, "doc_id long, text string")
+    index = DD.minhash_signatures(idx_df, "text", "doc_id")
+
+    batch = spark.createDataFrame(
+        [(10_000 + i, same) for i in range(200)], "doc_id long, text string"
+    )
+    out = DD.minhash_lsh_pairs_incremental(batch, index, threshold=0.5)
+    # every (new, index-dup) pair, nothing new-vs-new, nothing quadratic
+    assert out.count() == 200 * 50
+    assert out.where(F.col("est_jaccard") < 1.0).count() == 0
+    assert out.where(F.col("index_id") >= 500).count() == 0
