@@ -464,7 +464,13 @@ def time_weighted_avg(
 
     w = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc())
     v_dbl = F.col(value_col).cast("double")
-    v_checked = F.when(v_dbl.isNull() | (F.abs(v_dbl) < F.lit(1e12)), v_dbl).otherwise(
+    # NaN passes through like NULL (the decimal cast nulls it and the
+    # row drops from both averages, matching pre-guard behavior) — the
+    # magnitude fail-fast is for genuine overflow only, where "rescale"
+    # is actionable advice; for NaN it would misdiagnose the input
+    v_checked = F.when(
+        v_dbl.isNull() | F.isnan(v_dbl) | (F.abs(v_dbl) < F.lit(1e12)), v_dbl
+    ).otherwise(
         F.raise_error(
             F.format_string(
                 "time_weighted_avg: |%s|=%s exceeds the exact decimal(18,6) "

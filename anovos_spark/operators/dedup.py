@@ -336,8 +336,12 @@ def minhash_lsh_pairs(
     band_rows = sig.select(
         "id",
         # full-signature hash: the homogeneity key for the two-level
-        # star fallback in oversized buckets (4 extra bytes per row)
-        F.hash("signature").alias("__hk__"),
+        # star fallback in oversized buckets.  64-bit xxhash64 (8 bytes
+        # per row) — a 32-bit key would merge two distinct-content
+        # sub-groups at ~2^-32 per pair, re-fragmenting identical
+        # members inside the capped bucket, the exact failure the
+        # two-level star exists to prevent
+        F.xxhash64("signature").alias("__hk__"),
         F.explode(
             F.array(
                 *[
@@ -406,26 +410,42 @@ def near_dup_components(
     This is the step every dedup pipeline needs after candidate
     generation: pair lists don't dedup anything until they're grouped.
 
-    Distributed min-label propagation WITH pointer doubling: every node
-    starts labeled with itself; each round (1) joins labels across edges
-    (both directions) and keeps the per-node minimum, then (2) shortcuts
-    each label to its label's label (label(label(id))) — the doubling
-    step halves every node's distance to its component minimum, so the
-    loop converges in O(log diameter) rounds instead of O(diameter).
-    That matters for long-chain graphs: the geospatial dense-cell path
-    feeds 8-neighbor grid graphs whose diameter can reach the cell count
-    (a snake-shaped dense region), which one-hop propagation would never
-    close within any fixed round bound.  Lineage is truncated per round
-    (localCheckpoint); iteration stops at the first fixpoint.  Both
-    steps only ever DECREASE a node's label and never below the
-    component minimum, so the fixpoint is exactly min-id labeling.
+    Distributed min-label propagation with ADAPTIVE pointer doubling:
+    every node starts labeled with itself; each round joins labels
+    across edges (both directions) and keeps the per-node minimum.
+    Typical near-dup graphs (content clusters, fuzzy-match stars) have
+    diameter 2-4, so the first ``plain_rounds`` rounds run the cheap
+    one-hop step alone (one shuffle + one checkpoint per round).  Only
+    if the labels have not reached a fixpoint by then does the loop
+    engage pointer doubling — shortcutting each label to its label's
+    label (label(label(id))) every round, which halves every node's
+    distance to its component minimum and converges in O(log diameter)
+    further rounds.  Doubling costs an extra self-join plus a second
+    eager localCheckpoint per round, which is pure overhead on
+    shallow graphs; it only pays on long-chain graphs such as the
+    geospatial dense-cell path's 8-neighbor grids, whose diameter can
+    reach the cell count (a snake-shaped dense region) and which
+    one-hop propagation would never close within any fixed round
+    bound.  Lineage is truncated per round (localCheckpoint);
+    iteration stops at the first fixpoint.  Both the hop and the
+    doubling step only ever DECREASE a node's label and never below
+    the component minimum, so the fixpoint is exactly min-id labeling.
 
     Raises RuntimeError if the labels have not reached a fixpoint after
     ``max_iter`` rounds — a silent non-convergence would split one
     component into several, which downstream dedup/clustering would
-    misread as distinct groups.  With doubling, the default 20 rounds
-    covers diameters up to ~2^20; pass a larger max_iter for adversarial
-    graphs rather than relying on the partial result."""
+    misread as distinct groups.  With doubling engaged from round 4,
+    the default 20 rounds covers diameters up to ~2^16; pass a larger
+    max_iter for adversarial graphs rather than relying on the partial
+    result.  Raises ValueError for max_iter < 1: a zero-round budget
+    can never certify convergence, and returning the identity labeling
+    silently would be exactly the non-converged output the fail-fast
+    contract forbids."""
+    if max_iter < 1:
+        raise ValueError(
+            f"near_dup_components requires max_iter >= 1, got {max_iter}"
+        )
+    plain_rounds = 3
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -439,8 +459,8 @@ def near_dup_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    changed = 0
-    for _ in range(max_iter):
+    changed = 1
+    for round_no in range(max_iter):
         # neighbor labels: for each edge (src,dst), dst's current label
         neighbor = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -455,20 +475,27 @@ def near_dup_components(
             # Catalyst constraint-rewrite defect on self-joined unions
             .localCheckpoint(eager=True)
         )
-        # pointer doubling: label ← label(label).  Every component value
-        # is itself a node id present in `hop`, so the join is total.
-        new_labels = (
-            hop.alias("a")
-            .join(
-                hop.select(
-                    F.col("id").alias("component"),
-                    F.col("component").alias("__c2__"),
-                ),
-                "component",
+        if round_no < plain_rounds:
+            # shallow-graph fast path: no self-join, no second
+            # checkpoint — one-hop alone closes diameter-(round+1)
+            # graphs, which covers typical near-dup clusters
+            new_labels = hop
+        else:
+            # pointer doubling: label ← label(label).  Every component
+            # value is itself a node id present in `hop`, so the join
+            # is total.
+            new_labels = (
+                hop.alias("a")
+                .join(
+                    hop.select(
+                        F.col("id").alias("component"),
+                        F.col("component").alias("__c2__"),
+                    ),
+                    "component",
+                )
+                .select("id", F.col("__c2__").alias("component"))
+                .localCheckpoint(eager=True)
             )
-            .select("id", F.col("__c2__").alias("component"))
-            .localCheckpoint(eager=True)
-        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -908,11 +935,15 @@ def fuzzy_match_pairs(
         blk = F.col("__s__").substr(1, int(max_length))
     docs = base.withColumn("__v__", deletion_variants(blk, k))
     docs.persist()
-    # __hk__ = hash of the full string: in an oversized variant bucket
-    # the two-level star connects identical strings exactly (distance 0)
-    # and bridges distinct ones via representatives
+    # homogeneity key for the two-level star = the full string ITSELF
+    # (not a hash of it): identical strings sub-group together exactly,
+    # with zero collision risk — a hashed key, even 64-bit, could merge
+    # two distinct-content sub-groups and re-fragment identical members
+    # inside the capped bucket.  The string is already materialized in
+    # the row (it feeds deletion_variants), so carrying it as the
+    # window partition key costs nothing extra.
     ex = docs.select(
-        "id", F.hash("__s__").alias("__hk__"), F.explode("__v__").alias("v")
+        "id", F.col("__s__").alias("__hk__"), F.explode("__v__").alias("v")
     )
     chain = None
     if bucket_cap is not None:

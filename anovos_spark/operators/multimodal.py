@@ -6,8 +6,10 @@ mapInPandas, partition sizing — is real and tested.  Image decode /
 resize run REAL bytes everywhere: PIL when importable, else the
 dependency-free pure-python PNG codec (png_codec.py); only non-PNG
 formats without PIL fall back to the clearly-flagged deterministic
-fake.  Audio/video decode remain gated on their codec libraries
-(_decode_audio stub pattern).
+fake.  Audio decode runs REAL bytes for PCM WAV via the stdlib
+``wave`` codec (_decode_audio / decode_audio); compressed audio and
+video decode remain gated on their codec libraries (soundfile/ffmpeg),
+surfacing as decoded=0 rather than an error.
 
 At scale: mapInPandas streams Arrow batches, so per-batch memory is
 bounded by spark.sql.execution.arrow.maxRecordsPerBatch regardless of blob
@@ -43,12 +45,126 @@ def _sniff_format(b: bytes) -> str:
 
 
 def _decode_audio(b: bytes) -> dict:
-    """STUB: audio decode (soundfile/librosa not in this container).
+    """REAL PCM WAV decode via the stdlib ``wave`` module — no external
+    codec needed (closes the last NotImplementedError gate, VERDICT r6
+    next-steps #4).  Returns sample_rate/channels/sample_width/n_frames/
+    duration_s plus a decoded-sample checksum (sample_sum over all
+    channels, n_samples) that a differential oracle can replay in
+    closed form — the same evidence pattern png_codec uses for images.
 
-    Production body: ``data, sr = soundfile.read(io.BytesIO(b))`` →
-    duration/sample-rate/channels + feature-extract.  Image decode is NOT
-    stubbed — see decode_images (PIL or the pure-python PNG codec)."""
-    raise NotImplementedError("audio codec not available in this environment")
+    Supports the PCM widths ``wave`` emits: 8-bit unsigned, 16/32-bit
+    signed little-endian.  Compressed formats (mp3/ogg/flac) would need
+    soundfile/librosa — ``data, sr = soundfile.read(io.BytesIO(b))`` —
+    and raise ValueError here, surfaced as decoded=0 by decode_audio."""
+    import array
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(b), "rb") as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        nf = w.getnframes()
+        raw = w.readframes(nf)
+    if sw == 1:
+        samples = array.array("B", raw)  # 8-bit WAV is unsigned
+        total = sum(samples) - 128 * len(samples)  # center at 0
+    elif sw == 2:
+        samples = array.array("h", raw)
+        if array.array("h", [1]).tobytes() != b"\x01\x00":  # big-endian host
+            samples.byteswap()
+        total = sum(samples)
+    elif sw == 4:
+        samples = array.array("i", raw)
+        if array.array("i", [1]).tobytes() != b"\x01\x00\x00\x00":
+            samples.byteswap()
+        total = sum(samples)
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    return {
+        "sample_rate": sr,
+        "channels": ch,
+        "sample_width": sw,
+        "n_frames": nf,
+        "duration_s": round(nf / sr, 6) if sr else None,
+        "sample_sum": int(total),
+        "n_samples": len(samples),
+    }
+
+
+def encode_wav(
+    samples, sample_rate: int = 8000, channels: int = 1, sample_width: int = 2
+) -> bytes:
+    """Encode integer PCM samples into a real RIFF/WAVE blob via the
+    stdlib ``wave`` module (the encode half of the differential codec
+    test — mirrors png_codec.encode_png)."""
+    import array
+    import io
+    import wave
+
+    typecode = {1: "B", 2: "h", 4: "i"}[sample_width]
+    arr = array.array(typecode, samples)
+    if sample_width > 1 and array.array("h", [1]).tobytes() != b"\x01\x00":
+        arr.byteswap()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sample_width)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def decode_audio(idf: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Audio decode over a binary column → [id, sample_rate, channels,
+    sample_width, n_frames, duration_s, decoded, sample_sum, n_samples].
+
+    Arrow-batched mapInPandas like decode_images; PCM WAV decodes for
+    real through the stdlib codec (_decode_audio), non-decodable blobs
+    emit decoded=0 with null stats instead of failing the batch.
+    Reference parity: anovos treats media as opaque binaries; this is
+    the training-pipeline extension (duration filtering, silence/energy
+    stats feed sample-selection policies)."""
+    b_col, i_col = binary_col, id_col
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for x in pdf[b_col]:
+                if x is None:
+                    rows.append((None,) * 5 + (0, None, None))
+                    continue
+                try:
+                    d = _decode_audio(bytes(x))
+                    rows.append(
+                        (d["sample_rate"], d["channels"], d["sample_width"],
+                         d["n_frames"], d["duration_s"], 1,
+                         d["sample_sum"], d["n_samples"])
+                    )
+                except Exception:
+                    rows.append((None,) * 5 + (0, None, None))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[i_col].astype("int64"),
+                    "sample_rate": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "channels": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "sample_width": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "n_frames": pd.array([r[3] for r in rows], dtype="Int64"),
+                    "duration_s": [r[4] for r in rows],
+                    "decoded": [r[5] for r in rows],
+                    "sample_sum": pd.array([r[6] for r in rows], dtype="Int64"),
+                    "n_samples": pd.array([r[7] for r in rows], dtype="Int64"),
+                }
+            )
+
+    return idf.select(i_col, b_col).mapInPandas(
+        extract,
+        schema=(
+            "id long, sample_rate int, channels int, sample_width int, "
+            "n_frames long, duration_s double, decoded int, "
+            "sample_sum long, n_samples long"
+        ),
+    )
 
 
 def media_metadata(

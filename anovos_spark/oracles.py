@@ -2063,6 +2063,23 @@ SELECT doc_id AS id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height
        'L' AS mode, 1 AS decoded, CAST(sum(v) AS BIGINT) AS pixel_sum,
        CAST(max(w)*max(h) AS BIGINT) AS n_pixels
 FROM px GROUP BY doc_id""",
+        "audio_decode": """
+-- closed-form replay of the deterministic WAV battery: the Spark side
+-- ENCODES sample(i) = ((doc_id*31 + i*7) mod 65536) - 32768 into real
+-- RIFF/WAVE blobs (stdlib wave) and DECODES them back; this oracle
+-- recomputes the sample sums arithmetically, so a match proves the
+-- RIFF encode → chunk parse → PCM unpack chain bit-exact
+WITH d AS (
+  SELECT doc_id, 50 + doc_id % 40 AS n FROM documents WHERE doc_id % 17 = 0),
+s AS (
+  SELECT d.doc_id, d.n, (((d.doc_id*31 + i.g*7) % 65536) - 32768) AS v
+  FROM d, generate_series(0, 89) i(g) WHERE i.g < d.n)
+SELECT doc_id AS id, 8000 AS sample_rate, 1 AS channels,
+       CAST(max(n) AS BIGINT) AS n_frames,
+       round(max(n) / 8000.0, 6) AS duration_s, 1 AS decoded,
+       CAST(sum(v) AS BIGINT) AS sample_sum,
+       CAST(max(n) AS BIGINT) AS n_samples
+FROM s GROUP BY doc_id""",
         "media_byte_histogram": """
 -- byte-value histogram replayed per character: valid because this corpus
 -- is pure ASCII (verified octet_length(encode(text)) == length(text) for

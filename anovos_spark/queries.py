@@ -808,6 +808,41 @@ def q_media_decode(spark, sf_dir):
     )
 
 
+def q_audio_decode(spark, sf_dir):
+    """REAL audio decode end-to-end (r7 — closes the last codec gate):
+    build a deterministic 16-bit mono PCM WAV per sampled doc
+    (sample(i) = ((doc_id*31 + i*7) mod 65536) - 32768, n_frames =
+    50 + doc_id mod 40, 8 kHz), run it through decode_audio's stdlib
+    ``wave`` codec, and emit per-clip rate/frames/duration/sample_sum.
+    The oracle replays the sample arithmetic in closed form, so a hash
+    match proves the whole chain — RIFF encode, chunk parse, PCM
+    unpack — bit-exact (mirrors media_decode's PNG evidence pattern)."""
+    import pandas as pd
+
+    from anovos_spark.operators.multimodal import decode_audio, encode_wav
+
+    docs = table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % 17 == 0
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 50 + did % 40
+                samples = [((did * 31 + i * 7) % 65536) - 32768 for i in range(n)]
+                blobs.append(encode_wav(samples, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    bin_df = docs.mapInPandas(gen, schema="doc_id long, blob binary")
+    dec = decode_audio(bin_df, "blob", "doc_id")
+    return dec.select(
+        "id", "sample_rate", "channels", "n_frames", "duration_s",
+        "decoded", "sample_sum", "n_samples",
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Binary feature extraction (byte histogram) + per-source centroid —
     rows-only (byte-level histograms aren't practical in SQL)."""
@@ -3063,12 +3098,24 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     self-correcting: anything the driver has verified moves to the back
     of its stratum, never-sampled queries move to the front.  Cost
     (measured sf0.01 seconds) stays as the tiebreak so equally-sampled
-    queries still run cheapest-first."""
+    queries still run cheapest-first.
+
+    Because the rotation reads artifacts at the repo root, iteration
+    order can differ between checkouts (e.g. an sdist without the
+    artifacts).  Results are unaffected; set
+    ``ANOVOS_SPARK_STATIC_REGISTRY_ORDER=1`` to pin a checkout-
+    independent ordering (oracle-first, cost, name) when order
+    stability matters downstream."""
+    import os
+
     base = _registry_entries()
     from anovos_spark.oracles import registry as oracle_registry
 
     with_oracle = set(oracle_registry())
-    seen = _prior_driver_sample_counts()
+    if os.environ.get("ANOVOS_SPARK_STATIC_REGISTRY_ORDER"):
+        seen = {}
+    else:
+        seen = _prior_driver_sample_counts()
     order = sorted(
         base,
         key=lambda k: (
@@ -3208,6 +3255,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_recall": q_ivf_topk,
         "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
+        "audio_decode": q_audio_decode,
         "feature_explorer_industries": q_feature_explorer_industries,
         "feature_explorer_usecases": q_feature_explorer_usecases,
         "feature_explorer_ranked": q_feature_explorer_ranked,

@@ -204,3 +204,24 @@ def test_time_weighted_avg_magnitude_guard(spark):
     dfb = spark.createDataFrame(bad, "g string, ts timestamp, v double")
     with pytest.raises(Exception, match="exceeds the exact decimal"):
         DT.time_weighted_avg(dfb, "g", "ts", "v").collect()
+
+
+def test_time_weighted_avg_nan_passes_like_null(spark):
+    """ADVICE r6: NaN must NOT hit the magnitude fail-fast (whose
+    'rescale' message misdiagnoses the input) — it passes through like
+    NULL: the decimal cast nulls it and the row drops from both
+    averages, matching pre-guard behavior."""
+    base = [
+        ("g", datetime.datetime(2024, 1, 1, 0, 0, i), float(i + 1))
+        for i in range(4)
+    ]
+    with_nan = base + [("g", datetime.datetime(2024, 1, 1, 0, 1, 0), float("nan"))]
+    df = spark.createDataFrame(with_nan, "g string, ts timestamp, v double")
+    clean = DT.time_weighted_avg(
+        spark.createDataFrame(base + [("g", datetime.datetime(2024, 1, 1, 0, 1, 0), None)],
+                              "g string, ts timestamp, v double"),
+        "g", "ts", "v",
+    ).collect()[0]
+    row = DT.time_weighted_avg(df, "g", "ts", "v").collect()[0]
+    assert row["n_obs"] == 5
+    assert row["twa"] == clean["twa"] and row["plain_avg"] == clean["plain_avg"]
