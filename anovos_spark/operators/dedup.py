@@ -454,6 +454,10 @@ def near_dup_components(
         .distinct()
     )
     edges = edges.localCheckpoint(eager=True)
+    if edges.limit(1).count() == 0:
+        return edges.select(
+            F.col("src").alias("id"), F.col("src").alias("component")
+        )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -496,13 +500,19 @@ def near_dup_components(
                 .select("id", F.col("__c2__").alias("component"))
                 .localCheckpoint(eager=True)
             )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        if round_no == 0:
+            # a nonempty edge set always changes some label in round 0
+            # (for any edge (a,b) with a<b, node b drops to ≤a), so the
+            # convergence-count join would be a guaranteed "changed"
+            changed = 1
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
         labels = new_labels
         if changed == 0:
             break

@@ -2025,6 +2025,33 @@ SELECT coalesce(l_returnflag, 'Missing') AS l_returnflag,
              / count(*), 6) AS event_rate
 FROM lineitem GROUP BY 1""",
         "outlier_frame": outlier_frame_sql(),
+        "violin_frame": """
+-- identical bucket arithmetic to violin_frame: fixed-width bins over
+-- [min,max], clamped top bin, density = share of the modal bin; the
+-- float expression order matches the Spark side exactly so floor()
+-- sees bit-identical doubles
+WITH mm AS (
+  SELECT min(l_quantity::DOUBLE) AS mn_q, max(l_quantity::DOUBLE) AS mx_q,
+         min(l_discount::DOUBLE) AS mn_d, max(l_discount::DOUBLE) AS mx_d
+  FROM lineitem),
+melted AS (
+  SELECT 'l_quantity' AS attribute, l_quantity::DOUBLE AS v, mn_q AS mn,
+         CASE WHEN mx_q - mn_q = 0 THEN 1.0 ELSE mx_q - mn_q END AS width
+  FROM lineitem, mm WHERE l_quantity IS NOT NULL
+  UNION ALL
+  SELECT 'l_discount', l_discount::DOUBLE, mn_d,
+         CASE WHEN mx_d - mn_d = 0 THEN 1.0 ELSE mx_d - mn_d END
+  FROM lineitem, mm WHERE l_discount IS NOT NULL),
+counts AS (
+  SELECT attribute,
+         least(11, CAST(floor((v - mn) / width * 12) AS INT)) AS bin,
+         any_value(mn) AS mn, any_value(width) AS width, count(*) AS n
+  FROM melted GROUP BY 1, 2)
+SELECT attribute, CAST(bin AS INT) AS bin,
+       round(mn + bin * width / 12, 6) AS bin_lo,
+       round(mn + (bin + 1) * width / 12, 6) AS bin_hi,
+       round(n::DOUBLE / max(n) OVER (PARTITION BY attribute), 6) AS density
+FROM counts""",
         "boxcox_transformation": boxcox_sql(),
         "monotonic_binning": monotonic_binning_sql(),
         "seasonal_decompose": seasonal_decompose_sql(),

@@ -159,3 +159,111 @@ def comparative_drift_frame(
             6,
         ),
     )
+
+
+def violin_frame(
+    idf: DataFrame,
+    list_of_cols,
+    n_bins: int = 24,
+    sample_size: int = 500_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-attribute binned density for violin rendering: [attribute,
+    bin, bin_lo, bin_hi, density] with density normalized to the
+    attribute's modal bin (max = 1.0).
+
+    The reference ships the raw sampled column to pandas for px.violin
+    (report_preprocessing.py:260-300); a violin silhouette only needs
+    ~two dozen histogram heights, so this computes them engine-side:
+    one agg for per-attribute min/max, then melt → fixed-width bucket →
+    groupBy(attribute, bin).  Output is n_cols × n_bins rows —
+    driver-sized at any data scale.  Sampling mirrors outlier_frame
+    (500k default): a silhouette never needs more."""
+    from anovos_spark.core.typing import resolve_columns
+    from anovos_spark.core.utils import ensure_list
+
+    cols = resolve_columns(idf, ensure_list(list_of_cols), (), restrict_to="numerical")
+    if not cols:
+        spark = idf.sparkSession
+        return spark.createDataFrame(
+            [], "attribute string, bin int, bin_lo double, bin_hi double, density double"
+        )
+    total = idf.count()
+    if total > sample_size:
+        idf = idf.sample(False, sample_size / total, seed)
+        idf = idf.localCheckpoint(eager=False)  # feeds 2 jobs
+    def _clean(c):
+        # Spark orders NaN above every double, so an unguarded max()
+        # returns NaN and poisons the whole span
+        v = F.col(c).cast("double")
+        return F.when(~F.isnan(v), v)
+
+    mm_row = idf.agg(
+        *[F.min(_clean(c)).alias(f"mn_{c}") for c in cols],
+        *[F.max(_clean(c)).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    spans = {
+        c: (mm_row[f"mn_{c}"], mm_row[f"mx_{c}"])
+        for c in cols
+        if mm_row[f"mn_{c}"] is not None and mm_row[f"mx_{c}"] is not None
+    }
+    if not spans:
+        spark = idf.sparkSession
+        return spark.createDataFrame(
+            [], "attribute string, bin int, bin_lo double, bin_hi double, density double"
+        )
+    # melt only the usable columns; bin in the same expression (min/max
+    # are literals by now, so the whole pass is one narrow scan + one
+    # bounded groupBy — no join back)
+    structs = []
+    for c, (mn, mx) in spans.items():
+        width = (mx - mn) or 1.0
+        b = F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(width) * n_bins),
+        ).cast("int")
+        structs.append(
+            F.struct(
+                F.lit(c).alias("attribute"),
+                F.when(
+                    F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double")), b
+                ).alias("bin"),
+            )
+        )
+    long = (
+        idf.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.attribute", "s.bin")
+        .where(F.col("bin").isNotNull())
+    )
+    counts = long.groupBy("attribute", "bin").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("attribute")  # over n_cols × n_bins rows only
+    mn_lit = F.create_map(
+        *[x for c, (mn, mx) in spans.items() for x in (F.lit(c), F.lit(float(mn)))]
+    )
+    wd_lit = F.create_map(
+        *[
+            x
+            for c, (mn, mx) in spans.items()
+            for x in (F.lit(c), F.lit(float((mx - mn) or 1.0)))
+        ]
+    )
+    return (
+        counts.withColumn("density", F.round(F.col("n") / F.max("n").over(w), 6))
+        .withColumn(
+            "bin_lo",
+            F.round(
+                mn_lit[F.col("attribute")]
+                + F.col("bin") * wd_lit[F.col("attribute")] / n_bins,
+                6,
+            ),
+        )
+        .withColumn(
+            "bin_hi",
+            F.round(
+                mn_lit[F.col("attribute")]
+                + (F.col("bin") + 1) * wd_lit[F.col("attribute")] / n_bins,
+                6,
+            ),
+        )
+        .select("attribute", "bin", "bin_lo", "bin_hi", "density")
+    )

@@ -28,6 +28,8 @@ import html as _html
 import os
 from datetime import datetime, timezone
 
+from pandas import isna as pd_isna
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -256,46 +258,66 @@ def _svg_paired_bars(
     )
 
 
-def _svg_boxes(
-    items: list[tuple[str, float, float, float, float, float]], title: str
+def _svg_violins(
+    box_items: list[tuple[str, float, float, float, float, float]],
+    densities: dict[str, list[tuple[float, float, float]]],
+    title: str,
 ) -> str:
-    """Horizontal box plots (one per attribute) as inline SVG — the
-    stdlib stand-in for the reference's per-attribute outlier violins.
-    items: (label, lower_whisker, q1, median, q3, upper_whisker), each
-    attribute scaled to its own whisker span (mixed-unit attributes
-    share one chart)."""
-    items = [
-        t for t in items if all(v is not None for v in t[1:])
-    ][:20]
-    if not items:
+    """True violin silhouettes as inline SVG (plotly-style: mirrored
+    density polygon with the box overlaid), zero dependencies.
+
+    box_items: (label, lower_whisker, q1, median, q3, upper_whisker);
+    densities: label → [(bin_lo, bin_hi, density 0..1)], the
+    violin_frame output.  Each attribute scales to its own data span, so
+    mixed-unit attributes share one panel.  Falls back to the box-only
+    row when an attribute has no density bins."""
+    box_items = [t for t in box_items if all(v is not None for v in t[1:])][:20]
+    if not box_items:
         return ""
-    bar_h, gap, label_w, plot_w = 16, 10, 180, 420
-    height = len(items) * (bar_h + gap) + 28
+    row_h, gap, label_w, plot_w = 34, 12, 180, 420
+    height = len(box_items) * (row_h + gap) + 28
     rows = []
-    for i, (k, lw, q1, med, q3, uw) in enumerate(items):
-        y = 24 + i * (bar_h + gap)
-        span = (uw - lw) or 1.0
+    for i, (k, lw, q1, med, q3, uw) in enumerate(box_items):
+        y = 24 + i * (row_h + gap)
+        mid = y + row_h / 2
+        dens = densities.get(str(k), [])
+        span_lo = min([lw] + [d[0] for d in dens])
+        span_hi = max([uw] + [d[1] for d in dens])
+        span = (span_hi - span_lo) or 1.0
 
         def x(v):
-            return label_w + max(0.0, min(1.0, (v - lw) / span)) * plot_w
+            return label_w + max(0.0, min(1.0, (v - span_lo) / span)) * plot_w
 
-        mid = y + bar_h / 2
+        half_h = row_h / 2 - 2
+        violin = ""
+        if dens:
+            # mirrored density polygon: top edge left→right, bottom
+            # edge right→left (both from the same bin heights)
+            pts_top, pts_bot = [], []
+            for lo, hi, d in sorted(dens, key=lambda t: t[0]):
+                cx = (x(lo) + x(hi)) / 2
+                dy = half_h * max(0.0, min(1.0, d))
+                pts_top.append(f"{cx:.1f},{mid - dy:.1f}")
+                pts_bot.append(f"{cx:.1f},{mid + dy:.1f}")
+            poly = " ".join(pts_top + pts_bot[::-1])
+            violin = (
+                f'<polygon class="violin" points="{poly}" fill="#cfe0ff" '
+                f'stroke="#7ba3e8" stroke-width="1" opacity="0.9"></polygon>'
+            )
         rows.append(
-            f'<text x="{label_w - 8}" y="{y + 12}" text-anchor="end" '
+            f'<text x="{label_w - 8}" y="{mid + 4}" text-anchor="end" '
             f'font-size="11" fill="#1a1a24">{_html.escape(str(k)[:28])}</text>'
+            f"{violin}"
             f'<line x1="{x(lw):.1f}" y1="{mid}" x2="{x(uw):.1f}" y2="{mid}" '
             f'stroke="#9aa4b2"></line>'
-            f'<line x1="{x(lw):.1f}" y1="{y + 3}" x2="{x(lw):.1f}" '
-            f'y2="{y + bar_h - 3}" stroke="#9aa4b2"></line>'
-            f'<line x1="{x(uw):.1f}" y1="{y + 3}" x2="{x(uw):.1f}" '
-            f'y2="{y + bar_h - 3}" stroke="#9aa4b2"></line>'
-            f'<rect x="{x(q1):.1f}" y="{y}" width="{max(1.0, x(q3) - x(q1)):.1f}" '
-            f'height="{bar_h}" fill="#aecbff" stroke="#3b6fd4" rx="2">'
+            f'<rect x="{x(q1):.1f}" y="{mid - 5}" '
+            f'width="{max(1.0, x(q3) - x(q1)):.1f}" height="10" '
+            f'fill="#ffffff" stroke="#3b6fd4" rx="2" opacity="0.85">'
             f"<title>{_html.escape(str(k))}: whiskers [{_fmt(lw)}, {_fmt(uw)}], "
             f"IQR [{_fmt(q1)}, {_fmt(q3)}], median {_fmt(med)}</title></rect>"
-            f'<line x1="{x(med):.1f}" y1="{y}" x2="{x(med):.1f}" '
-            f'y2="{y + bar_h}" stroke="#1a3c82" stroke-width="2"></line>'
-            f'<text x="{label_w + plot_w + 6}" y="{y + 12}" font-size="10.5" '
+            f'<line x1="{x(med):.1f}" y1="{mid - 7}" x2="{x(med):.1f}" '
+            f'y2="{mid + 7}" stroke="#1a3c82" stroke-width="2"></line>'
+            f'<text x="{label_w + plot_w + 6}" y="{mid + 4}" font-size="10.5" '
             f'fill="#4a5568">med {_fmt(med)}</text>'
         )
     return (
@@ -303,6 +325,73 @@ def _svg_boxes(
         f'xmlns="http://www.w3.org/2000/svg" role="img">'
         f'<text x="0" y="14" font-size="12" font-weight="600" '
         f'fill="#1a1a24">{_html.escape(title)}</text>{"".join(rows)}</svg>'
+    )
+
+
+_DRIFT_COLORS = {"PSI": "#3b6fd4", "JSD": "#2f9e6e", "HD": "#d4933b", "KS": "#b4564e"}
+
+
+def _svg_drift_summary(
+    rows_in: list[tuple[str, dict[str, float], bool]],
+    threshold: float,
+    title: str,
+) -> str:
+    """Drift-metric summary: grouped horizontal bars (PSI/JSD/HD/KS per
+    attribute) with the decision threshold as a dashed marker line and
+    flagged attributes tinted — the reference's drift overview chart,
+    stdlib SVG.  rows_in: (attribute, {metric: value}, flagged)."""
+    rows_in = rows_in[:20]
+    if not rows_in:
+        return ""
+    metrics = ["PSI", "JSD", "HD", "KS"]
+    bar_h, gap, label_w, plot_w = 9, 3, 180, 420
+    grp_h = len(metrics) * (bar_h + 2) + 6
+    height = len(rows_in) * (grp_h + gap) + 44
+    vmax = max(
+        [threshold * 2]
+        + [v for _, m, _ in rows_in for v in m.values() if v is not None]
+    )
+    parts = []
+    tx = label_w + min(1.0, threshold / vmax) * plot_w
+    parts.append(
+        f'<line class="drift-threshold" x1="{tx:.1f}" y1="24" x2="{tx:.1f}" '
+        f'y2="{height - 16}" stroke="#888" stroke-dasharray="4 3"></line>'
+        f'<text x="{tx + 4:.1f}" y="{height - 4}" font-size="10" '
+        f'fill="#666">threshold {threshold}</text>'
+    )
+    for i, (attr, mvals, flagged) in enumerate(rows_in):
+        gy = 28 + i * (grp_h + gap)
+        name_fill = "#b4564e" if flagged else "#1a1a24"
+        parts.append(
+            f'<text x="{label_w - 8}" y="{gy + grp_h / 2 + 2}" text-anchor="end" '
+            f'font-size="11" font-weight="{700 if flagged else 400}" '
+            f'fill="{name_fill}">{_html.escape(str(attr)[:28])}'
+            f"{' ⚑' if flagged else ''}</text>"
+        )
+        for j, m in enumerate(metrics):
+            v = mvals.get(m)
+            if v is None:
+                continue
+            by = gy + j * (bar_h + 2)
+            w = max(1.0, min(1.0, v / vmax) * plot_w)
+            parts.append(
+                f'<rect x="{label_w}" y="{by}" width="{w:.1f}" height="{bar_h}" '
+                f'fill="{_DRIFT_COLORS[m]}" rx="1.5" '
+                f'opacity="{1.0 if flagged else 0.75}">'
+                f"<title>{_html.escape(str(attr))} {m} = {_fmt(v)}</title></rect>"
+            )
+    legend = "".join(
+        f'<rect x="{label_w + k * 90}" y="14" width="10" height="10" '
+        f'fill="{_DRIFT_COLORS[m]}" rx="2"></rect>'
+        f'<text x="{label_w + k * 90 + 14}" y="23" font-size="10.5" '
+        f'fill="#4a5568">{m}</text>'
+        for k, m in enumerate(metrics)
+    )
+    return (
+        f'<svg class="drift-summary" width="{label_w + plot_w + 110}" '
+        f'height="{height}" xmlns="http://www.w3.org/2000/svg" role="img">'
+        f'<text x="0" y="14" font-size="12" font-weight="600" '
+        f'fill="#1a1a24">{_html.escape(title)}</text>{legend}{"".join(parts)}</svg>'
     )
 
 
@@ -387,6 +476,7 @@ def anovos_report(
             event_rate_frame,
             frequency_frame,
             outlier_frame,
+            violin_frame,
         )
 
         string_cols = [
@@ -429,10 +519,17 @@ def anovos_report(
                 )
         if num_cols:
             ofr = outlier_frame(idf, num_cols[:max_chart_attrs]).toPandas()
-            outlier_chart = _svg_boxes(
+            vfr = violin_frame(idf, num_cols[:max_chart_attrs]).toPandas()
+            densities: dict[str, list[tuple[float, float, float]]] = {}
+            for _, r in vfr.iterrows():
+                densities.setdefault(str(r["attribute"]), []).append(
+                    (float(r["bin_lo"]), float(r["bin_hi"]), float(r["density"]))
+                )
+            outlier_chart = _svg_violins(
                 list(zip(ofr["attribute"], ofr["lower_whisker"], ofr["q1"],
                          ofr["median"], ofr["q3"], ofr["upper_whisker"])),
-                "Outlier profile (box, whiskers at 1.5·IQR)",
+                densities,
+                "Outlier profile (violin + box, whiskers at 1.5·IQR)",
             )
         if source_df is not None:
             for c in cat_cols:
@@ -506,8 +603,46 @@ def anovos_report(
 
     # --- drift & stability -------------------------------------------------
     drift_parts = []
+    # drift-metric summary chart: prefer a caller-passed drift_statistics
+    # frame; else compute one when a source side is available
+    drift_stats_pdf = None
     for name, frame in (drift_frames or {}).items():
-        drift_parts.append(f"<h3>{_html.escape(name)}</h3>{_table(frame.toPandas())}")
+        pdf = frame.toPandas()
+        if drift_stats_pdf is None and {"attribute", "PSI"} <= set(pdf.columns):
+            drift_stats_pdf = pdf
+        drift_parts.append(f"<h3>{_html.escape(name)}</h3>{_table(pdf)}")
+    if drift_stats_pdf is None and charts and source_df is not None:
+        from anovos_spark.operators.drift import drift_statistics
+
+        num_cols_all = [
+            f.name for f in idf.schema.fields
+            if f.dataType.simpleString() in
+            ("int", "bigint", "smallint", "tinyint", "float", "double")
+            and f.name != label_col
+        ][:max_chart_attrs]
+        if num_cols_all:
+            drift_stats_pdf = drift_statistics(
+                idf, source_df, list_of_cols=num_cols_all
+            ).toPandas()
+            drift_parts.append(
+                f"<h3>Drift statistics</h3>{_table(drift_stats_pdf)}"
+            )
+    if drift_stats_pdf is not None and "attribute" in drift_stats_pdf.columns:
+        chart_rows = []
+        for _, r in drift_stats_pdf.iterrows():
+            mvals = {
+                m: (None if pd_isna(r.get(m)) else float(r[m]))
+                for m in ("PSI", "JSD", "HD", "KS")
+                if m in drift_stats_pdf.columns
+            }
+            chart_rows.append(
+                (r["attribute"], mvals, bool(r.get("flagged", False)))
+            )
+        summary = _svg_drift_summary(
+            chart_rows, 0.1, "Drift metric summary (PSI · JSD · HD · KS)"
+        )
+        if summary:
+            drift_parts.insert(0, summary)
     if drift_charts:
         drift_parts.append("<h3>Comparative distribution charts</h3>")
         drift_parts.extend(drift_charts)

@@ -1500,6 +1500,20 @@ def q_outlier_frame(spark, sf_dir):
     )
 
 
+def q_violin_frame(spark, sf_dir):
+    """Violin silhouette densities for the report's numeric panel (r7):
+    per-attribute fixed-width histogram over [min, max], density
+    normalized to the modal bin.  One min/max agg + one melt/groupBy —
+    output is n_cols × n_bins rows at any scale.  Oracle replays the
+    identical bucket arithmetic per column in SQL."""
+    from anovos_spark.plans.report_frames import violin_frame
+
+    li = table(spark, sf_dir, "lineitem")
+    return violin_frame(
+        li, ["l_quantity", "l_discount"], n_bins=12, sample_size=10_000_000
+    )
+
+
 def q_comparative_drift_frame(spark, sf_dir):
     from anovos_spark.plans.report_frames import comparative_drift_frame
 
@@ -3298,6 +3312,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequency_frame": q_frequency_frame,
         "event_rate_frame": q_event_rate_frame,
         "outlier_frame": q_outlier_frame,
+        "violin_frame": q_violin_frame,
         "comparative_drift_frame": q_comparative_drift_frame,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q5_local_supplier_volume": q5_local_supplier_volume,

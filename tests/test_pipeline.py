@@ -384,6 +384,15 @@ def test_anovos_report_html(spark, sf_dir, tmp_path):
         "Distribution drift — o_orderstatus",
     ]:
         assert needle in txt
+    # r7 plotly-grade upgrades: TRUE violin silhouettes (mirrored density
+    # polygons from violin_frame, not box stand-ins) and the drift-metric
+    # summary chart (grouped PSI/JSD/HD/KS bars with threshold marker) —
+    # both pure stdlib SVG
+    assert 'class="violin"' in txt                 # density polygon rendered
+    assert "Outlier profile (violin" in txt
+    assert 'class="drift-summary"' in txt          # drift overview chart
+    assert "Drift metric summary" in txt
+    assert 'class="drift-threshold"' in txt        # decision line drawn
 
 
 def test_pipeline_training_data_stages(spark, sf_dir, tmp_path):

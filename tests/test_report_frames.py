@@ -47,3 +47,26 @@ def test_comparative_drift_frame(spark):
     assert d["z"]["countpct_target"] == 0.0
     assert d["z"]["pct_diff"] == pytest.approx(-100.0, abs=1e-3)
     assert d["y"]["pct_diff"] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_violin_frame(spark):
+    """Binned density for violin rendering: bins tile [min, max], the
+    modal bin has density exactly 1.0, NULL/NaN rows drop, and the
+    output stays driver-sized (≤ n_bins rows per attribute)."""
+    rows = [(float(v),) for v in [0, 0, 0, 0, 1, 2, 3, 10]]
+    rows += [(None,), (float("nan"),)]
+    df = spark.createDataFrame(rows, "v double")
+    out = RF.violin_frame(df, ["v"], n_bins=10).collect()
+    assert 0 < len(out) <= 10
+    assert all(r["attribute"] == "v" for r in out)
+    by_bin = {r["bin"]: r for r in out}
+    # modal bin is bin 0 (four zeros) and normalizes to 1.0
+    assert by_bin[0]["density"] == 1.0
+    assert by_bin[0]["bin_lo"] == 0.0
+    # max value 10 lands in the LAST bin (clamped, not dropped)
+    assert max(by_bin) == 9 and by_bin[9]["bin_hi"] == 10.0
+    # densities are shares of the modal count
+    assert by_bin[9]["density"] == pytest.approx(0.25, abs=1e-6)
+    # all-null / non-numeric columns degrade to an empty frame
+    empty = spark.createDataFrame([(None,)], "w double")
+    assert RF.violin_frame(empty, ["w"]).count() == 0
