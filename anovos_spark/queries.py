@@ -3204,6 +3204,7 @@ _APPROX_COST = {
     "feature_recommender_gemm": 1.0,
     "geohash_roundtrip": 0.8, "location_in_country": 0.5, "geo_stats": 1.0,
     "frequency_frame": 0.4, "event_rate_frame": 0.4, "outlier_frame": 2.0,
+    "violin_frame": 0.7, "audio_decode": 0.3,
     "comparative_drift_frame": 0.7, "streaming_drift": 7.0,
     "q4_priority_semi_join": 0.7, "q12_shipmode_case_agg": 0.7,
     "q19_disjunctive_predicates": 0.6, "q22_inactive_customers": 0.6,
