@@ -271,6 +271,20 @@ def main():
     check("featrec_gemm: no cartesian", "CartesianProduct" not in p)
     check("featrec_gemm: no sort-merge join", "SortMergeJoin" not in p)
 
+    # 33. violin_frame (r7): melt → bucket → one bounded groupBy, all
+    # expression-side — the density window runs over n_cols × n_bins
+    # rows, never the data
+    p = plan_of(Q.q_violin_frame(spark, sf_dir))
+    check("violin_frame: no python UDF", "BatchEvalPython" not in p and "PythonUDF" not in p)
+    check("violin_frame: partial agg", "partial_" in p)
+    check("violin_frame: no cartesian", "CartesianProduct" not in p)
+
+    # 34. audio_decode (r7): the codec IS the Arrow stage (mapInPandas by
+    # design); there must be no join/shuffle around it
+    p = plan_of(Q.q_audio_decode(spark, sf_dir))
+    check("audio_decode: Arrow codec stage", "MapInPandas" in p)
+    check("audio_decode: no join", "Join" not in p and "CartesianProduct" not in p)
+
     print(f"\n{'ALL CLEAR' if not failures else f'{len(failures)} audit failures: {failures}'}")
     spark.stop()
     sys.exit(1 if failures else 0)
