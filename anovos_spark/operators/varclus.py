@@ -149,19 +149,26 @@ def variable_clustering(
 
     num_cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
     cat_cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="categorical")
-    df = idf
+    # Sample FIRST, on the raw input: the count is then a parquet
+    # metadata-only scan and the encode/median-impute passes run over at
+    # most sample_size rows instead of the full frame (the reference's own
+    # correlation_matrix samples before preprocessing for the same reason,
+    # association_evaluator.py:108-115; <= sample_size inputs are
+    # bit-identical to the old order).  Encoding fit on the sample covers
+    # every row it will be applied to, so no category is ever unseen.
+    base = idf.select(num_cols + cat_cols)
+    total = idf.count()
+    if total > sample_size:
+        base = base.sample(False, sample_size / total, seed)
+    base.persist()
+    df = base
     if cat_cols:
         enc = label_encoding_fit(df, cat_cols)
         df = label_encoding_apply(df, enc)
     cols = num_cols + [c for c in cat_cols if c in df.columns]
     df, _ = imputation_MMM(df.select(cols), cols, method_type="median")
-
-    total = df.count()
-    if total > sample_size:
-        df = df.sample(False, sample_size / total, seed)
-    df.persist()
     corr = _correlation_matrix_np(df, cols)
-    df.unpersist()
+    base.unpersist()
 
     # ---- divisive clustering on the driver ---------------------------- #
     # PROC VARCLUS fidelity (association_eval_varclus.py:267-384):
