@@ -492,6 +492,7 @@ def monotonic_binning(
     max_bins: int = 20,
     min_bins: int = 2,
     output_mode: str = "replace",
+    exact: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Shrink bin count until the per-bin event rate is monotonic in the
     bin index (|Spearman| == 1), else fall back to max_bins
@@ -519,7 +520,12 @@ def monotonic_binning(
     )
     frac_vals = [float(f) for f in fracs]
     arr = "array(" + ", ".join(repr(v) for v in frac_vals) + ")"
-    aggs = [F.expr(f"percentile(`{c}`, {arr})").alias(c) for c in cols]
+    # exact=False is the production/scale posture (same contract as the
+    # stats module): percentile_approx's mergeable sketch replaces the
+    # sort-based exact percentile, trading ~1e-3 quantile error — far
+    # below a bin boundary's worth — for a single streaming pass.
+    fn, acc = ("percentile", "") if exact else ("percentile_approx", ", 1000")
+    aggs = [F.expr(f"{fn}(`{c}`, {arr}{acc})").alias(c) for c in cols]
     qrow = idf.agg(*aggs).collect()[0]
     quantiles = {c: list(qrow[c] or []) for c in cols}  # frac index → value
 

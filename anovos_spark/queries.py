@@ -1394,7 +1394,8 @@ def q_monotonic_binning(spark, sf_dir):
         "__label__", (F.col("o_orderstatus") == "F").cast("int")
     )
     _, model = monotonic_binning(
-        od, "__label__", 1, ["o_totalprice", "o_custkey"], max_bins=10
+        od, "__label__", 1, ["o_totalprice", "o_custkey"], max_bins=10,
+        exact=_exact(),
     )
     rows = sorted((c, m["bin_size"]) for c, m in model.items())
     return spark.createDataFrame(rows, schema="attribute string, n_bins int")
