@@ -93,6 +93,19 @@ def test_monotonic_binning(mdf):
     assert mx <= 20
 
 
+def test_monotonic_binning_approx_path_matches_exact(mdf):
+    """exact=False (the bench/production posture, percentile_approx acc
+    1000) must choose the same bin counts as the exact grid on data whose
+    quantiles are far apart relative to the sketch error."""
+    _, exact_model = TML.monotonic_binning(mdf, "y", 1, ["a", "c"], max_bins=8)
+    _, approx_model = TML.monotonic_binning(
+        mdf, "y", 1, ["a", "c"], max_bins=8, exact=False
+    )
+    assert {c: m["bin_size"] for c, m in approx_model.items()} == {
+        c: m["bin_size"] for c, m in exact_model.items()
+    }
+
+
 def test_boxcox(spark):
     import random
 
