@@ -960,23 +960,41 @@ def fuzzy_match_pairs(
         ex, over = _cap_buckets(ex, ["v"], bucket_cap)
         chain = _chain_pairs(over, ["v"], "id", group_col="__hk__")
     a, b = ex.alias("a"), ex.alias("b")
-    candidates = (
+    # __hk__ IS the full string, so the candidate join already has both
+    # sides' strings in hand — carry them (bounded at max_length bytes)
+    # through the dedup shuffle and verify in place.  The alternative
+    # (distinct on bare id pairs, then join the id->string map back for
+    # each side) re-shuffles the DATA-SIZED docs frame twice; at cluster
+    # scale that map is not broadcastable, so those were the two most
+    # expensive exchanges in the old plan.
+    out = (
         a.join(
             b,
             (F.col("a.v") == F.col("b.v")) & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
-    if chain is not None:
-        candidates = candidates.unionByName(chain)
-    candidates = candidates.distinct()
-    sa = docs.select(F.col("id").alias("id_a"), F.col("__s__").alias("__sa__"))
-    sb = docs.select(F.col("id").alias("id_b"), F.col("__s__").alias("__sb__"))
-    out = (
-        candidates.join(sa, "id_a")
-        .join(sb, "id_b")
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__hk__").alias("__sa__"),
+            F.col("b.__hk__").alias("__sb__"),
+        )
+        .distinct()
         .withColumn("distance", F.levenshtein("__sa__", "__sb__"))
         .where(F.col("distance") <= k)
         .select("id_a", "id_b", "distance")
     )
+    if chain is not None:
+        # star edges are O(bucket members) and their buckets were removed
+        # from ex, but a pair can also meet in a second, under-cap bucket
+        # — verify the chain edges and distinct the union.
+        sa = docs.select(F.col("id").alias("id_a"), F.col("__s__").alias("__sa__"))
+        sb = docs.select(F.col("id").alias("id_b"), F.col("__s__").alias("__sb__"))
+        verified_chain = (
+            chain.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("distance", F.levenshtein("__sa__", "__sb__"))
+            .where(F.col("distance") <= k)
+            .select("id_a", "id_b", "distance")
+        )
+        out = out.unionByName(verified_chain).distinct()
     return _finish(out, docs, eager)
