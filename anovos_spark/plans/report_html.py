@@ -395,6 +395,81 @@ def _svg_drift_summary(
     )
 
 
+def _svg_corr_heatmap(pdf, title: str = "Correlation heatmap") -> str:
+    """Correlation-matrix heatmap (the reference's px.imshow panel in the
+    association tab, report_generation.py:336-341) as stdlib SVG: one
+    cell per (attribute, attribute) with a blue/white/orange diverging
+    fill over [-1, 1] and the value as a tooltip + in-cell label."""
+    if pdf is None:
+        return ""
+    if {"attribute1", "attribute2", "corr"} <= set(pdf.columns):
+        # long form (the correlation_matrix operator's output) → wide
+        pdf = (
+            pdf.pivot(index="attribute1", columns="attribute2", values="corr")
+            .rename_axis(None, axis=1)
+            .reset_index()
+            .rename(columns={"attribute1": "attribute"})
+        )
+    if "attribute" not in pdf.columns:
+        return ""
+    attrs = [str(a) for a in pdf["attribute"].tolist()]
+    cols = [c for c in attrs if c in pdf.columns]
+    if len(cols) < 2:
+        return ""
+    cell_w, cell_h, label_w, top_h = 52, 22, 150, 84
+    width = label_w + cell_w * len(cols) + 10
+    height = top_h + cell_h * len(cols) + 8
+
+    def fill(v: float) -> str:
+        # diverging: -1 -> house blue, 0 -> white, +1 -> house orange
+        t = max(-1.0, min(1.0, v))
+        if t >= 0:
+            r, g, b = 255, 255 - t * (255 - 130), 255 - t * (255 - 59)
+        else:
+            t = -t
+            r, g, b = 255 - t * (255 - 92), 255 - t * (255 - 138), 255 - t * (255 - 219)
+        return f"rgb({r:.0f},{g:.0f},{b:.0f})"
+
+    parts = [
+        f'<text x="0" y="14" font-size="12" font-weight="600" '
+        f'fill="#1a1a24">{_html.escape(title)}</text>'
+    ]
+    for j, c in enumerate(cols):
+        x = label_w + j * cell_w + cell_w / 2
+        parts.append(
+            f'<text x="{x}" y="{top_h - 8}" font-size="10" fill="#4a5568" '
+            f'text-anchor="start" transform="rotate(-45 {x} {top_h - 8})">'
+            f"{_html.escape(c[:16])}</text>"
+        )
+    for i, a in enumerate(attrs):
+        if a not in pdf.columns and a not in cols:
+            continue
+        y = top_h + i * cell_h
+        parts.append(
+            f'<text x="{label_w - 8}" y="{y + cell_h / 2 + 3}" text-anchor="end" '
+            f'font-size="10.5" fill="#1a1a24">{_html.escape(a[:22])}</text>'
+        )
+        row = pdf.iloc[i]
+        for j, c in enumerate(cols):
+            v = row.get(c)
+            if v is None or pd_isna(v):
+                continue
+            v = float(v)
+            x = label_w + j * cell_w
+            txt_fill = "#1a1a24" if abs(v) < 0.65 else "#ffffff"
+            parts.append(
+                f'<rect class="corr-cell" x="{x}" y="{y}" width="{cell_w - 1}" '
+                f'height="{cell_h - 1}" fill="{fill(v)}" rx="2">'
+                f"<title>corr({_html.escape(a)}, {_html.escape(c)}) = {v:.3f}</title></rect>"
+                f'<text x="{x + (cell_w - 1) / 2}" y="{y + cell_h / 2 + 3}" '
+                f'text-anchor="middle" font-size="9.5" fill="{txt_fill}">{v:.2f}</text>'
+            )
+    return (
+        f'<svg class="corr-heatmap" width="{width}" height="{height}" '
+        f'xmlns="http://www.w3.org/2000/svg" role="img">{"".join(parts)}</svg>'
+    )
+
+
 def _section(anchor: str, title: str, parts: list[str]) -> str:
     inner = "".join(p for p in parts if p)
     return f'<section id="{anchor}"><h2>{_html.escape(title)}</h2>{inner}</section>'
@@ -440,6 +515,19 @@ def anovos_report(
     battery = basic_report(idf, label_col=label_col, event_label=event_label)
     if extra_frames:
         battery.update(extra_frames)
+    if charts and "correlation_matrix" not in battery:
+        # the reference's association tab renders the correlation matrix
+        # as a heatmap (px.imshow, report_generation.py:336-341); one
+        # pairwise-co-moment agg, driver-sized result
+        from anovos_spark.operators.association import correlation_matrix
+
+        num_cols_corr = [
+            f.name for f in idf.schema.fields
+            if f.dataType.typeName()
+            in ("integer", "long", "double", "float", "short", "decimal")
+        ][:max_chart_attrs]
+        if len(num_cols_corr) >= 2:
+            battery["correlation_matrix"] = correlation_matrix(idf, num_cols_corr)
     pd_frames = {k: v.toPandas() for k, v in battery.items()}
 
     n_cols = len(idf.columns)
@@ -596,6 +684,8 @@ def anovos_report(
     for k, t in [("correlation_matrix", "Correlation matrix"),
                  ("variable_clustering", "Variable clustering")]:
         if k in pd_frames:
+            if k == "correlation_matrix" and charts:
+                assoc_parts.append(_svg_corr_heatmap(pd_frames[k]))
             assoc_parts.append(f"<h3>{t}</h3>{_table(pd_frames[k])}")
     if rate_charts:
         assoc_parts.append("<h3>Event-rate charts</h3>")

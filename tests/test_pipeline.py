@@ -393,6 +393,9 @@ def test_anovos_report_html(spark, sf_dir, tmp_path):
     assert 'class="drift-summary"' in txt          # drift overview chart
     assert "Drift metric summary" in txt
     assert 'class="drift-threshold"' in txt        # decision line drawn
+    # correlation heatmap (reference px.imshow association panel)
+    assert 'class="corr-heatmap"' in txt
+    assert 'class="corr-cell"' in txt
 
 
 def test_pipeline_training_data_stages(spark, sf_dir, tmp_path):
