@@ -469,7 +469,20 @@ def auto_imputation(
             corrupted, "__rid__", cols, max_iter=10, seed=seed
         ),
     }
-    scores = {name: rmse_score(fn()) for name, fn in candidates.items()}
+    # the five candidates are independent job chains over the same two
+    # persisted ≤sample_size frames — run them through a driver-side
+    # thread pool so the scheduler overlaps their (tiny) stages and the
+    # bake-off costs max(candidate) wall time instead of the sum.
+    # Results are the same deterministic scores; only submission order
+    # changes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(candidates)) as pool:
+        futures = {
+            name: pool.submit(lambda f=fn: rmse_score(f()))
+            for name, fn in candidates.items()
+        }
+        scores = {name: fut.result() for name, fut in futures.items()}
     winner = min(scores, key=scores.get)
     spark = idf.sparkSession
     scores_df = spark.createDataFrame(
