@@ -55,6 +55,56 @@ def test_ngram_jaccard(docs):
     assert (1, 4) not in pairs
 
 
+def test_ngram_jaccard_matches_brute_force(spark):
+    """Differential: the prefix + size + positional filters must be
+    loss-free.  A seeded small-vocab corpus (lots of shared shingles, so
+    pairs match on MANY prefix grams and the positional bound gets
+    exercised on non-first matches) is compared pair-for-pair, value-
+    for-value against a python brute force over the same gram sets."""
+    import itertools
+    import random
+
+    rng = random.Random(1307)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = 0.4
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(df, threshold=t).collect()
+    }
+    gram_rows = df.select(
+        "doc_id", DD._shingles(F.col("text"), 3).alias("grams")
+    ).collect()
+    gsets = {r["doc_id"]: set(r["grams"]) for r in gram_rows}
+    want = {}
+    for ia, ib in itertools.combinations(sorted(gsets), 2):
+        inter = len(gsets[ia] & gsets[ib])
+        if inter:
+            j = round(inter / len(gsets[ia] | gsets[ib]), 6)
+            if j >= t:
+                want[(ia, ib)] = j
+    assert got == want
+
+
+def test_ngram_jaccard_exact_threshold_pair_survives(spark):
+    """A pair whose Jaccard is EXACTLY the threshold must survive the
+    positional filter (its product-form comparison carries 1e-9 slack so
+    float representation of t can never clip the boundary): two 5-token
+    docs sharing 2 of their 3 word-3-grams → J = 2/4 = 0.5 at t=0.5."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert pairs == {(1, 2): 0.5}
+
+
 def test_minhash_vs_exact(docs):
     mh = {(r["id_a"], r["id_b"]) for r in DD.minhash_lsh_pairs(docs, threshold=0.5).collect()}
     exact = {(r["id_a"], r["id_b"]) for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
