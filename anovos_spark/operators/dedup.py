@@ -222,6 +222,15 @@ def _hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _hash60(col: Column) -> Column:
+    """Deterministic 60-bit int from a string: first 15 hex chars of md5.
+    15 chars is the widest md5 prefix whose value always fits a SIGNED
+    64-bit long (16 chars can exceed 2^63 and null out of the cast on
+    the Spark side, overflow on the DuckDB side) — so the same
+    substr+hex→int replays bit-for-bit in the oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _cap_buckets(rows: DataFrame, keys, cap: int):
     """Skew guard for banded candidate joins: split ``rows`` into
     (small, over) by bucket size, where a bucket is one ``keys`` group.
@@ -547,18 +556,24 @@ def near_dup_components(
 
 
 def simhash_signatures(
-    idf: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+    idf: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
 ) -> DataFrame:
     """SimHash: per-bit majority vote over token hashes → [id, simhash].
 
     Implemented as explode(tokens) → one groupBy(id) with `bits` conditional
-    sums (bit b of token hash → ±1), sign → bit.  32-bit md5-derived token
-    hash for oracle parity."""
+    sums (bit b of token hash → ±1), sign → bit.  md5-derived token hash
+    for oracle parity: 60 bits (15 hex chars — the widest md5 prefix that
+    always fits a signed long on both engines).  60-bit signatures matter
+    at scale: the banded candidate join cuts the signature into
+    max_distance+1 segments, and segment WIDTH bounds how many distinct
+    bucket values exist — 60/4 = 15-bit segments give 32k values per band
+    (vs 256 for a 32-bit signature), so bucket sizes (and the quadratic
+    per-bucket pair blowup) grow 128× slower with corpus size."""
     from anovos_spark.operators.text import tokens
 
     toks = tokens(F.lower(F.col(text_col)))
     exploded = _spread(idf).select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
-    h = _hash32(F.col("t"))
+    h = _hash60(F.col("t")) if bits > 32 else _hash32(F.col("t"))
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -577,7 +592,7 @@ def simhash_pairs(
     idf: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 32,
+    bits: int = 60,
     max_distance: int = 3,
     bucket_cap: int | None = 10_000,
 ) -> DataFrame:

@@ -621,6 +621,18 @@ _HEX2INT = (
 )
 
 
+def _hex2int(h: str, n_chars: int) -> str:
+    """md5-hex(n) → bigint, identical to F.conv(substr(md5,1,n),16,10).
+    n_chars <= 15 keeps the value inside a signed 64-bit long on both
+    engines (powers of 16 up to 16^14 are exact in the double that
+    DuckDB's power() returns)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {n_chars}), "
+        f"i -> (strpos('0123456789abcdef', substr({h}, i, 1)) - 1) "
+        f"* CAST(power(16, {n_chars} - i) AS BIGINT)))"
+    )
+
+
 def text_statistics_sql() -> str:
     return f"""
 SELECT doc_id,
@@ -822,40 +834,37 @@ def minhash_lsh_sql() -> str:
     return _jaccard_pairs_sql(0.7)
 
 
-def simhash_sql() -> str:
-    h = _HEX2INT.format(h="substr(md5(t), 1, 8)")
+def _simhash_sig_ctes(bits: int = 60) -> str:
+    """Shared tok→hashed→votes→sig CTE chain mirroring
+    simhash_signatures: 60-bit md5-derived token hash (15 hex chars —
+    widest md5 prefix that fits a signed long on both engines), per-bit
+    ±1 majority vote, sign → bit."""
+    h = _hex2int("substr(md5(t), 1, 15)" if bits > 32 else "substr(md5(t), 1, 8)",
+                 15 if bits > 32 else 8)
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
-        for i in range(32)
+        for i in range(bits)
     )
     sim = " + ".join(
         f"CASE WHEN b{i} > 0 THEN CAST(power(2, {i}) AS BIGINT) ELSE 0 END"
-        for i in range(32)
-    )
-    return f"""
-WITH tok AS (SELECT doc_id AS id, unnest({_TOKS}) AS t FROM documents),
-hashed AS (SELECT id, {h} AS h FROM tok),
-votes AS (SELECT id, {votes} FROM hashed GROUP BY id)
-SELECT id, ({sim})::BIGINT AS simhash FROM votes"""
-
-
-def simhash_pairs_sql() -> str:
-    """Brute-force all-pairs hamming over the same md5-vote signatures —
-    the exact truth the banded equi-join path must reproduce."""
-    h = _HEX2INT.format(h="substr(md5(t), 1, 8)")
-    votes = ", ".join(
-        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
-        for i in range(32)
-    )
-    sim = " + ".join(
-        f"CASE WHEN b{i} > 0 THEN CAST(power(2, {i}) AS BIGINT) ELSE 0 END"
-        for i in range(32)
+        for i in range(bits)
     )
     return f"""
 WITH tok AS (SELECT doc_id AS id, unnest({_TOKS}) AS t FROM documents),
 hashed AS (SELECT id, {h} AS h FROM tok),
 votes AS (SELECT id, {votes} FROM hashed GROUP BY id),
-sig AS (SELECT id, ({sim})::BIGINT AS simhash FROM votes)
+sig AS (SELECT id, ({sim})::BIGINT AS simhash FROM votes)"""
+
+
+def simhash_sql() -> str:
+    return f"""{_simhash_sig_ctes()}
+SELECT id, simhash FROM sig"""
+
+
+def simhash_pairs_sql() -> str:
+    """Brute-force all-pairs hamming over the same md5-vote signatures —
+    the exact truth the banded equi-join path must reproduce."""
+    return f"""{_simhash_sig_ctes()}
 SELECT a.id AS id_a, b.id AS id_b,
        bit_count(xor(a.simhash, b.simhash))::INT AS hamming
 FROM sig a JOIN sig b ON a.id < b.id
