@@ -57,6 +57,7 @@ td.num { text-align: right; font-variant-numeric: tabular-nums; }
 .kpi { display: inline-block; margin: 6px 18px 6px 0; }
 .kpi b { display: block; font-size: 20px; }
 .kpi span { font-size: 11px; color: #4a5568; text-transform: uppercase; }
+.gauge-row { display: flex; flex-wrap: wrap; gap: 4px; margin-top: 8px; }
 .note { font-size: 11.5px; color: #6b7280; margin: 2px 0 0; }
 nav a.active { border-bottom: 2px solid #3b6fd4; font-weight: 600; }
 body.tabbed main section { display: none; }
@@ -470,6 +471,75 @@ def _svg_corr_heatmap(pdf, title: str = "Correlation heatmap") -> str:
     )
 
 
+#: 0-4 stability-index bands, the reference's gauge steps
+#: (report_generation.py:146-156: Reds for <2, orange to 3, greens above)
+_SI_BANDS = [
+    (0.0, 1.0, "#a63d38"),
+    (1.0, 2.0, "#c4655c"),
+    (2.0, 3.0, "#dd9a57"),
+    (3.0, 3.5, "#7fbf8f"),
+    (3.5, 4.0, "#3e9460"),
+]
+
+
+def _svg_gauge(
+    value: float,
+    vmax: float,
+    bands: list[tuple[float, float, str]],
+    title: str,
+    fmt: str = "{:.2f}",
+) -> str:
+    """Semicircular indicator gauge (the reference's go.Indicator
+    'gauge+number' panels — per-attribute stability index,
+    report_generation.py:142-160, and the drifted-feature counter,
+    :1521-1535) as stdlib SVG: colored band arcs, a needle at ``value``,
+    and the number below the pivot."""
+    import math
+
+    if not vmax or vmax <= 0:
+        return ""
+    v = min(max(float(value), 0.0), float(vmax))
+    cx, cy, r = 80.0, 74.0, 58.0
+
+    def pt(frac: float, radius: float) -> tuple[float, float]:
+        ang = math.pi * (1.0 - frac)  # 0 → 180°(left), 1 → 0°(right)
+        return cx + radius * math.cos(ang), cy - radius * math.sin(ang)
+
+    arcs = []
+    for lo, hi, color in bands:
+        f0, f1 = min(lo / vmax, 1.0), min(hi / vmax, 1.0)
+        if f1 <= f0:
+            continue
+        (x0, y0), (x1, y1) = pt(f0, r), pt(f1, r)
+        large = 1 if (f1 - f0) > 0.5 else 0
+        arcs.append(
+            f'<path d="M {x0:.1f} {y0:.1f} A {r} {r} 0 {large} 1 '
+            f'{x1:.1f} {y1:.1f}" stroke="{color}" stroke-width="14" '
+            f'fill="none"><title>{lo:g}–{hi:g}</title></path>'
+        )
+    nx, ny = pt(v / vmax, r - 11)
+    needle = (
+        f'<line x1="{cx}" y1="{cy}" x2="{nx:.1f}" y2="{ny:.1f}" '
+        f'stroke="#1a1a24" stroke-width="2.5"></line>'
+        f'<circle cx="{cx}" cy="{cy}" r="4" fill="#1a1a24"></circle>'
+    )
+    lo_lbl, hi_lbl = pt(0.0, r + 13), pt(1.0, r + 13)
+    return (
+        f'<svg class="gauge" width="160" height="112" '
+        f'xmlns="http://www.w3.org/2000/svg" role="img">'
+        f"{''.join(arcs)}{needle}"
+        f'<text x="{lo_lbl[0]:.0f}" y="{cy + 12}" text-anchor="middle" '
+        f'font-size="9.5" fill="#4a5568">0</text>'
+        f'<text x="{hi_lbl[0]:.0f}" y="{cy + 12}" text-anchor="middle" '
+        f'font-size="9.5" fill="#4a5568">{vmax:g}</text>'
+        f'<text x="{cx}" y="{cy + 14}" text-anchor="middle" font-size="15" '
+        f'font-weight="700" fill="#1a1a24">{fmt.format(value)}</text>'
+        f'<text x="{cx}" y="{cy + 30}" text-anchor="middle" font-size="10.5" '
+        f'fill="#4a5568">{_html.escape(title[:30])}'
+        f"<title>{_html.escape(title)}: {fmt.format(value)}</title></text></svg>"
+    )
+
+
 def _section(anchor: str, title: str, parts: list[str]) -> str:
     inner = "".join(p for p in parts if p)
     return f'<section id="{anchor}"><h2>{_html.escape(title)}</h2>{inner}</section>'
@@ -701,6 +771,19 @@ def anovos_report(
         if drift_stats_pdf is None and {"attribute", "PSI"} <= set(pdf.columns):
             drift_stats_pdf = pdf
         drift_parts.append(f"<h3>{_html.escape(name)}</h3>{_table(pdf)}")
+        if charts and {"attribute", "stability_index"} <= set(pdf.columns):
+            # per-attribute stability gauges (reference go.Indicator 0-4
+            # panels, report_generation.py:142-160)
+            gauges = "".join(
+                _svg_gauge(
+                    float(r["stability_index"]), 4.0, _SI_BANDS,
+                    str(r["attribute"]),
+                )
+                for _, r in pdf.head(max_chart_attrs).iterrows()
+                if not pd_isna(r["stability_index"])
+            )
+            if gauges:
+                drift_parts.append(f'<div class="gauge-row">{gauges}</div>')
     if drift_stats_pdf is None and charts and source_df is not None:
         from anovos_spark.operators.drift import drift_statistics
 
@@ -733,6 +816,21 @@ def anovos_report(
         )
         if summary:
             drift_parts.insert(0, summary)
+        # drifted-feature counter gauge (reference go.Indicator,
+        # report_generation.py:1521-1535): needle at the flagged count,
+        # bands at 20% / 50% of the attribute total
+        n_attrs = len(chart_rows)
+        n_flagged = sum(1 for _, _, fl in chart_rows if fl)
+        if n_attrs:
+            drift_parts.insert(0, _svg_gauge(
+                float(n_flagged), float(n_attrs),
+                [
+                    (0.0, 0.2 * n_attrs, "#3e9460"),
+                    (0.2 * n_attrs, 0.5 * n_attrs, "#dd9a57"),
+                    (0.5 * n_attrs, float(n_attrs), "#a63d38"),
+                ],
+                "attributes drifted", fmt="{:.0f}",
+            ))
     if drift_charts:
         drift_parts.append("<h3>Comparative distribution charts</h3>")
         drift_parts.extend(drift_charts)

@@ -348,8 +348,15 @@ def test_anovos_report_html(spark, sf_dir, tmp_path):
         .withColumn("probe", F.lit("<script>alert(1)</script>"))
     )
     source = od.where(F.col("o_orderkey") % 2 == 0)   # drift comparison side
+    from anovos_spark.operators.drift import stability_index_computation
+
+    stability = stability_index_computation(
+        [od.where(F.col("o_orderkey") % 3 == i) for i in range(3)],
+        list_of_cols=["o_totalprice", "o_custkey"],
+    )
     dest = anovos_report(
-        od, str(tmp_path / "html_report"), label_col="label", source_df=source
+        od, str(tmp_path / "html_report"), label_col="label", source_df=source,
+        drift_frames={"Stability index": stability},
     )
     assert dest.endswith("ml_anovos_report.html")
     txt = open(dest).read()
@@ -396,6 +403,14 @@ def test_anovos_report_html(spark, sf_dir, tmp_path):
     # correlation heatmap (reference px.imshow association panel)
     assert 'class="corr-heatmap"' in txt
     assert 'class="corr-cell"' in txt
+    # indicator gauges (reference go.Indicator panels): per-attribute
+    # stability-index gauges from the passed stability frame + the
+    # drifted-feature counter above the drift summary
+    assert 'class="gauge"' in txt
+    assert 'class="gauge-row"' in txt
+    assert "attributes drifted" in txt
+    assert txt.count('class="gauge"') >= 3   # 2 stability attrs + counter
+    assert "Stability index" in txt          # the frame's table rendered too
 
 
 def test_pipeline_training_data_stages(spark, sf_dir, tmp_path):
