@@ -540,6 +540,67 @@ def _svg_gauge(
     )
 
 
+def _svg_trend(
+    series: dict[str, list[float]], title: str, width: int = 300
+) -> str:
+    """Per-attribute metric trend across periods (the reference stability
+    tab's go.Scatter mean/stddev lines, report_generation.py) as a small
+    stdlib-SVG multiple: one polyline + markers per metric, shared x =
+    period index."""
+    series = {k: v for k, v in series.items() if v and len(v) >= 2}
+    if not series:
+        return ""
+    colors = {"mean": "#3b6fd4", "stddev": "#dd9a57", "kurtosis": "#3e9460"}
+    h, pad_l, pad_r, pad_t, pad_b = 110, 46, 10, 22, 18
+    plot_w, plot_h = width - pad_l - pad_r, h - pad_t - pad_b
+    all_v = [v for vs in series.values() for v in vs if v is not None]
+    lo, hi = min(all_v), max(all_v)
+    span = (hi - lo) or 1.0
+    n = max(len(vs) for vs in series.values())
+    parts = []
+    for name, vs in series.items():
+        color = colors.get(name, "#6b7280")
+        pts = []
+        for i, v in enumerate(vs):
+            if v is None:
+                continue
+            x = pad_l + (i / (n - 1)) * plot_w
+            y = pad_t + (1 - (v - lo) / span) * plot_h
+            pts.append((x, y, i, v))
+        if len(pts) < 2:
+            continue
+        path = " ".join(f"{x:.1f},{y:.1f}" for x, y, _, _ in pts)
+        parts.append(
+            f'<polyline points="{path}" fill="none" stroke="{color}" '
+            f'stroke-width="2"></polyline>'
+        )
+        parts.extend(
+            f'<circle cx="{x:.1f}" cy="{y:.1f}" r="2.8" fill="{color}">'
+            f"<title>{_html.escape(name)} · period {i}: {_fmt(v)}</title>"
+            f"</circle>"
+            for x, y, i, v in pts
+        )
+    legend = "".join(
+        f'<circle cx="{pad_l + k * 76 + 4}" cy="12" r="4" '
+        f'fill="{colors.get(m, "#6b7280")}"></circle>'
+        f'<text x="{pad_l + k * 76 + 12}" y="16" font-size="10" '
+        f'fill="#4a5568">{_html.escape(m)}</text>'
+        for k, m in enumerate(series)
+    )
+    return (
+        f'<svg class="trend" width="{width}" height="{h}" '
+        f'xmlns="http://www.w3.org/2000/svg" role="img">'
+        f'<text x="0" y="16" font-size="11.5" font-weight="600" '
+        f'fill="#1a1a24">{_html.escape(title[:30])}</text>{legend}'
+        f'<text x="{pad_l - 6}" y="{pad_t + 8}" text-anchor="end" '
+        f'font-size="9.5" fill="#4a5568">{_fmt(hi)}</text>'
+        f'<text x="{pad_l - 6}" y="{h - pad_b}" text-anchor="end" '
+        f'font-size="9.5" fill="#4a5568">{_fmt(lo)}</text>'
+        f'<line x1="{pad_l}" y1="{h - pad_b}" x2="{width - pad_r}" '
+        f'y2="{h - pad_b}" stroke="#e2e5ea"></line>{"".join(parts)}</svg>'
+    )
+
+
 def _section(anchor: str, title: str, parts: list[str]) -> str:
     inner = "".join(p for p in parts if p)
     return f'<section id="{anchor}"><h2>{_html.escape(title)}</h2>{inner}</section>'
@@ -551,6 +612,7 @@ def anovos_report(
     label_col: str | None = None,
     event_label=1,
     drift_frames: dict[str, DataFrame] | None = None,
+    stability_period_frames: list[DataFrame] | None = None,
     extra_frames: dict[str, DataFrame] | None = None,
     report_name: str = "ml_anovos_report.html",
     charts: bool = True,
@@ -831,6 +893,53 @@ def anovos_report(
                 ],
                 "attributes drifted", fmt="{:.0f}",
             ))
+    if stability_period_frames and len(stability_period_frames) >= 2:
+        # reference stability tab: per-attribute metric TRENDS across the
+        # period frames (go.Scatter lines) + the 0-4 SI gauge; one
+        # single-pass aggregation per period, driver-sized results
+        from anovos_spark.operators.drift import stability_index_computation
+
+        num_cols_st = [
+            f.name for f in stability_period_frames[0].schema.fields
+            if f.dataType.simpleString() in
+            ("int", "bigint", "smallint", "tinyint", "float", "double")
+            and f.name != label_col
+        ][:max_chart_attrs]
+        if num_cols_st:
+            per_period = []
+            for frame in stability_period_frames:
+                aggs = []
+                for c in num_cols_st:
+                    aggs += [F.mean(c).alias(f"{c}__mean"),
+                             F.stddev(c).alias(f"{c}__stddev")]
+                per_period.append(frame.agg(*aggs).collect()[0])
+            trends = []
+            for c in num_cols_st:
+                series = {
+                    m: [
+                        None if r[f"{c}__{m}"] is None else float(r[f"{c}__{m}"])
+                        for r in per_period
+                    ]
+                    for m in ("mean", "stddev")
+                }
+                trend = _svg_trend(series, c)
+                if trend:
+                    trends.append(trend)
+            if trends:
+                drift_parts.append("<h3>Stability trends across periods</h3>")
+                drift_parts.append(f'<div class="gauge-row">{"".join(trends)}</div>')
+            si_pdf = stability_index_computation(
+                stability_period_frames, list_of_cols=num_cols_st
+            ).toPandas()
+            gauges = "".join(
+                _svg_gauge(float(r["stability_index"]), 4.0, _SI_BANDS,
+                           str(r["attribute"]))
+                for _, r in si_pdf.iterrows()
+                if not pd_isna(r["stability_index"])
+            )
+            if gauges:
+                drift_parts.append(f'<div class="gauge-row">{gauges}</div>')
+            drift_parts.append(f"<h3>Stability index</h3>{_table(si_pdf)}")
     if drift_charts:
         drift_parts.append("<h3>Comparative distribution charts</h3>")
         drift_parts.extend(drift_charts)

@@ -357,6 +357,9 @@ def test_anovos_report_html(spark, sf_dir, tmp_path):
     dest = anovos_report(
         od, str(tmp_path / "html_report"), label_col="label", source_df=source,
         drift_frames={"Stability index": stability},
+        stability_period_frames=[
+            od.where(F.col("o_orderkey") % 3 == i) for i in range(3)
+        ],
     )
     assert dest.endswith("ml_anovos_report.html")
     txt = open(dest).read()
@@ -411,6 +414,10 @@ def test_anovos_report_html(spark, sf_dir, tmp_path):
     assert "attributes drifted" in txt
     assert txt.count('class="gauge"') >= 3   # 2 stability attrs + counter
     assert "Stability index" in txt          # the frame's table rendered too
+    # stability trend lines (reference go.Scatter mean/stddev per period)
+    assert 'class="trend"' in txt
+    assert "Stability trends across periods" in txt
+    assert "<polyline" in txt
 
 
 def test_pipeline_training_data_stages(spark, sf_dir, tmp_path):
