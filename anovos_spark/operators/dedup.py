@@ -392,8 +392,12 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_", *[F.col("signature")[b * r + j] for j in range(r)]
+                        # 8-byte bucket key (xxhash64 of the band's r
+                        # signature slots) instead of the concat_ws
+                        # string: equal bands hash equal, a collision
+                        # only ADDS a candidate the exact verify kills
+                        F.xxhash64(
+                            *[F.col("signature")[b * r + j] for j in range(r)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -421,11 +425,18 @@ def minhash_lsh_pairs(
         candidates = candidates.unionByName(chain)
     candidates = candidates.distinct()
     # exact verification on CANDIDATES ONLY (array_intersect per pair) —
-    # cost O(|candidates|), never the all-pairs join
+    # cost O(|candidates|), never the all-pairs join.  Gram sets ride as
+    # 64-bit longs (same hashing rationale and collision bound as
+    # ngram_jaccard_pairs): only fixed-width values shuffle to the
+    # verify joins
     grams = _shingles(F.col(text_col), n)
     docs = _spread(idf).select(
-        F.col(id_col).alias("id"), grams.alias("grams")
-    ).withColumn("n_grams", F.size("grams"))
+        F.col(id_col).alias("id"), grams.alias("sgrams")
+    ).select(
+        "id",
+        F.transform("sgrams", lambda g: F.xxhash64(g)).alias("grams"),
+        F.size("sgrams").alias("n_grams"),
+    )
     docs.persist()
     da = docs.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"), F.col("n_grams").alias("na"))
     db = docs.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"), F.col("n_grams").alias("nb"))
@@ -787,6 +798,9 @@ def minhash_lsh_pairs_incremental(
         new_sig = minhash_signatures(new_idf, text_col, id_col, n, num_hashes)
 
     def band_rows(sig: DataFrame) -> DataFrame:
+        # 8-byte xxhash64 bucket key over the band's r signature slots
+        # (same derivation on both sides of this run's join; the index
+        # stores SIGNATURES, so the key never persists across versions)
         return sig.select(
             "id",
             "signature",
@@ -795,8 +809,8 @@ def minhash_lsh_pairs_incremental(
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.concat_ws(
-                                "_", *[F.col("signature")[b * r + j] for j in range(r)]
+                            F.xxhash64(
+                                *[F.col("signature")[b * r + j] for j in range(r)]
                             ).alias("bucket"),
                         )
                         for b in range(bands)
@@ -1003,8 +1017,16 @@ def fuzzy_match_pairs(
     # inside the capped bucket.  The string is already materialized in
     # the row (it feeds deletion_variants), so carrying it as the
     # window partition key costs nothing extra.
+    # variant join key as an 8-byte xxhash64 of the variant string: the
+    # deletion neighborhood is the dominant shuffle (O(C(len, k)) rows
+    # per string, each carrying a ≤ max_length-byte variant) — hashing
+    # cuts the key to fixed width.  Equal variants hash equal, so recall
+    # is intact; a collision only ADDS a candidate pair, which the exact
+    # Levenshtein verify (on the full strings riding as __hk__) rejects.
     ex = docs.select(
-        "id", F.col("__s__").alias("__hk__"), F.explode("__v__").alias("v")
+        "id",
+        F.col("__s__").alias("__hk__"),
+        F.explode(F.transform("__v__", lambda s: F.xxhash64(s))).alias("v"),
     )
     chain = None
     if bucket_cap is not None:
