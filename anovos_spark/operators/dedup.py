@@ -459,6 +459,7 @@ def near_dup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → [id, component]
     with component = min doc id in the group (the canonical survivor).
@@ -487,16 +488,30 @@ def near_dup_components(
     doubling step only ever DECREASE a node's label and never below
     the component minimum, so the fixpoint is exactly min-id labeling.
 
+    Small-graph fast path: the EDGE LIST here is post-detection output —
+    verified near-dup pairs — which is orders of magnitude smaller than
+    the corpus that produced it (19k pairs from 50k docs at sf1; pairs
+    ≪ N is the whole point of candidate filtering).  When the doubled
+    edge count is at most ``small_graph_threshold`` (default 2M rows ≈
+    32 MB of longs — the same driver-memory class as a broadcast-join
+    side), the closure runs as an exact driver-side union-find in one
+    collect of the already-checkpointed edges, skipping the per-round
+    join + checkpoint cycle entirely.  Above the threshold (billions of
+    pairs at 100 TB-scale dup rates) the distributed propagation below
+    is the path.  Both produce the identical min-id labeling; pass
+    ``small_graph_threshold=0`` to force the distributed path.
+
     Raises RuntimeError if the labels have not reached a fixpoint after
     ``max_iter`` rounds — a silent non-convergence would split one
     component into several, which downstream dedup/clustering would
     misread as distinct groups.  With doubling engaged from round 4,
     the default 20 rounds covers diameters up to ~2^16; pass a larger
     max_iter for adversarial graphs rather than relying on the partial
-    result.  Raises ValueError for max_iter < 1: a zero-round budget
-    can never certify convergence, and returning the identity labeling
-    silently would be exactly the non-converged output the fail-fast
-    contract forbids."""
+    result.  (The union-find path is exact and never iterates, so the
+    bound only governs the distributed path.)  Raises ValueError for
+    max_iter < 1: a zero-round budget can never certify convergence,
+    and returning the identity labeling silently would be exactly the
+    non-converged output the fail-fast contract forbids."""
     if max_iter < 1:
         raise ValueError(
             f"near_dup_components requires max_iter >= 1, got {max_iter}"
@@ -510,9 +525,45 @@ def near_dup_components(
         .distinct()
     )
     edges = edges.localCheckpoint(eager=True)
-    if edges.limit(1).count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return edges.select(
             F.col("src").alias("id"), F.col("src").alias("component")
+        )
+    if n_edges <= small_graph_threshold:
+        # bounded driver-side union-find over the checkpointed edges
+        # (collect size explicitly capped by the threshold check above)
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = edges.collect()
+        for a, b in rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        # the doubled edge list carries every node in the src slot
+        nodes = {a for a, _ in rows}
+        comp_min: dict = {}
+        for node in nodes:
+            r = find(node)
+            if r not in comp_min or node < comp_min[r]:
+                comp_min[r] = node
+        out_rows = [(n, comp_min[find(n)]) for n in nodes]
+        id_type = edges.schema["src"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        return edges.sparkSession.createDataFrame(
+            out_rows,
+            StructType(
+                [StructField("id", id_type), StructField("component", id_type)]
+            ),
         )
     labels = (
         edges.select(F.col("src").alias("id"))

@@ -160,21 +160,49 @@ def test_near_dup_components_long_chain_pointer_doubling(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], schema="id_a long, id_b long"
     ).coalesce(4)
-    comp = DD.near_dup_components(pairs)
+    # small_graph_threshold=0 forces the DISTRIBUTED propagation (the
+    # default would take the driver union-find fast path at this size)
+    comp = DD.near_dup_components(pairs, small_graph_threshold=0)
     assert comp.where(F.col("component") != 0).count() == 0
     assert comp.count() == n
 
 
 def test_near_dup_components_raises_on_nonconvergence(spark):
     """Silent partial labeling would split one component into many —
-    the helper must raise instead when max_iter is too small."""
+    the distributed path must raise instead when max_iter is too small
+    (the union-find fast path is exact and never iterates, so the
+    distributed path is forced here)."""
     import pytest as _pytest
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(99)], schema="id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        DD.near_dup_components(pairs, max_iter=1)
+        DD.near_dup_components(pairs, max_iter=1, small_graph_threshold=0)
+
+
+def test_near_dup_components_fast_path_equals_distributed(spark):
+    """The driver union-find fast path and the distributed propagation
+    must produce the identical min-id labeling on a random graph with
+    chains, stars, islands, and singleton-free id gaps."""
+    import random
+
+    rng = random.Random(4099)
+    nodes = rng.sample(range(10_000), 400)
+    edges = []
+    for i in range(0, 360, 3):       # chains of 3
+        edges += [(nodes[i], nodes[i + 1]), (nodes[i + 1], nodes[i + 2])]
+    hub = nodes[360]
+    edges += [(hub, nodes[361 + j]) for j in range(30)]   # a star
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], schema="id_a long, id_b long"
+    )
+    fast = {r["id"]: r["component"] for r in DD.near_dup_components(pairs).collect()}
+    dist = {
+        r["id"]: r["component"]
+        for r in DD.near_dup_components(pairs, small_graph_threshold=0).collect()
+    }
+    assert fast == dist and len(fast) == 391  # 360 chain + 31 star nodes
 
 
 def test_simhash_pairs_plan_has_no_nested_loop(docs):
