@@ -543,7 +543,10 @@ def near_dup_components(
                 parent[x], x = root, parent[x]
             return root
 
-        rows = edges.collect()
+        # Arrow toPandas, not collect(): 2M two-long rows are ~32 MB as
+        # columnar arrays vs ~10× that as driver-side Row objects
+        pdf = edges.toPandas()
+        rows = list(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
         for a, b in rows:
             ra, rb = find(a), find(b)
             if ra != rb:
