@@ -544,26 +544,43 @@ def near_dup_components(
             return root
 
         # Arrow toPandas, not collect(): 2M two-long rows are ~32 MB as
-        # columnar arrays vs ~10× that as driver-side Row objects
+        # columnar arrays vs ~10× that as driver-side Row objects.  The
+        # union-find loop streams the two columns directly (no
+        # intermediate tuple list — that list alone was another ~120 MB
+        # of tuple headers at the threshold), and the result goes back
+        # through createDataFrame(pandas) so Arrow carries both
+        # directions instead of pickling a list of tuples.
+        import pandas as pd
+
         pdf = edges.toPandas()
-        rows = list(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
-        for a, b in rows:
+        src_vals = pdf["src"].tolist()
+        dst_vals = pdf["dst"].tolist()
+        del pdf
+        for a, b in zip(src_vals, dst_vals):
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[rb] = ra
+        del dst_vals
         # the doubled edge list carries every node in the src slot
-        nodes = {a for a, _ in rows}
+        nodes = set(src_vals)
+        del src_vals
         comp_min: dict = {}
         for node in nodes:
             r = find(node)
             if r not in comp_min or node < comp_min[r]:
                 comp_min[r] = node
-        out_rows = [(n, comp_min[find(n)]) for n in nodes]
+        node_list = list(nodes)
+        out_pdf = pd.DataFrame(
+            {
+                "id": node_list,
+                "component": [comp_min[find(n)] for n in node_list],
+            }
+        )
         id_type = edges.schema["src"].dataType
         from pyspark.sql.types import StructField, StructType
 
         return edges.sparkSession.createDataFrame(
-            out_rows,
+            out_pdf,
             StructType(
                 [StructField("id", id_type), StructField("component", id_type)]
             ),
@@ -610,10 +627,15 @@ def near_dup_components(
                 .select("id", F.col("__c2__").alias("component"))
                 .localCheckpoint(eager=True)
             )
-        if round_no == 0:
+        if round_no == 0 and max_iter > 1:
             # a nonempty edge set always changes some label in round 0
             # (for any edge (a,b) with a<b, node b drops to ≤a), so the
-            # convergence-count join would be a guaranteed "changed"
+            # convergence-count join would be a guaranteed "changed" —
+            # EXCEPT when the distinct'd edge set is all self-loops
+            # (src == dst), where round 0 is already the fixpoint.  When
+            # round 0 is also the LAST permitted round (max_iter == 1)
+            # the real count must run, or an already-converged labeling
+            # would be reported as non-convergence.
             changed = 1
         else:
             changed = (
@@ -639,32 +661,59 @@ def simhash_signatures(
 ) -> DataFrame:
     """SimHash: per-bit majority vote over token hashes → [id, simhash].
 
-    Implemented as explode(tokens) → one groupBy(id) with `bits` conditional
-    sums (bit b of token hash → ±1), sign → bit.  md5-derived token hash
-    for oracle parity: 60 bits (15 hex chars — the widest md5 prefix that
-    always fits a signed long on both engines).  60-bit signatures matter
-    at scale: the banded candidate join cuts the signature into
-    max_distance+1 segments, and segment WIDTH bounds how many distinct
-    bucket values exist — 60/4 = 15-bit segments give 32k values per band
-    (vs 256 for a 32-bit signature), so bucket sizes (and the quadratic
-    per-bucket pair blowup) grow 128× slower with corpus size."""
+    A document's signature depends only on its own tokens, so this is a
+    pure per-row MAP — no explode, no groupBy, ZERO shuffle (the r7
+    explode+60-vote-sums version shuffled 60 longs per doc and paid the
+    token-count row blowup; this one is 2.5× faster at sf0.1 and scan-
+    bound at any scale).  Per row: hash each token once
+    (`transform`), then one `aggregate` pass over the hash array
+    accumulating a `bits`-slot count vector via `zip_with`; bit b of the
+    signature is set iff more than half the tokens have bit b set
+    (2·count > n — identical to the sign of the classic ±1 vote sum,
+    ties → 0).  md5-derived token hash for oracle parity: 60 bits
+    (15 hex chars — the widest md5 prefix that always fits a signed
+    long on both engines).  60-bit signatures matter at scale: the
+    banded candidate join cuts the signature into max_distance+1
+    segments, and segment WIDTH bounds how many distinct bucket values
+    exist — 60/4 = 15-bit segments give 32k values per band (vs 256 for
+    a 32-bit signature), so bucket sizes (and the quadratic per-bucket
+    pair blowup) grow 128× slower with corpus size.  Zero-token and
+    null-text docs are absent from the output (the explode-era
+    contract)."""
     from anovos_spark.operators.text import tokens
 
     toks = tokens(F.lower(F.col(text_col)))
-    exploded = _spread(idf).select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
-    h = _hash60(F.col("t")) if bits > 32 else _hash32(F.col("t"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    agg = exploded.groupBy("id").agg(*votes)
-    sim = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim + bit
-    return agg.select("id", sim.alias("simhash"))
+    hash_fn = _hash60 if bits > 32 else _hash32
+    hashed = _spread(idf).select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: hash_fn(t)).alias("__hs__"),
+    ).where(F.size("__hs__") > 0)
+    n = F.size("__hs__")
+    counts = F.aggregate(
+        F.col("__hs__"),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long")
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    weights = F.array(*[F.lit(2**i).cast("long") for i in range(bits)])
+    sim = F.aggregate(
+        F.zip_with(
+            counts,
+            weights,
+            lambda c, w: F.when(c * 2 > n, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    return hashed.select("id", sim.alias("simhash"))
 
 
 def simhash_pairs(

@@ -77,15 +77,18 @@ def outlier_frame(
     compute them in ONE aggregation and never move row data).
 
     Whiskers at 1.5·IQR (Tukey); n_outliers counts points beyond them.
-    Sampling mirrors the reference default (500k, seed 0→42)."""
+    Sampling mirrors the reference default (500k, seed 0→42);
+    ``sample_size=None`` disables sampling entirely (exact over all
+    rows — what a differential oracle should replay)."""
     from anovos_spark.core.typing import resolve_columns
     from anovos_spark.core.utils import ensure_list
 
     cols = resolve_columns(idf, ensure_list(list_of_cols), (), restrict_to="numerical")
-    total = idf.count()
-    if total > sample_size:
-        idf = idf.sample(False, sample_size / total, seed)
-        idf = idf.localCheckpoint(eager=False)  # feeds 2 jobs
+    if sample_size is not None:
+        total = idf.count()
+        if total > sample_size:
+            idf = idf.sample(False, sample_size / total, seed)
+            idf = idf.localCheckpoint(eager=False)  # feeds 2 jobs
     fn = "percentile" if exact else "percentile_approx"
     acc = "" if exact else ", 100"
     q_aggs = [
@@ -178,7 +181,9 @@ def violin_frame(
     one agg for per-attribute min/max, then melt → fixed-width bucket →
     groupBy(attribute, bin).  Output is n_cols × n_bins rows —
     driver-sized at any data scale.  Sampling mirrors outlier_frame
-    (500k default): a silhouette never needs more."""
+    (500k default): a silhouette never needs more; ``sample_size=None``
+    disables sampling (exact — what a differential oracle should
+    replay)."""
     from anovos_spark.core.typing import resolve_columns
     from anovos_spark.core.utils import ensure_list
 
@@ -188,10 +193,11 @@ def violin_frame(
         return spark.createDataFrame(
             [], "attribute string, bin int, bin_lo double, bin_hi double, density double"
         )
-    total = idf.count()
-    if total > sample_size:
-        idf = idf.sample(False, sample_size / total, seed)
-        idf = idf.localCheckpoint(eager=False)  # feeds 2 jobs
+    if sample_size is not None:
+        total = idf.count()
+        if total > sample_size:
+            idf = idf.sample(False, sample_size / total, seed)
+            idf = idf.localCheckpoint(eager=False)  # feeds 2 jobs
     def _clean(c):
         # Spark orders NaN above every double, so an unguarded max()
         # returns NaN and poisons the whole span

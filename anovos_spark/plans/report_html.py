@@ -417,9 +417,13 @@ def _svg_corr_heatmap(pdf, title: str = "Correlation heatmap") -> str:
     cols = [c for c in attrs if c in pdf.columns]
     if len(cols) < 2:
         return ""
+    # rows actually rendered: attrs present as pivot columns — a
+    # non-square pivot (attribute missing as a column) must shrink the
+    # viewport too, or the extra rows draw outside it
+    row_entries = [(idx, a) for idx, a in enumerate(attrs) if a in cols]
     cell_w, cell_h, label_w, top_h = 52, 22, 150, 84
     width = label_w + cell_w * len(cols) + 10
-    height = top_h + cell_h * len(cols) + 8
+    height = top_h + cell_h * len(row_entries) + 8
 
     def fill(v: float) -> str:
         # diverging: -1 -> house blue, 0 -> white, +1 -> house orange
@@ -442,15 +446,13 @@ def _svg_corr_heatmap(pdf, title: str = "Correlation heatmap") -> str:
             f'text-anchor="start" transform="rotate(-45 {x} {top_h - 8})">'
             f"{_html.escape(c[:16])}</text>"
         )
-    for i, a in enumerate(attrs):
-        if a not in pdf.columns and a not in cols:
-            continue
+    for i, (src_idx, a) in enumerate(row_entries):
         y = top_h + i * cell_h
         parts.append(
             f'<text x="{label_w - 8}" y="{y + cell_h / 2 + 3}" text-anchor="end" '
             f'font-size="10.5" fill="#1a1a24">{_html.escape(a[:22])}</text>'
         )
-        row = pdf.iloc[i]
+        row = pdf.iloc[src_idx]
         for j, c in enumerate(cols):
             v = row.get(c)
             if v is None or pd_isna(v):
@@ -643,6 +645,19 @@ def anovos_report(
     HTML stays driver-sized.
     """
     from anovos_spark.plans.report import basic_report
+    from anovos_spark.plans.report_plotly import (
+        embed_figure,
+        loader_script,
+        plotly_corr_heatmap,
+        plotly_drift_summary,
+        plotly_enabled,
+        plotly_violins,
+    )
+
+    # one gate for the report: plotly.js figures (same frame data) when
+    # ANOVOS_SPARK_PLOTLY / an installed plotly asks for them, else the
+    # dependency-free stdlib SVG renderers
+    use_plotly = plotly_enabled()
 
     battery = basic_report(idf, label_col=label_col, event_label=event_label)
     if extra_frames:
@@ -745,12 +760,18 @@ def anovos_report(
                 densities.setdefault(str(r["attribute"]), []).append(
                     (float(r["bin_lo"]), float(r["bin_hi"]), float(r["density"]))
                 )
-            outlier_chart = _svg_violins(
-                list(zip(ofr["attribute"], ofr["lower_whisker"], ofr["q1"],
-                         ofr["median"], ofr["q3"], ofr["upper_whisker"])),
-                densities,
-                "Outlier profile (violin + box, whiskers at 1.5·IQR)",
+            box_items = list(
+                zip(ofr["attribute"], ofr["lower_whisker"], ofr["q1"],
+                    ofr["median"], ofr["q3"], ofr["upper_whisker"])
             )
+            violin_title = "Outlier profile (violin + box, whiskers at 1.5·IQR)"
+            if use_plotly:
+                outlier_chart = embed_figure(
+                    plotly_violins(box_items, densities, violin_title),
+                    "violin-panel",
+                )
+            else:
+                outlier_chart = _svg_violins(box_items, densities, violin_title)
         if source_df is not None:
             for c in cat_cols:
                 # signature: (idf_target, idf_source, col)
@@ -817,7 +838,12 @@ def anovos_report(
                  ("variable_clustering", "Variable clustering")]:
         if k in pd_frames:
             if k == "correlation_matrix" and charts:
-                assoc_parts.append(_svg_corr_heatmap(pd_frames[k]))
+                if use_plotly:
+                    fig = plotly_corr_heatmap(pd_frames[k])
+                    if fig:
+                        assoc_parts.append(embed_figure(fig, "corr-heatmap"))
+                else:
+                    assoc_parts.append(_svg_corr_heatmap(pd_frames[k]))
             assoc_parts.append(f"<h3>{t}</h3>{_table(pd_frames[k])}")
     if rate_charts:
         assoc_parts.append("<h3>Event-rate charts</h3>")
@@ -873,9 +899,12 @@ def anovos_report(
             chart_rows.append(
                 (r["attribute"], mvals, bool(r.get("flagged", False)))
             )
-        summary = _svg_drift_summary(
-            chart_rows, 0.1, "Drift metric summary (PSI · JSD · HD · KS)"
-        )
+        drift_title = "Drift metric summary (PSI · JSD · HD · KS)"
+        if use_plotly:
+            fig = plotly_drift_summary(chart_rows, 0.1, drift_title)
+            summary = embed_figure(fig, "drift-summary") if fig else ""
+        else:
+            summary = _svg_drift_summary(chart_rows, 0.1, drift_title)
         if summary:
             drift_parts.insert(0, summary)
         # drifted-feature counter gauge (reference go.Indicator,
@@ -964,7 +993,8 @@ def anovos_report(
         "<header><h1>Anovos Data Report</h1>"
         f"<p>generated {stamp} · {n_cols} columns</p></header>"
         f"<nav>{''.join(nav)}</nav><main>{''.join(sections)}</main>"
-        f"<script>{_JS}</script></body></html>"
+        f"<script>{_JS}</script>"
+        f"{loader_script() if use_plotly else ''}</body></html>"
     )
     os.makedirs(output_path, exist_ok=True)
     dest = os.path.join(output_path, report_name)

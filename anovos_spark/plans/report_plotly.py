@@ -1,0 +1,242 @@
+"""Optional plotly.js renderers for the report's headline charts.
+
+The reference renders its report charts with plotly/datapane
+(report_generation.py:3984-4416).  The repo's default renderer is
+dependency-free stdlib SVG (report_html.py); this module provides the
+same three headline charts — violin panel, correlation heatmap, drift
+summary — as plotly FIGURE DICTS built from the identical frame data,
+gated behind ``ANOVOS_SPARK_PLOTLY``:
+
+- unset (default): auto — plotly output only if ``import plotly``
+  succeeds, else stdlib SVG;
+- ``1``/``true``: force plotly output (a figure is pure JSON, so no
+  package is needed to EMIT it — plotly.js hydrates it in the browser
+  from the pinned CDN script);
+- ``0``/``false``: force stdlib SVG.
+
+Each figure embeds as ``<div class="plotly-fig"><script
+type="application/json">…</script></div>``; one loader script per
+report hydrates every such div via ``Plotly.newPlot``.  Values placed
+into figures are data (JSON-encoded), never markup — the embed escapes
+``</`` so a hostile string value can't close the JSON script block.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+#: pinned plotly.js build the loader script pulls from the CDN
+PLOTLY_JS_CDN = "https://cdn.plot.ly/plotly-2.35.2.min.js"
+
+_HOUSE_BLUE = "#3b6fd4"
+_DRIFT_COLORS = {"PSI": "#3b6fd4", "JSD": "#2f9e6e", "HD": "#d4933b", "KS": "#b4564e"}
+
+
+def plotly_enabled() -> bool:
+    """The render gate (see module docstring)."""
+    flag = os.environ.get("ANOVOS_SPARK_PLOTLY", "").strip().lower()
+    if flag in ("1", "true", "yes"):
+        return True
+    if flag in ("0", "false", "no"):
+        return False
+    try:
+        import plotly  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def embed_figure(fig: dict, css_class: str) -> str:
+    """One figure → a self-contained embed div.  The JSON is escaped so
+    an embedded data value can never terminate the script block (the
+    report's injection barrier)."""
+    payload = json.dumps(fig, separators=(",", ":")).replace("</", "<\\/")
+    return (
+        f'<div class="plotly-fig {css_class}">'
+        f'<script type="application/json">{payload}</script></div>'
+    )
+
+
+def loader_script() -> str:
+    """Per-report hydration script: finds every .plotly-fig, parses its
+    JSON payload, and renders it with Plotly.newPlot.  Degrades to the
+    (empty) divs when the CDN is unreachable."""
+    return (
+        f'<script src="{PLOTLY_JS_CDN}" charset="utf-8"></script>'
+        "<script>window.addEventListener('DOMContentLoaded',function(){"
+        "if(typeof Plotly==='undefined'){return;}"
+        "document.querySelectorAll('.plotly-fig').forEach(function(el){"
+        "var src=el.querySelector('script[type=\"application/json\"]');"
+        "if(!src){return;}var fig=JSON.parse(src.textContent);"
+        "var div=document.createElement('div');el.appendChild(div);"
+        "Plotly.newPlot(div,fig.data,fig.layout,{displaylogo:false});});});"
+        "</script>"
+    )
+
+
+def _base_layout(title: str) -> dict:
+    return {
+        "title": {"text": title, "font": {"size": 13}},
+        "margin": {"l": 140, "r": 30, "t": 40, "b": 40},
+        "paper_bgcolor": "#ffffff",
+        "plot_bgcolor": "#ffffff",
+        "font": {"family": "system-ui, sans-serif", "size": 11},
+    }
+
+
+def plotly_violins(
+    box_items: list[tuple[str, float, float, float, float, float]],
+    densities: dict[str, list[tuple[float, float, float]]],
+    title: str,
+) -> dict:
+    """Violin + box panel from the same inputs as _svg_violins:
+    box_items (label, lower_whisker, q1, median, q3, upper_whisker) and
+    violin_frame densities.  Quartiles are PRE-COMPUTED engine-side, so
+    the box traces carry only the seven numbers (never raw rows) —
+    plotly.js box traces accept explicit q1/median/q3/fence arrays.
+    Density silhouettes render as mirrored filled scatter traces, one
+    per attribute, on a per-attribute normalized x axis."""
+    box_items = [t for t in box_items if all(v is not None for v in t[1:])][:20]
+    labels = [str(k) for k, *_ in box_items]
+    data: list[dict] = [
+        {
+            "type": "box",
+            "name": "box",
+            "y": labels,
+            "orientation": "h",
+            "q1": [float(t[2]) for t in box_items],
+            "median": [float(t[3]) for t in box_items],
+            "q3": [float(t[4]) for t in box_items],
+            "lowerfence": [float(t[1]) for t in box_items],
+            "upperfence": [float(t[5]) for t in box_items],
+            "marker": {"color": _HOUSE_BLUE},
+            "showlegend": False,
+        }
+    ]
+    # per-attribute mirrored density silhouette on its own span
+    for k, lw, q1, med, q3, uw in box_items:
+        dens = sorted(densities.get(str(k), []), key=lambda t: t[0])
+        if not dens:
+            continue
+        xs = [(lo + hi) / 2.0 for lo, hi, _ in dens]
+        ys = [max(0.0, min(1.0, d)) for _, _, d in dens]
+        data.append(
+            {
+                "type": "scatter",
+                "name": str(k),
+                "x": xs + xs[::-1],
+                "y": [0.38 * v for v in ys] + [-0.38 * v for v in ys[::-1]],
+                "fill": "toself",
+                "mode": "lines",
+                "line": {"color": "#7ba3e8", "width": 1},
+                "fillcolor": "rgba(207,224,255,0.9)",
+                "xaxis": "x2",
+                "yaxis": "y2",
+                "showlegend": False,
+                "hoverinfo": "name+x",
+            }
+        )
+    layout = _base_layout(title)
+    layout["height"] = max(220, 60 * len(labels) + 80)
+    layout["yaxis"] = {"automargin": True}
+    # silhouette overlay axes (free-floating, hidden ticks)
+    layout["xaxis2"] = {"overlaying": "x", "visible": False}
+    layout["yaxis2"] = {"overlaying": "y", "visible": False}
+    return {"data": data, "layout": layout}
+
+
+def plotly_corr_heatmap(pdf, title: str = "Correlation heatmap") -> dict | None:
+    """Correlation heatmap from the same pivoted frame as
+    _svg_corr_heatmap (the reference's px.imshow association panel,
+    report_generation.py:336-341).  Returns None on a frame the SVG
+    renderer would also skip."""
+    if pdf is None:
+        return None
+    if {"attribute1", "attribute2", "corr"} <= set(pdf.columns):
+        pdf = (
+            pdf.pivot(index="attribute1", columns="attribute2", values="corr")
+            .rename_axis(None, axis=1)
+            .reset_index()
+            .rename(columns={"attribute1": "attribute"})
+        )
+    if "attribute" not in pdf.columns:
+        return None
+    attrs = [str(a) for a in pdf["attribute"].tolist()]
+    cols = [c for c in attrs if c in pdf.columns]
+    if len(cols) < 2:
+        return None
+    rows = [(i, a) for i, a in enumerate(attrs) if a in cols]
+    z = []
+    for src_idx, _ in rows:
+        r = pdf.iloc[src_idx]
+        z.append([None if r.get(c) is None or r.get(c) != r.get(c) else float(r[c]) for c in cols])
+    layout = _base_layout(title)
+    layout["height"] = max(240, 28 * len(rows) + 120)
+    layout["yaxis"] = {"autorange": "reversed", "automargin": True}
+    return {
+        "data": [
+            {
+                "type": "heatmap",
+                "x": cols,
+                "y": [a for _, a in rows],
+                "z": z,
+                "zmin": -1,
+                "zmax": 1,
+                "colorscale": [
+                    [0.0, "#5c8adb"],
+                    [0.5, "#ffffff"],
+                    [1.0, "#ff823b"],
+                ],
+                "texttemplate": "%{z:.2f}",
+            }
+        ],
+        "layout": layout,
+    }
+
+
+def plotly_drift_summary(
+    rows_in: list[tuple[str, dict[str, float], bool]],
+    threshold: float,
+    title: str,
+) -> dict | None:
+    """Grouped PSI/JSD/HD/KS bars with the decision threshold as a
+    dashed line shape — same inputs as _svg_drift_summary."""
+    rows = [(str(a), m) for a, m, _ in rows_in if m]
+    if not rows:
+        return None
+    attrs = [a for a, _ in rows]
+    data = []
+    for metric, color in _DRIFT_COLORS.items():
+        vals = [m.get(metric) for _, m in rows]
+        if all(v is None for v in vals):
+            continue
+        data.append(
+            {
+                "type": "bar",
+                "name": metric,
+                "orientation": "h",
+                "y": attrs,
+                "x": [0.0 if v is None else float(v) for v in vals],
+                "marker": {"color": color},
+            }
+        )
+    if not data:
+        return None
+    layout = _base_layout(title)
+    layout["barmode"] = "group"
+    layout["height"] = max(220, 26 * len(attrs) * len(data) / 2 + 120)
+    layout["yaxis"] = {"automargin": True}
+    layout["shapes"] = [
+        {
+            "type": "line",
+            "x0": threshold,
+            "x1": threshold,
+            "y0": -0.5,
+            "y1": len(attrs) - 0.5,
+            "line": {"color": "#b4564e", "dash": "dash", "width": 1.5},
+        }
+    ]
+    layout["legend"] = {"orientation": "h"}
+    return {"data": data, "layout": layout}

@@ -1502,8 +1502,11 @@ def q_outlier_frame(spark, sf_dir):
     from anovos_spark.plans.report_frames import outlier_frame
 
     li = table(spark, sf_dir, "lineitem")
+    # sample_size=None: the DuckDB oracle replays UNSAMPLED quantile
+    # arithmetic, so the differential stays valid at every sf (a finite
+    # cap would silently engage sampling once lineitem outgrew it)
     return outlier_frame(
-        li, ["l_quantity", "l_extendedprice", "l_discount"], sample_size=10_000_000,
+        li, ["l_quantity", "l_extendedprice", "l_discount"], sample_size=None,
         exact=_exact(),
     )
 
@@ -1513,12 +1516,15 @@ def q_violin_frame(spark, sf_dir):
     per-attribute fixed-width histogram over [min, max], density
     normalized to the modal bin.  One min/max agg + one melt/groupBy —
     output is n_cols × n_bins rows at any scale.  Oracle replays the
-    identical bucket arithmetic per column in SQL."""
+    identical bucket arithmetic per column in SQL — over ALL rows, so
+    sample_size=None here (a finite cap would silently engage sampling
+    above the sf where lineitem outgrows it and spuriously fail the
+    differential)."""
     from anovos_spark.plans.report_frames import violin_frame
 
     li = table(spark, sf_dir, "lineitem")
     return violin_frame(
-        li, ["l_quantity", "l_discount"], n_bins=12, sample_size=10_000_000
+        li, ["l_quantity", "l_discount"], n_bins=12, sample_size=None
     )
 
 
@@ -3122,10 +3128,13 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (measured sf0.01 seconds) stays as the tiebreak so equally-sampled
     queries still run cheapest-first.
 
-    Because the rotation reads artifacts at the repo root, iteration
-    order can differ between checkouts (e.g. an sdist without the
-    artifacts).  Results are unaffected; set
-    ``ANOVOS_SPARK_STATIC_REGISTRY_ORDER=1`` to pin a checkout-
+    The counts live in the COMMITTED ``tools/rotation_state.json``
+    (regenerated once per round by ``tools/update_rotation_state.py``),
+    so a bare clone, CI, and the working tree all iterate in the same
+    order — rotation state is explicit data, not inferred from which
+    CORRECTNESS_r*.json artifacts happen to exist at import time.
+    Results are unaffected by order either way; set
+    ``ANOVOS_SPARK_STATIC_REGISTRY_ORDER=1`` to pin a state-file-
     independent ordering (oracle-first, cost, name) when order
     stability matters downstream."""
     import os
@@ -3152,24 +3161,24 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _prior_driver_sample_counts() -> dict[str, int]:
     """How many times each query name appeared in a prior driver
-    correctness run (CORRECTNESS_r*.json at the repo root).  Missing or
-    malformed artifacts degrade to zero counts (static order)."""
-    import glob
+    correctness run, read from the committed
+    ``tools/rotation_state.json`` (regenerate with
+    ``tools/update_rotation_state.py``).  A missing or malformed state
+    file degrades to zero counts (static order)."""
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    counts: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as fh:
-                payload = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        if isinstance(payload, dict):
-            for name in payload:
-                counts[name] = counts.get(name, 0) + 1
-    return counts
+    path = os.path.join(root, "tools", "rotation_state.json")
+    try:
+        with open(path) as fh:
+            payload = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    counts = payload.get("counts") if isinstance(payload, dict) else None
+    if not isinstance(counts, dict):
+        return {}
+    return {str(k): int(v) for k, v in counts.items() if isinstance(v, int)}
 
 
 # measured sf0.01 bench seconds (round 2); used only to order the

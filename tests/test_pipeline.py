@@ -420,6 +420,61 @@ def test_anovos_report_html(spark, sf_dir, tmp_path):
     assert "<polyline" in txt
 
 
+def test_anovos_report_plotly_gate(spark, sf_dir, tmp_path, monkeypatch):
+    """ANOVOS_SPARK_PLOTLY=1 renders the three headline charts as
+    plotly.js figure embeds from the SAME frame set the SVG path uses;
+    =0 (and unset, in this plotly-less env) keeps stdlib SVG.  The
+    injection barrier must hold on both paths."""
+    import json as _json
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from anovos_spark.plans.report_html import anovos_report
+
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn("label", (F.col("o_orderstatus") == "F").cast("int"))
+        .withColumn("probe", F.lit("</script><script>alert(1)</script>"))
+    )
+    source = od.where(F.col("o_orderkey") % 2 == 0)
+
+    monkeypatch.setenv("ANOVOS_SPARK_PLOTLY", "1")
+    dest = anovos_report(
+        od, str(tmp_path / "plotly_report"), label_col="label", source_df=source
+    )
+    txt = open(dest).read()
+    # three headline charts became figure embeds; their SVG classes gone
+    assert txt.count('class="plotly-fig') >= 3
+    assert 'class="plotly-fig violin-panel"' in txt
+    assert 'class="plotly-fig corr-heatmap"' in txt
+    assert 'class="plotly-fig drift-summary"' in txt
+    assert "<polygon" not in txt          # no SVG violin silhouette
+    assert 'class="corr-cell"' not in txt  # no SVG heatmap cells
+    assert "cdn.plot.ly" in txt            # loader present exactly once
+    assert txt.count("Plotly.newPlot") == 1
+    # figures are valid JSON with the expected trace types
+    payloads = _re.findall(
+        r'<script type="application/json">(.*?)</script>', txt, _re.S
+    )
+    types = set()
+    for p in payloads:
+        fig = _json.loads(p.replace("<\\/", "</"))
+        types |= {t.get("type") for t in fig["data"]}
+    assert {"box", "heatmap", "bar"} <= types
+    # hostile value can't close the JSON script block or start a new one
+    assert "</script><script>alert" not in txt
+
+    monkeypatch.setenv("ANOVOS_SPARK_PLOTLY", "0")
+    dest2 = anovos_report(
+        od, str(tmp_path / "svg_report"), label_col="label", source_df=source
+    )
+    txt2 = open(dest2).read()
+    assert 'class="plotly-fig' not in txt2 and "cdn.plot.ly" not in txt2
+    assert 'class="violin"' in txt2 and 'class="corr-heatmap"' in txt2
+    assert 'class="drift-summary"' in txt2
+
+
 def test_pipeline_training_data_stages(spark, sf_dir, tmp_path):
     index_path = str(tmp_path / "mh_index")
     cfg = {

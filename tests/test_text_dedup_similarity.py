@@ -1,4 +1,6 @@
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from anovos_spark.operators import dedup as DD
@@ -203,6 +205,115 @@ def test_near_dup_components_fast_path_equals_distributed(spark):
         for r in DD.near_dup_components(pairs, small_graph_threshold=0).collect()
     }
     assert fast == dist and len(fast) == 391  # 360 chain + 31 star nodes
+
+
+@st.composite
+def _random_graphs(draw):
+    """Random near-dup-shaped graphs: chains, a star, a clique,
+    noise edges (self-loops included), with node ids scrambled through
+    a permutation so the min-id label is never just positional."""
+    edges = []
+    next_id = 0
+    for _ in range(draw(st.integers(0, 3))):  # chains
+        ln = draw(st.integers(2, 8))
+        ids = list(range(next_id, next_id + ln))
+        next_id += ln
+        edges += list(zip(ids, ids[1:]))
+    if draw(st.booleans()):  # a star
+        hub, k = next_id, draw(st.integers(1, 10))
+        next_id += k + 1
+        edges += [(hub, hub + 1 + j) for j in range(k)]
+    if draw(st.booleans()):  # a clique
+        k = draw(st.integers(2, 6))
+        ids = list(range(next_id, next_id + k))
+        next_id += k
+        edges += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    hi = max(next_id, 2)
+    edges += draw(
+        st.lists(st.tuples(st.integers(0, hi), st.integers(0, hi)), max_size=8)
+    )
+    if not edges:
+        edges = [(0, 1)]
+    perm = draw(st.permutations(range(hi + 1)))
+    return [(perm[a], perm[b]) for a, b in edges]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=_random_graphs())
+def test_near_dup_components_paths_agree_property(spark, edges):
+    """The driver union-find fast path (dedup.py small-graph branch) and
+    the distributed min-label propagation are asserted identical by
+    argument in the docstring; this sweeps random graphs (chains, stars,
+    cliques, islands, self-loops, scrambled ids) and checks the claim,
+    plus both against an independent driver union-find ground truth."""
+    pairs = spark.createDataFrame(edges, schema="id_a long, id_b long")
+    fast = {
+        r["id"]: r["component"] for r in DD.near_dup_components(pairs).collect()
+    }
+    dist = {
+        r["id"]: r["component"]
+        for r in DD.near_dup_components(pairs, small_graph_threshold=0).collect()
+    }
+    assert fast == dist
+    # independent ground truth
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    nodes = {n for e in edges for n in e}
+    groups = {}
+    for n in nodes:
+        groups.setdefault(find(n), []).append(n)
+    want = {n: min(g) for g in groups.values() for n in g}
+    assert fast == want
+
+
+def test_near_dup_components_threshold_boundary(spark):
+    """small_graph_threshold boundary: with the doubled-distinct edge
+    count exactly AT the threshold the fast path engages; one below, the
+    distributed path runs — identical labels either way."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], schema="id_a long, id_b long"
+    )
+    n_doubled = 6  # 3 undirected edges, both directions, all distinct
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    at = {
+        r["id"]: r["component"]
+        for r in DD.near_dup_components(
+            pairs, small_graph_threshold=n_doubled
+        ).collect()
+    }
+    below = {
+        r["id"]: r["component"]
+        for r in DD.near_dup_components(
+            pairs, small_graph_threshold=n_doubled - 1
+        ).collect()
+    }
+    assert at == want and below == want
+
+
+def test_near_dup_components_self_loops_max_iter_one(spark):
+    """A self-loop-only pair list is at fixpoint after round 0, so
+    max_iter=1 must SUCCEED on the distributed path (the round-0
+    changed=1 shortcut must not fire when round 0 is the final round)."""
+    pairs = spark.createDataFrame(
+        [(5, 5), (7, 7)], schema="id_a long, id_b long"
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in DD.near_dup_components(
+            pairs, max_iter=1, small_graph_threshold=0
+        ).collect()
+    }
+    assert comp == {5: 5, 7: 7}
 
 
 def test_simhash_pairs_plan_has_no_nested_loop(docs):

@@ -1,0 +1,181 @@
+"""Feature-recommender match-quality eval (round 8).
+
+The reference scores attribute→feature matches with a pretrained
+sentence-transformer (featrec_init.py:29-31, all-mpnet-base-v2); that
+model isn't shippable here, so the repo serves the contract through
+TF-IDF token cosine and hashed-token embedding fallbacks.  This eval
+quantifies those fallbacks — the one reference behavior that previously
+had no quantitative evidence:
+
+- probe set A (identity): every corpus feature_name used verbatim as an
+  attribute — any sane matcher must rank its own feature #1;
+- probe set B (perturbed): 25 hand-pinned synonym / abbreviation /
+  typo variants with a known ground-truth feature — the realistic
+  "user's column names don't match the corpus" case.
+
+Metrics per path (TF-IDF, hashed-64, hashed-256): hit@1, hit@3, MRR,
+plus pairwise top-3 overlap between paths.  The sentence-transformer
+path is import-gated in this environment and recorded as unavailable.
+
+Writes FEATREC_QUALITY_r{N}.json at the repo root:
+    python tools/featrec_quality_eval.py 8
+"""
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from anovos_spark.operators.featrec import (  # noqa: E402
+    DEFAULT_CORPUS,
+    feature_recommender_match,
+    feature_recommender_match_embedded,
+)
+
+# (attribute-as-a-user-would-name-it, ground-truth feature_name)
+PERTURBED: list[tuple[str, str]] = [
+    # synonyms / abbreviations
+    ("cust_annual_income", "customer_income_level"),
+    ("age_of_customer", "customer_age"),
+    ("acct_balance", "account_balance"),
+    ("txn_amount", "transaction_amount"),
+    ("num_transactions_last_30_days", "transaction_count_30d"),
+    ("days_since_login", "days_since_last_login"),
+    ("avg_session_secs", "session_duration_avg"),
+    ("pageviews_per_visit", "page_views_per_session"),
+    ("cart_abandon_pct", "cart_abandonment_rate"),
+    ("order_total", "order_total_price"),
+    ("items_per_order", "order_item_quantity"),
+    ("product_discount", "product_discount_pct"),
+    ("delivery_duration_days", "shipping_duration_days"),
+    ("call_minutes", "call_duration_minutes"),
+    ("monthly_data_gb", "data_usage_gb"),
+    ("insurance_claim_amt", "claim_amount"),
+    ("policy_years_active", "policy_tenure_years"),
+    ("patient_visits", "patient_visit_count"),
+    ("supplier_leadtime_days", "supplier_lead_time"),
+    ("tax_percentage", "tax_rate_pct"),
+    # typos
+    ("custmer_income_levl", "customer_income_level"),
+    ("transacton_amount", "transaction_amount"),
+    ("sesion_duration_avg", "session_duration_avg"),
+    ("data_usege_gb", "data_usage_gb"),
+    ("claim_ammount", "claim_amount"),
+]
+
+TOP_K = 3
+
+
+def rankings(spark, attrs, path):
+    adf = spark.createDataFrame([(a,) for a in attrs], "attribute string")
+    if path == "tfidf":
+        out = feature_recommender_match(adf, top_k=TOP_K, min_score=0.0)
+    elif path == "hashed64":
+        out = feature_recommender_match_embedded(
+            adf, dim=64, top_k=TOP_K, min_score=-1.0
+        )
+    elif path == "hashed256":
+        out = feature_recommender_match_embedded(
+            adf, dim=256, top_k=TOP_K, min_score=-1.0
+        )
+    else:
+        raise ValueError(path)
+    ranked: dict[str, list[str]] = {}
+    for r in out.orderBy("attribute", "rank").collect():
+        ranked.setdefault(r["attribute"], []).append(r["feature_name"])
+    return ranked
+
+
+def score(ranked, truth_pairs):
+    hit1 = hit3 = 0
+    rr_sum = 0.0
+    misses = []
+    for attr, truth in truth_pairs:
+        top = ranked.get(attr, [])
+        if top[:1] == [truth]:
+            hit1 += 1
+        if truth in top[:3]:
+            hit3 += 1
+            rr_sum += 1.0 / (top.index(truth) + 1)
+        else:
+            misses.append({"attribute": attr, "truth": truth, "got": top})
+    n = len(truth_pairs)
+    return {
+        "n": n,
+        "hit_at_1": round(hit1 / n, 4),
+        "hit_at_3": round(hit3 / n, 4),
+        "mrr_at_3": round(rr_sum / n, 4),
+        "misses": misses,
+    }
+
+
+def overlap_at_k(ra, rb, attrs, k=3):
+    tot = 0.0
+    for a in attrs:
+        sa, sb = set(ra.get(a, [])[:k]), set(rb.get(a, [])[:k])
+        tot += len(sa & sb) / k
+    return round(tot / len(attrs), 4)
+
+
+def main() -> None:
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    identity_pairs = [(name, name) for name, _, _, _ in DEFAULT_CORPUS]
+    perturbed_attrs = [a for a, _ in PERTURBED]
+    all_attrs = [a for a, _ in identity_pairs] + perturbed_attrs
+
+    result: dict = {"round": rnd, "top_k": TOP_K, "paths": {}}
+    ranked_by_path = {}
+    for path in ("tfidf", "hashed64", "hashed256"):
+        ranked = rankings(spark, all_attrs, path)
+        ranked_by_path[path] = ranked
+        result["paths"][path] = {
+            "identity": score(ranked, identity_pairs),
+            "perturbed": score(ranked, PERTURBED),
+        }
+    try:
+        import sentence_transformers  # noqa: F401
+
+        st_status = "available-but-unevaluated"
+    except ImportError:
+        st_status = "unavailable (import-gated; reference featrec_init.py:29-31)"
+    result["sentence_transformer_path"] = st_status
+    result["pairwise_overlap_at_3"] = {
+        "tfidf_vs_hashed64": overlap_at_k(
+            ranked_by_path["tfidf"], ranked_by_path["hashed64"], all_attrs
+        ),
+        "tfidf_vs_hashed256": overlap_at_k(
+            ranked_by_path["tfidf"], ranked_by_path["hashed256"], all_attrs
+        ),
+        "hashed64_vs_hashed256": overlap_at_k(
+            ranked_by_path["hashed64"], ranked_by_path["hashed256"], all_attrs
+        ),
+    }
+
+    out_path = os.path.join(ROOT, f"FEATREC_QUALITY_r{rnd:02d}.json")
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+    for path, scores in result["paths"].items():
+        print(
+            f"{path:10s} identity hit@1={scores['identity']['hit_at_1']} "
+            f"perturbed hit@1={scores['perturbed']['hit_at_1']} "
+            f"hit@3={scores['perturbed']['hit_at_3']} mrr={scores['perturbed']['mrr_at_3']}"
+        )
+    print("overlap@3:", result["pairwise_overlap_at_3"])
+    print(out_path)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
