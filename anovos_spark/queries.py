@@ -1117,25 +1117,42 @@ def q_autoencoder_optimality(spark, sf_dir):
     floor — on 2 standardized columns that floor is (1 − |r|)/2, closed
     form from corr() alone.  The indicators force the real fit to (a)
     respect the bound and (b) actually land near the optimum, so a
-    broken optimizer or a wrong gradient fails the hash."""
+    broken optimizer or a wrong gradient fails the hash.
+
+    Floor tolerance is sampling-aware (r8): the MSE ≥ (1−|r|)/2 bound is
+    a THEOREM on the fit sample's own correlation, but the query
+    measures |r| on the FULL frame.  When the frame fits inside the
+    200k fit sample (sf ≤ ~0.3) the two are identical and the tolerance
+    stays razor-thin (1e-9).  When the fit really samples, the sample
+    correlation differs from the full one by O(1/√n) — sd(r̂) ≈
+    (1−r²)/√n ≈ 0.0022 at n = 200k — so the floor comparison gets a
+    4σ margin of 2/√n ≈ 0.0045.  The r7 run at sf1 (first >200k-row
+    draw of this query) caught exactly this: the jittered scale data
+    collapses the pair's correlation to ~0.001, and the sample floor
+    landed ~1e-3 below the full-frame floor — a sampling-noise fact,
+    not an optimizer bug."""
+    import math as _math
+
     from anovos_spark.operators.transformers_ml import autoencoder_latent_features
 
-    # base keys only: the floor bound is tight only when the fit sample
-    # and the corr() frame share a distribution; scale dirs replicate
-    # facts with jitter that collapses this pair's correlation, making
-    # the razor-thin sample-vs-full floor margin flip
+    sample_size = 200_000
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_orderkey") < 10_000_000
     ).select("l_quantity", "l_extendedprice")
     odf, model = autoencoder_latent_features(
         li, ["l_quantity", "l_extendedprice"], reduction_params=1,
-        sample_size=200_000, epochs=20, seed=42,
+        sample_size=sample_size, epochs=20, seed=42,
     )
     mse = float(model["train_mse"])
-    r = li.agg(F.abs(F.corr("l_quantity", "l_extendedprice"))).collect()[0][0]
-    floor = (1.0 - float(r)) / 2.0
+    row = li.dropna().agg(
+        F.abs(F.corr("l_quantity", "l_extendedprice")).alias("r"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    r, n_complete = float(row["r"]), int(row["n"])
+    floor = (1.0 - r) / 2.0
+    tol_low = 1e-9 if n_complete <= sample_size else 2.0 / _math.sqrt(sample_size)
     return spark.createDataFrame(
-        [(round(float(r), 6), int(mse >= floor - 1e-9), int(mse <= floor + 0.02))],
+        [(round(r, 6), int(mse >= floor - tol_low), int(mse <= floor + 0.02))],
         schema="abs_corr double, above_floor int, near_optimum int",
     )
 
