@@ -739,8 +739,18 @@ def simhash_pairs(
     planned a BroadcastNestedLoopJoin, O(N²) comparisons, and with
     max_distance>=2 could also split the differing bits across both
     halves and silently drop true pairs).  Shuffle volume is
-    O(N·(max_distance+1)); verification is exact bit_count on the XOR."""
-    sig = simhash_signatures(idf, text_col, id_col, bits)
+    O(N·(max_distance+1)); verification is exact bit_count on the XOR.
+
+    The signature frame materializes ONCE (eager localCheckpoint) before
+    fan-out: the r8 per-row signature map has no shuffle boundary, so
+    without it every consumer — the bucket-size split, both self-join
+    sides, the skew-chain path — would re-run the 60-bit vote expression
+    over the corpus (measured 4× blowup at sf1).  The checkpoint stores
+    (id, simhash) — 8 bytes of signature per doc, the same bytes the
+    pre-r8 groupBy shuffle materialized implicitly."""
+    sig = simhash_signatures(idf, text_col, id_col, bits).localCheckpoint(
+        eager=True
+    )
     n_bands = max_distance + 1
     width = -(-bits // n_bands)  # ceil
     band_rows = sig.select(
