@@ -70,3 +70,41 @@ def test_violin_frame(spark):
     # all-null / non-numeric columns degrade to an empty frame
     empty = spark.createDataFrame([(None,)], "w double")
     assert RF.violin_frame(empty, ["w"]).count() == 0
+
+
+def test_corr_heatmap_non_square_pivot_viewport():
+    """A long-form correlation frame whose pivot is NON-square (an
+    attribute present as a row but missing as a column) must still size
+    the SVG viewport to the rendered rows — no cell may land below the
+    declared height (the r7 renderer drew such rows outside the
+    viewport)."""
+    import re
+
+    import pandas as pd
+
+    from anovos_spark.plans.report_html import _svg_corr_heatmap
+
+    # c appears as attribute1 (a row) but never as attribute2 (a column)
+    rows = []
+    for a in ("a", "b", "c"):
+        for b in ("a", "b"):
+            rows.append((a, b, 1.0 if a == b else 0.5))
+    pdf = pd.DataFrame(rows, columns=["attribute1", "attribute2", "corr"])
+    svg = _svg_corr_heatmap(pdf)
+    assert "corr-heatmap" in svg
+    height = int(re.search(r'height="(\d+)"', svg).group(1))
+    y_coords = [float(m) for m in re.findall(r'<rect[^>]* y="([\d.]+)"', svg)]
+    cell_h = 22
+    assert y_coords and max(y_coords) + cell_h <= height
+    # only the 2 square attrs render as rows; 'c' (no column) is skipped
+    assert svg.count('text-anchor="end"') == 2
+
+    # square case still renders all three rows when c is a column too
+    rows_sq = [
+        (a, b, 1.0 if a == b else 0.25)
+        for a in ("a", "b", "c")
+        for b in ("a", "b", "c")
+    ]
+    pdf_sq = pd.DataFrame(rows_sq, columns=["attribute1", "attribute2", "corr"])
+    svg_sq = _svg_corr_heatmap(pdf_sq)
+    assert svg_sq.count('text-anchor="end"') == 3
