@@ -648,16 +648,45 @@ def anovos_report(
     from anovos_spark.plans.report_plotly import (
         embed_figure,
         loader_script,
+        plotly_bars,
         plotly_corr_heatmap,
         plotly_drift_summary,
         plotly_enabled,
+        plotly_gauge,
+        plotly_paired_bars,
+        plotly_trend,
         plotly_violins,
     )
 
     # one gate for the report: plotly.js figures (same frame data) when
     # ANOVOS_SPARK_PLOTLY / an installed plotly asks for them, else the
-    # dependency-free stdlib SVG renderers
+    # dependency-free stdlib SVG renderers.  The render_* closures keep
+    # every call site renderer-agnostic.
     use_plotly = plotly_enabled()
+
+    def render_bars(items, title, unit=""):
+        if use_plotly:
+            fig = plotly_bars(items, title, unit)
+            return embed_figure(fig, "bars") if fig else ""
+        return _svg_bars(items, title, unit)
+
+    def render_paired_bars(items, title, legend=("source", "target")):
+        if use_plotly:
+            fig = plotly_paired_bars(items, title, legend)
+            return embed_figure(fig, "paired-bars") if fig else ""
+        return _svg_paired_bars(items, title, legend)
+
+    def render_gauge(value, vmax, bands, title, fmt="{:.2f}"):
+        if use_plotly:
+            fig = plotly_gauge(value, vmax, bands, title)
+            return embed_figure(fig, "gauge") if fig else ""
+        return _svg_gauge(value, vmax, bands, title, fmt=fmt)
+
+    def render_trend(series, title):
+        if use_plotly:
+            fig = plotly_trend(series, title)
+            return embed_figure(fig, "trend") if fig else ""
+        return _svg_trend(series, title)
 
     battery = basic_report(idf, label_col=label_col, event_label=event_label)
     if extra_frames:
@@ -696,7 +725,7 @@ def anovos_report(
     missing_chart = ""
     if mc is not None and "missing_pct" in mc.columns:
         worst = mc.sort_values("missing_pct", ascending=False)
-        missing_chart = _svg_bars(
+        missing_chart = render_bars(
             list(zip(worst["attribute"], worst["missing_pct"] * 100)),
             "Missing values by attribute",
             unit="%",
@@ -738,7 +767,7 @@ def anovos_report(
                 max_chart_cardinality
             ).toPandas()
             freq_charts.append(
-                _svg_bars(
+                render_bars(
                     list(zip(fr[c], fr["count"])), f"Frequency — {c}"
                 )
             )
@@ -747,7 +776,7 @@ def anovos_report(
                     F.col("event_rate").desc()
                 ).limit(max_chart_cardinality).toPandas()
                 rate_charts.append(
-                    _svg_bars(
+                    render_bars(
                         list(zip(er[c], er["event_rate"])),
                         f"Event rate — {c}", unit="%",
                     )
@@ -779,7 +808,7 @@ def anovos_report(
                     F.col("countpct_source").desc()
                 ).limit(max_chart_cardinality).toPandas()
                 drift_charts.append(
-                    _svg_paired_bars(
+                    render_paired_bars(
                         list(zip(cd[c], cd["countpct_source"],
                                  cd["countpct_target"])),
                         f"Distribution drift — {c}",
@@ -827,7 +856,7 @@ def anovos_report(
     if iv is not None and {"attribute", "iv"} <= set(iv.columns):
         ranked = iv.sort_values("iv", ascending=False)
         assoc_parts.append(
-            _svg_bars(list(zip(ranked["attribute"], ranked["iv"])),
+            render_bars(list(zip(ranked["attribute"], ranked["iv"])),
                       "Information value by attribute")
         )
         assoc_parts.append(f"<h3>Information value</h3>{_table(iv)}")
@@ -863,7 +892,7 @@ def anovos_report(
             # per-attribute stability gauges (reference go.Indicator 0-4
             # panels, report_generation.py:142-160)
             gauges = "".join(
-                _svg_gauge(
+                render_gauge(
                     float(r["stability_index"]), 4.0, _SI_BANDS,
                     str(r["attribute"]),
                 )
@@ -913,7 +942,7 @@ def anovos_report(
         n_attrs = len(chart_rows)
         n_flagged = sum(1 for _, _, fl in chart_rows if fl)
         if n_attrs:
-            drift_parts.insert(0, _svg_gauge(
+            drift_parts.insert(0, render_gauge(
                 float(n_flagged), float(n_attrs),
                 [
                     (0.0, 0.2 * n_attrs, "#3e9460"),
@@ -951,7 +980,7 @@ def anovos_report(
                     ]
                     for m in ("mean", "stddev")
                 }
-                trend = _svg_trend(series, c)
+                trend = render_trend(series, c)
                 if trend:
                     trends.append(trend)
             if trends:
@@ -961,8 +990,8 @@ def anovos_report(
                 stability_period_frames, list_of_cols=num_cols_st
             ).toPandas()
             gauges = "".join(
-                _svg_gauge(float(r["stability_index"]), 4.0, _SI_BANDS,
-                           str(r["attribute"]))
+                render_gauge(float(r["stability_index"]), 4.0, _SI_BANDS,
+                             str(r["attribute"]))
                 for _, r in si_pdf.iterrows()
                 if not pd_isna(r["stability_index"])
             )

@@ -147,6 +147,148 @@ def plotly_violins(
     return {"data": data, "layout": layout}
 
 
+def plotly_bars(
+    items: list[tuple[str, float]], title: str, unit: str = ""
+) -> dict | None:
+    """Horizontal bar chart from the same (label, value) items as
+    _svg_bars."""
+    items = [(k, v) for k, v in items if v is not None][:20]
+    if not items:
+        return None
+    layout = _base_layout(title)
+    layout["height"] = max(180, 24 * len(items) + 90)
+    layout["yaxis"] = {"automargin": True, "autorange": "reversed"}
+    if unit:
+        layout["xaxis"] = {"ticksuffix": unit}
+    return {
+        "data": [
+            {
+                "type": "bar",
+                "orientation": "h",
+                "y": [str(k) for k, _ in items],
+                "x": [float(v) for _, v in items],
+                "marker": {"color": _HOUSE_BLUE},
+                "hovertemplate": "%{y}: %{x}" + unit + "<extra></extra>",
+            }
+        ],
+        "layout": layout,
+    }
+
+
+def plotly_paired_bars(
+    items: list[tuple[str, float, float]],
+    title: str,
+    legend: tuple[str, str] = ("source", "target"),
+) -> dict | None:
+    """Grouped two-series horizontal bars (comparative drift) from the
+    same items as _svg_paired_bars."""
+    items = [
+        (k, a, b) for k, a, b in items if a is not None and b is not None
+    ][:20]
+    if not items:
+        return None
+    labels = [str(k) for k, _, _ in items]
+    layout = _base_layout(title)
+    layout["barmode"] = "group"
+    layout["height"] = max(200, 34 * len(items) + 110)
+    layout["yaxis"] = {"automargin": True, "autorange": "reversed"}
+    layout["legend"] = {"orientation": "h"}
+    return {
+        "data": [
+            {
+                "type": "bar",
+                "name": legend[0],
+                "orientation": "h",
+                "y": labels,
+                "x": [float(a) for _, a, _ in items],
+                "marker": {"color": _HOUSE_BLUE},
+            },
+            {
+                "type": "bar",
+                "name": legend[1],
+                "orientation": "h",
+                "y": labels,
+                "x": [float(b) for _, _, b in items],
+                "marker": {"color": "#d4823b"},
+            },
+        ],
+        "layout": layout,
+    }
+
+
+def plotly_gauge(
+    value: float,
+    vmax: float,
+    bands: list[tuple[float, float, str]],
+    title: str,
+) -> dict | None:
+    """Indicator gauge — plotly's native 'gauge+number' trace, the very
+    shape the reference emits (go.Indicator panels,
+    report_generation.py:142-160, :1521-1535)."""
+    if not vmax or vmax <= 0:
+        return None
+    return {
+        "data": [
+            {
+                "type": "indicator",
+                "mode": "gauge+number",
+                "value": float(value),
+                "title": {"text": title, "font": {"size": 12}},
+                "gauge": {
+                    "axis": {"range": [0, float(vmax)]},
+                    "bar": {"color": "#1a1a24", "thickness": 0.25},
+                    "steps": [
+                        {"range": [float(lo), float(hi)], "color": color}
+                        for lo, hi, color in bands
+                    ],
+                },
+            }
+        ],
+        "layout": {
+            "height": 180,
+            "width": 220,
+            "margin": {"l": 20, "r": 20, "t": 30, "b": 10},
+            "paper_bgcolor": "#ffffff",
+            "font": {"family": "system-ui, sans-serif", "size": 11},
+        },
+    }
+
+
+def plotly_trend(
+    series: dict[str, list[float]], title: str
+) -> dict | None:
+    """Per-attribute metric trend lines across periods (the reference
+    stability tab's go.Scatter) from the same series as _svg_trend."""
+    series = {k: v for k, v in series.items() if v and len(v) >= 2}
+    if not series:
+        return None
+    colors = {"mean": _HOUSE_BLUE, "stddev": "#dd9a57", "kurtosis": "#3e9460"}
+    data = []
+    for name, vs in series.items():
+        pts = [(i, v) for i, v in enumerate(vs) if v is not None]
+        if len(pts) < 2:
+            continue
+        data.append(
+            {
+                "type": "scatter",
+                "mode": "lines+markers",
+                "name": name,
+                "x": [i for i, _ in pts],
+                "y": [float(v) for _, v in pts],
+                "line": {"color": colors.get(name, "#6b7280"), "width": 2},
+            }
+        )
+    if not data:
+        return None
+    layout = _base_layout(title)
+    layout["height"] = 220
+    layout["width"] = 340
+    layout["margin"] = {"l": 50, "r": 16, "t": 40, "b": 30}
+    layout["xaxis"] = {"title": {"text": "period"}, "dtick": 1}
+    layout["legend"] = {"orientation": "h"}
+    return {"data": data, "layout": layout}
+
+
 def plotly_corr_heatmap(pdf, title: str = "Correlation heatmap") -> dict | None:
     """Correlation heatmap from the same pivoted frame as
     _svg_corr_heatmap (the reference's px.imshow association panel,

@@ -441,16 +441,18 @@ def test_anovos_report_plotly_gate(spark, sf_dir, tmp_path, monkeypatch):
 
     monkeypatch.setenv("ANOVOS_SPARK_PLOTLY", "1")
     dest = anovos_report(
-        od, str(tmp_path / "plotly_report"), label_col="label", source_df=source
+        od, str(tmp_path / "plotly_report"), label_col="label", source_df=source,
+        stability_period_frames=[
+            od.where(F.col("o_orderkey") % 3 == i) for i in range(3)
+        ],
     )
     txt = open(dest).read()
-    # three headline charts became figure embeds; their SVG classes gone
-    assert txt.count('class="plotly-fig') >= 3
-    assert 'class="plotly-fig violin-panel"' in txt
-    assert 'class="plotly-fig corr-heatmap"' in txt
-    assert 'class="plotly-fig drift-summary"' in txt
-    assert "<polygon" not in txt          # no SVG violin silhouette
-    assert 'class="corr-cell"' not in txt  # no SVG heatmap cells
+    # EVERY chart type became a figure embed; no SVG chart remains
+    assert txt.count('class="plotly-fig') >= 8
+    for css in ("violin-panel", "corr-heatmap", "drift-summary", "bars",
+                "paired-bars", "gauge", "trend"):
+        assert f'class="plotly-fig {css}"' in txt, css
+    assert "<svg" not in txt               # fully plotly-rendered report
     assert "cdn.plot.ly" in txt            # loader present exactly once
     assert txt.count("Plotly.newPlot") == 1
     # figures are valid JSON with the expected trace types
@@ -461,7 +463,7 @@ def test_anovos_report_plotly_gate(spark, sf_dir, tmp_path, monkeypatch):
     for p in payloads:
         fig = _json.loads(p.replace("<\\/", "</"))
         types |= {t.get("type") for t in fig["data"]}
-    assert {"box", "heatmap", "bar"} <= types
+    assert {"box", "heatmap", "bar", "indicator"} <= types
     # hostile value can't close the JSON script block or start a new one
     assert "</script><script>alert" not in txt
 
