@@ -2903,4 +2903,40 @@ SELECT lang, n_docs, tokens,
                   ELSE 0.0 END, 6) AS rate,
        floor(tf * tstar)::BIGINT AS planned_tokens
 FROM j, s""",
+        # the polygon is an L1 ball, so containment has a CLOSED FORM —
+        # this verifies the ray-cast UDF's geometry against independent
+        # arithmetic, not a replay of its algebra (same oracle stance as
+        # spatial_join).  Offsets make edge/vertex ties unrepresentable.
+        "location_in_polygon": """
+SELECT c_custkey,
+       CASE WHEN abs(((c_custkey % 170) - 85 + 0.25) - 10.12)
+               + abs(((c_custkey % 360) - 180 + 0.5) - 20.37) < 29.77
+            THEN 1 ELSE 0 END AS in_polygon
+FROM customer""",
+        "flatten_melt": """
+WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 5003 = 0)
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS attribute,
+       round(l_quantity, 6) AS value FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       round(l_extendedprice, 6) FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       round(l_discount, 6) FROM src""",
+        # conditional-agg pivot over a UNION ALL unpivot mirrors
+        # melt-then-pivot transpose; mixed types stringify on both sides
+        "transpose": """
+WITH long_form AS (
+  -- both melted columns are INT, so the stack target type stays INT
+  -- (melt only stringifies MIXED types) — the unpivot mirrors that
+  SELECT r_name, 'r_regionkey' AS key, r_regionkey AS value FROM region
+  UNION ALL
+  SELECT r_name, 'name_len', length(r_name)::INTEGER FROM region)
+SELECT key,
+  max(CASE WHEN r_name = 'AFRICA' THEN value END) AS "AFRICA",
+  max(CASE WHEN r_name = 'AMERICA' THEN value END) AS "AMERICA",
+  max(CASE WHEN r_name = 'ASIA' THEN value END) AS "ASIA",
+  max(CASE WHEN r_name = 'EUROPE' THEN value END) AS "EUROPE",
+  max(CASE WHEN r_name = 'MIDDLE EAST' THEN value END) AS "MIDDLE EAST"
+FROM long_form GROUP BY key""",
     }

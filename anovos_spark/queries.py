@@ -3132,6 +3132,67 @@ def q_interval_coverage(spark, sf_dir):
     return interval_coverage(iv, "user_id", "s", "e")
 
 
+def q_location_in_polygon(spark, sf_dir):
+    """Ray-cast point-in-polygon (bbox-prefiltered UDF — reference
+    geospatial.py:727-812 parity) over customer points vs ONE diamond
+    polygon.  The diamond is an L1 ball, so containment has a closed
+    form |dlat| + |dlon| < r — the oracle checks the ray-cast GEOMETRY
+    against an independent truth, not a replay.  Center offsets (.12 /
+    .37) and the radius (.77) are chosen so no point ever lands on an
+    edge or shares a longitude with a vertex (point coords are integer
+    + .25/.5): the boundary-tie class of flake is unrepresentable."""
+    from anovos_spark.operators.geospatial import location_in_polygon
+
+    pts = _cust_coords(spark, sf_dir).select("c_custkey", "lat", "lon")
+    clat, clon, r = 10.12, 20.37, 29.77
+    poly = [
+        (clat + r, clon), (clat, clon + r), (clat - r, clon), (clat, clon - r)
+    ]
+    out = location_in_polygon(pts, "lat", "lon", poly)
+    return out.select(
+        "c_custkey", F.col("in_polygon").cast("int").alias("in_polygon")
+    )
+
+
+def q_flatten_melt(spark, sf_dir):
+    """Wide→long melt (the reference's flatten, shared/utils.py:21-24)
+    via the single stack() expression — one codegen span, no
+    create_map+explode: three lineitem measures unpivot to
+    (orderkey, linenumber, attribute, value) on a deterministic modular
+    subset; the oracle replays with a UNION ALL unpivot."""
+    from anovos_spark.core.utils import melt
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5003 == 0)
+    out = melt(
+        li.select(
+            "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount",
+        ),
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "attribute",
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_transpose(spark, sf_dir):
+    """Long→wide transpose (reference shared/utils.py:28-45): melt all
+    non-fixed columns then pivot on the fixed column — here the region
+    table on r_name (mixed types ⇒ values stringify, matching the
+    reference's behavior).  The oracle replays with a conditional-agg
+    pivot over a UNION ALL unpivot."""
+    from anovos_spark.core.utils import transpose
+
+    rg = table(spark, sf_dir, "region").select(
+        "r_regionkey",
+        "r_name",
+        F.length("r_name").alias("name_len"),
+    )
+    return transpose(rg, "r_name")
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries
     first (rows-only entries last), and WITHIN the oracle-backed stratum
@@ -3205,6 +3266,7 @@ _APPROX_COST = {
     "feature_recommender": 1.2, "pca_closed_form": 2.0,
     "dedup_minhash_incremental": 2.5, "streaming_dedup_incremental": 8.0,
     "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0, "interval_overlap_join": 0.7, "weighted_sample_k": 0.4, "time_weighted_avg": 0.5, "cusum_changepoints": 0.6, "benford_check": 0.7, "spatial_join": 0.6, "robust_stats": 1.2, "zipf_fit": 0.5, "interval_coverage": 0.5,
+    "location_in_polygon": 0.5, "flatten_melt": 0.4, "transpose": 0.5,
     "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
     "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
     "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
@@ -3420,4 +3482,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_stats": q_robust_stats,
         "zipf_fit": q_zipf_fit,
         "interval_coverage": q_interval_coverage,
+        "location_in_polygon": q_location_in_polygon,
+        "flatten_melt": q_flatten_melt,
+        "transpose": q_transpose,
     }

@@ -461,6 +461,32 @@ def test_feature_recommender_match(spark):
     assert r and r[0]["feature_name"] == "velocity_kmh"
 
 
+def test_feature_recommender_quality_floor(spark):
+    """Regression pin for the measured fallback quality
+    (FEATREC_QUALITY_r08.json / BASELINE.md): the TF-IDF path must keep
+    hit@1 = 1.0 on a typo/synonym probe subset with pinned ground
+    truth — the quantitative answer to the reference's
+    sentence-transformer scoring (featrec_init.py:29-31)."""
+    from anovos_spark.operators.featrec import feature_recommender_match
+
+    probes = [
+        ("cust_annual_income", "customer_income_level"),
+        ("num_transactions_last_30_days", "transaction_count_30d"),
+        ("pageviews_per_visit", "page_views_per_session"),
+        ("delivery_duration_days", "shipping_duration_days"),
+        ("custmer_income_levl", "customer_income_level"),   # typo
+        ("transacton_amount", "transaction_amount"),        # typo
+        ("claim_ammount", "claim_amount"),                  # typo
+    ]
+    attrs = spark.createDataFrame(
+        [(a,) for a, _ in probes], schema="attribute string"
+    )
+    out = feature_recommender_match(attrs, top_k=1, min_score=0.0).collect()
+    best = {r["attribute"]: r["feature_name"] for r in out}
+    for attr, truth in probes:
+        assert best.get(attr) == truth, (attr, best.get(attr))
+
+
 def test_feature_recommender_embedded_paths(spark):
     from anovos_spark.operators.featrec import (
         feature_recommender_match_embedded,
