@@ -2939,4 +2939,67 @@ SELECT key,
   max(CASE WHEN r_name = 'EUROPE' THEN value END) AS "EUROPE",
   max(CASE WHEN r_name = 'MIDDLE EAST' THEN value END) AS "MIDDLE EAST"
 FROM long_form GROUP BY key""",
+        # customer coords are exact quarter degrees, so DMS decomposition
+        # is exact integer arithmetic; radians/cos/sin round to 6
+        "geo_format_conversions": """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey % 170) - 85 + 0.25 AS lat,
+         (c_custkey % 360) - 180 + 0.5 AS lon
+  FROM customer),
+dms AS (
+  SELECT c_custkey, lat, lon,
+         abs(lat) AS a, floor(abs(lat)) AS d,
+         floor((abs(lat) - floor(abs(lat))) * 60) AS m
+  FROM pts)
+SELECT c_custkey,
+       (CASE WHEN lat < 0 THEN -1 ELSE 1 END)::INT AS lat_sign,
+       d::INT AS lat_deg,
+       m::INT AS lat_min,
+       round((a - d - m / 60) * 3600, 6) AS lat_sec,
+       round((CASE WHEN lat < 0 THEN -1 ELSE 1 END)
+             * (d + m / 60.0
+                + round((a - d - m / 60) * 3600, 6) / 3600.0), 6) AS lat_dd,
+       round(radians(lat), 6) AS lat_rad,
+       round(radians(lon), 6) AS lon_rad,
+       round(cos(radians(lat)) * cos(radians(lon)), 6) AS x,
+       round(cos(radians(lat)) * sin(radians(lon)), 6) AS y,
+       round(sin(radians(lat)), 6) AS z
+FROM dms""",
+        # analytic second-order Taylor for g = x*x + y: mean_g = µ²+σ²+µ_y,
+        # var_g = 4µ²σ² + σ_y² — the independent truth the operator's
+        # numeric central differences must land on (4-decimal CV contract;
+        # see q_feature_stability_estimation).  DuckDB allows lateral
+        # alias references, so the SI bands read the cv aliases directly.
+        "feature_stability_estimation": """
+WITH per AS (
+  SELECT l_orderkey % 3 AS idx,
+         avg(l_quantity) AS qm, stddev_samp(l_quantity) AS qs,
+         avg(l_discount) AS dm, stddev_samp(l_discount) AS ds
+  FROM lineitem GROUP BY 1),
+gvals AS (
+  SELECT idx,
+         qm * qm + qs * qs + dm AS mg,
+         sqrt(4 * qm * qm * qs * qs + ds * ds) AS sg
+  FROM per),
+cvs AS (
+  -- band on the 6-decimal cv (the operator's scoring input); the
+  -- 4-decimal value is only the reported contract
+  SELECT round(stddev_samp(mg) / avg(mg), 6) AS cv6_m,
+         round(stddev_samp(sg) / avg(sg), 6) AS cv6_s
+  FROM gvals),
+scored AS (
+  SELECT round(cv6_m, 4) AS mean_cv, round(cv6_s, 4) AS stddev_cv,
+    (CASE WHEN abs(cv6_m) < 0.03 THEN 4.0 WHEN abs(cv6_m) < 0.1 THEN 3.0
+          WHEN abs(cv6_m) < 0.2 THEN 2.0 WHEN abs(cv6_m) < 0.5 THEN 1.0
+          ELSE 0.0 END) AS mean_si,
+    (CASE WHEN abs(cv6_s) < 0.03 THEN 4.0 WHEN abs(cv6_s) < 0.1 THEN 3.0
+          WHEN abs(cv6_s) < 0.2 THEN 2.0 WHEN abs(cv6_s) < 0.5 THEN 1.0
+          ELSE 0.0 END) AS stddev_si
+  FROM cvs)
+SELECT 'g' AS attribute, mean_cv, stddev_cv, mean_si, stddev_si,
+       round(mean_si * 0.7 + stddev_si * 0.3, 4) AS stability_index,
+       (CASE WHEN mean_si * 0.7 + stddev_si * 0.3 < 1.0 THEN 1 ELSE 0
+        END)::INT AS flagged
+FROM scored""",
     }

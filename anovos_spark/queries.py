@@ -3193,6 +3193,75 @@ def q_transpose(spark, sf_dir):
     return transpose(rg, "r_name")
 
 
+def q_geo_format_conversions(spark, sf_dir):
+    """The geospatial format-conversion battery (reference
+    geospatial.py:39-331 does dd↔dms/radian/cartesian via row UDFs; here
+    pure expressions): dd→DMS→dd roundtrip plus radians and unit-sphere
+    cartesian, all in one scan.  Customer coords are exact quarter
+    degrees (k%170−85+0.25), so the DMS decomposition is exact
+    arithmetic — the oracle replays floor/radians/cos/sin directly."""
+    from anovos_spark.operators.geospatial import (
+        geo_format_cartesian,
+        geo_format_dd,
+        geo_format_dms,
+        geo_format_radian,
+    )
+
+    pts = _cust_coords(spark, sf_dir).select("c_custkey", "lat", "lon")
+    df = geo_format_dms(pts, ["lat"])
+    df = geo_format_dd(df, "lat_deg", "lat_min", "lat_sec", "lat_dd", sign_col="lat_sign")
+    df = geo_format_radian(df, ["lat", "lon"])
+    df = geo_format_cartesian(df, "lat", "lon")
+    return df.select(
+        "c_custkey", "lat_sign", "lat_deg", "lat_min",
+        F.round("lat_sec", 6).alias("lat_sec"),
+        F.round("lat_dd", 6).alias("lat_dd"),
+        F.round("lat_rad", 6).alias("lat_rad"),
+        F.round("lon_rad", 6).alias("lon_rad"),
+        F.round("loc_x", 6).alias("x"),
+        F.round("loc_y", 6).alias("y"),
+        F.round("loc_z", 6).alias("z"),
+    )
+
+
+def q_feature_stability_estimation(spark, sf_dir):
+    """Derived-feature stability WITHOUT recomputing the feature
+    (reference stability.py:335-589 differentiates with sympy; drift.py
+    uses numeric central differences): per-period l_quantity/l_discount
+    stats feed g = x·x + y, and the oracle replays the ANALYTIC
+    second-order Taylor (mean_g = µ² + σ² + µ_y, var_g = 4µ²σ² + σ_y²)
+    — an independent mathematical truth the numeric differences must
+    land on.  CVs are compared at 4 decimals: the central-difference
+    second derivative carries O(1e-6) relative float-cancellation noise
+    by construction, which 6-decimal equality would flake on and 4
+    comfortably absorbs."""
+    from anovos_spark.operators.drift import feature_stability_estimation
+
+    li = table(spark, sf_dir, "lineitem")
+    parts = []
+    for i in range(3):
+        r = li.where(F.col("l_orderkey") % 3 == i).agg(
+            F.mean("l_quantity").alias("qm"),
+            F.stddev("l_quantity").alias("qs"),
+            F.mean("l_discount").alias("dm"),
+            F.stddev("l_discount").alias("ds"),
+        ).collect()[0]
+        parts += [
+            (i, "x", float(r["qm"]), float(r["qs"])),
+            (i, "y", float(r["dm"]), float(r["ds"])),
+        ]
+    stats = spark.createDataFrame(
+        parts, "idx int, attribute string, mean double, stddev double"
+    )
+    out = feature_stability_estimation(stats, "x*x + y")
+    return out.select(
+        "attribute",
+        F.round("mean_cv", 4).alias("mean_cv"),
+        F.round("stddev_cv", 4).alias("stddev_cv"),
+        "mean_si", "stddev_si", "stability_index", "flagged",
+    )
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries
     first (rows-only entries last), and WITHIN the oracle-backed stratum
@@ -3267,6 +3336,7 @@ _APPROX_COST = {
     "dedup_minhash_incremental": 2.5, "streaming_dedup_incremental": 8.0,
     "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0, "interval_overlap_join": 0.7, "weighted_sample_k": 0.4, "time_weighted_avg": 0.5, "cusum_changepoints": 0.6, "benford_check": 0.7, "spatial_join": 0.6, "robust_stats": 1.2, "zipf_fit": 0.5, "interval_coverage": 0.5,
     "location_in_polygon": 0.5, "flatten_melt": 0.4, "transpose": 0.5,
+    "geo_format_conversions": 0.5, "feature_stability_estimation": 0.8,
     "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
     "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
     "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
@@ -3485,4 +3555,6 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "location_in_polygon": q_location_in_polygon,
         "flatten_melt": q_flatten_melt,
         "transpose": q_transpose,
+        "geo_format_conversions": q_geo_format_conversions,
+        "feature_stability_estimation": q_feature_stability_estimation,
     }
