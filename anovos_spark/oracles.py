@@ -3002,4 +3002,11 @@ SELECT 'g' AS attribute, mean_cv, stddev_cv, mean_si, stddev_si,
        (CASE WHEN mean_si * 0.7 + stddev_si * 0.3 < 1.0 THEN 1 ELSE 0
         END)::INT AS flagged
 FROM scored""",
+        # the parse replay goes THROUGH the string forms so it verifies
+        # the detected-format parse, not just date identity
+        "ts_preprocess": """
+SELECT o_orderkey,
+       strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS iso_str,
+       strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS compact_str
+FROM orders WHERE o_orderkey % 97 = 0""",
     }

@@ -3246,6 +3246,11 @@ def q_feature_stability_estimation(spark, sf_dir):
             F.mean("l_discount").alias("dm"),
             F.stddev("l_discount").alias("ds"),
         ).collect()[0]
+        if any(r[k] is None for k in ("qm", "qs", "dm", "ds")):
+            raise ValueError(
+                "feature_stability_estimation needs non-empty periods "
+                f"with variance; period {i} has no usable rows"
+            )
         parts += [
             (i, "x", float(r["qm"]), float(r["qs"])),
             (i, "y", float(r["dm"]), float(r["ds"])),
@@ -3260,6 +3265,31 @@ def q_feature_stability_estimation(spark, sf_dir):
         F.round("stddev_cv", 4).alias("stddev_cv"),
         "mean_si", "stddev_si", "stability_index", "flagged",
     )
+
+
+def q_ts_preprocess(spark, sf_dir):
+    """Auto-detect + parse string datetime columns to timestamps
+    (reference ts_auto_detection.py:622-761): the format VOTE is already
+    oracled (q:ts_format_vote); this verifies the parse itself — the
+    detected ISO and compact formats must reconstruct the original
+    dates value-for-value, replayed in the oracle via
+    strftime→strptime through the same string forms."""
+    from anovos_spark.operators.timeseries import ts_preprocess
+
+    od = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_str"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("compact_str"),
+    )
+    odf, formats = ts_preprocess(od)
+    if not {"iso_str", "compact_str"} <= set(formats):
+        # empty/degenerate input: the vote has nothing to count, so
+        # parse with the known formats — keeps the output schema stable
+        # (timestamps) instead of silently passing strings through
+        odf, formats = ts_preprocess(
+            od, {"iso_str": "yyyy-MM-dd", "compact_str": "yyyyMMdd"}
+        )
+    return odf.select("o_orderkey", "iso_str", "compact_str")
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3337,6 +3367,7 @@ _APPROX_COST = {
     "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0, "interval_overlap_join": 0.7, "weighted_sample_k": 0.4, "time_weighted_avg": 0.5, "cusum_changepoints": 0.6, "benford_check": 0.7, "spatial_join": 0.6, "robust_stats": 1.2, "zipf_fit": 0.5, "interval_coverage": 0.5,
     "location_in_polygon": 0.5, "flatten_melt": 0.4, "transpose": 0.5,
     "geo_format_conversions": 0.5, "feature_stability_estimation": 0.8,
+    "ts_preprocess": 0.6,
     "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
     "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
     "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
@@ -3557,4 +3588,5 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transpose": q_transpose,
         "geo_format_conversions": q_geo_format_conversions,
         "feature_stability_estimation": q_feature_stability_estimation,
+        "ts_preprocess": q_ts_preprocess,
     }
