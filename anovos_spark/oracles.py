@@ -3009,4 +3009,75 @@ SELECT o_orderkey,
        strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS iso_str,
        strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS compact_str
 FROM orders WHERE o_orderkey % 97 = 0""",
+        # full algorithm replay: grid snap -> dense cells -> 8-neighbor
+        # connected components (recursive CTE over packed cell keys whose
+        # numeric order IS the (cx, cy) lexicographic order) -> rank
+        # cluster ids -> 3x3 halo border labeling -> noise = -1.  The
+        # self-pair from the |dx|<=1 join seeds min-reachable with the
+        # cell itself, so singleton dense cells label correctly.
+        "geo_density_clusters": """
+WITH RECURSIVE
+pts AS (
+  SELECT c_custkey,
+         (c_custkey % 170) - 85 + 0.25 AS lat,
+         (c_custkey % 360) - 180 + 0.5 AS lon
+  FROM customer),
+g AS (
+  SELECT c_custkey,
+         CAST(floor(lon / (1000.0 / 111.32)) AS BIGINT) AS cx,
+         CAST(floor(lat / (1000.0 / 111.32)) AS BIGINT) AS cy
+  FROM pts),
+cells AS (SELECT cx, cy, count(*) AS n FROM g GROUP BY 1, 2),
+dense AS (
+  SELECT cx, cy,
+         (cx + 1073741824) * 2147483648 + (cy + 1073741824) AS pk
+  FROM cells WHERE n >= 3),
+edges AS (
+  SELECT a.pk AS src, b.pk AS dst
+  FROM dense a JOIN dense b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS pk, min(dst) AS root FROM reach GROUP BY src),
+ranked AS (
+  SELECT pk, (dense_rank() OVER (ORDER BY root) - 1)::INT AS lbl FROM comp),
+halo AS (
+  SELECT d.cx + ox.dx AS cx, d.cy + oy.dy AS cy, min(r.lbl) AS lbl
+  FROM dense d
+  JOIN ranked r USING (pk)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS ox(dx)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS oy(dy)
+  GROUP BY 1, 2)
+SELECT g.c_custkey, coalesce(h.lbl, -1) AS cluster
+FROM g LEFT JOIN halo h ON g.cx = h.cx AND g.cy = h.cy""",
+        # four granularities replayed; Spark dayofweek is Sunday=1,
+        # DuckDB's is Sunday=0, so weekend maps (1,7) -> (0,6)
+        "ts_analyzer": """
+WITH f AS (
+  SELECT CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS h, value,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wknd
+  FROM events),
+fp AS (
+  SELECT d, h, value, wknd,
+         CASE WHEN h >= 4 AND h < 7 THEN 'early_hours'
+              WHEN h >= 7 AND h < 10 THEN 'morning'
+              WHEN h >= 10 AND h < 14 THEN 'late_morning'
+              WHEN h >= 14 AND h < 17 THEN 'afternoon'
+              WHEN h >= 17 AND h < 20 THEN 'evening'
+              ELSE 'night' END AS daypart
+  FROM f)
+SELECT 'date' AS granularity, strftime(d, '%Y-%m-%d') AS key,
+       count(*)::BIGINT AS n_rows, round(avg(value), 6) AS value_mean
+FROM fp GROUP BY 2
+UNION ALL
+SELECT 'hour', CAST(h AS VARCHAR), count(*)::BIGINT, round(avg(value), 6)
+FROM fp GROUP BY 2
+UNION ALL
+SELECT 'daypart', daypart, count(*)::BIGINT, round(avg(value), 6)
+FROM fp GROUP BY 2
+UNION ALL
+SELECT 'weekend', CAST(wknd AS VARCHAR), count(*)::BIGINT, round(avg(value), 6)
+FROM fp GROUP BY 2""",
     }

@@ -3292,6 +3292,38 @@ def q_ts_preprocess(spark, sf_dir):
     return odf.select("o_orderkey", "iso_str", "compact_str")
 
 
+def q_geo_density_clusters(spark, sf_dir):
+    """Distributed DBSCAN-style grid density clustering (reference
+    geospatial_analyzer.py:390-850 caps at a driver-side sklearn sample;
+    geospatial.py:754 scales to the full frame): per-point cluster
+    labels over customer coords at eps=1000 km / min_samples=3.  The
+    oracle replays the WHOLE algorithm in SQL — grid snap, dense-cell
+    selection, 8-neighbor connected components via a recursive CTE on
+    packed cell keys (packed order == lexicographic (cx,cy) order, so
+    min-reachable-key is the min cell), rank-based cluster ids, 3×3
+    halo border labeling, noise = −1."""
+    from anovos_spark.operators.geospatial import geo_density_clusters
+
+    pts = _cust_coords(spark, sf_dir).select("c_custkey", "lat", "lon")
+    odf, _stats = geo_density_clusters(
+        pts, "lat", "lon", eps_km=1000.0, min_samples=3
+    )
+    return odf.select("c_custkey", "cluster")
+
+
+def q_ts_analyzer(spark, sf_dir):
+    """Timeseries reporting aggregates (reference ts_analyzer.py:259-550
+    runs per-granularity pandas loops; timeseries.py:228 is one groupBy
+    per granularity unioned long): events value means by date / hour /
+    daypart / weekend — the oracle replays all four granularities,
+    including the daypart CASE ladder and Spark's Sunday=1 weekend
+    convention mapped to DuckDB's Sunday=0."""
+    from anovos_spark.operators.timeseries import ts_analyzer
+
+    ev = table(spark, sf_dir, "events")
+    return ts_analyzer(ev, "ts", "value")
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries
     first (rows-only entries last), and WITHIN the oracle-backed stratum
@@ -3367,7 +3399,7 @@ _APPROX_COST = {
     "chunk_documents": 0.4, "quantize_embeddings": 0.5, "heavy_hitters": 0.8, "scd2_versions": 0.5, "grouped_summary": 0.6, "language_id_confusion": 0.7, "funnel_analysis": 0.8, "cohort_retention": 0.6, "validate_constraints": 0.6, "fuzzy_match": 3.0, "interval_overlap_join": 0.7, "weighted_sample_k": 0.4, "time_weighted_avg": 0.5, "cusum_changepoints": 0.6, "benford_check": 0.7, "spatial_join": 0.6, "robust_stats": 1.2, "zipf_fit": 0.5, "interval_coverage": 0.5,
     "location_in_polygon": 0.5, "flatten_melt": 0.4, "transpose": 0.5,
     "geo_format_conversions": 0.5, "feature_stability_estimation": 0.8,
-    "ts_preprocess": 0.6,
+    "ts_preprocess": 0.6, "geo_density_clusters": 1.0, "ts_analyzer": 0.8,
     "q6_forecast_revenue": 0.2, "text_quality_score": 0.2, "text_statistics": 0.3,
     "lagged_ts": 0.2, "window_aggregator": 0.2, "ts_daypart": 0.2,
     "concatenate_dataset": 0.3, "json_extraction": 0.3, "geo_distance": 0.3,
@@ -3589,4 +3621,6 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_format_conversions": q_geo_format_conversions,
         "feature_stability_estimation": q_feature_stability_estimation,
         "ts_preprocess": q_ts_preprocess,
+        "geo_density_clusters": q_geo_density_clusters,
+        "ts_analyzer": q_ts_analyzer,
     }
