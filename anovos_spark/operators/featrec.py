@@ -283,6 +283,11 @@ def feature_recommender_match_embedded(
             "embedded recommender broadcasts the corpus; keep it <= 10k "
             "features (shard the corpus or use lsh_bucket_topk)"
         )
+    if not c_rows:
+        raise ValueError(
+            "embedded recommender needs a non-empty feature corpus "
+            "(corpus embedding collected empty)"
+        )
     meta = [(r["feature_name"], r["industry"], r["usecase"]) for r in c_rows]
     C = np.array([r["embedding"] for r in c_rows], dtype="float64")
     Cn = np.sqrt((C * C).sum(axis=1))

@@ -615,9 +615,11 @@ def location_in_polygon(
     """Ray-casting point-in-polygon with a bounding-box expression prefilter
     (reference: geospatial.py:727-812, algo geo_utils.py:368-560).
 
-    The polygon is a driver-side list of (lat, lon) vertices; the UDF runs
-    only where the bbox check passes — at scale that is the difference
-    between a UDF on every row and a UDF on candidates.
+    The polygon is a driver-side list of (lat, lon) vertices, lowered to a
+    LITERAL vertex array so the exact ray cast is the same pure-expression
+    crossing count spatial_join uses (point_in_polygon_col) — the whole
+    operator runs inside whole-stage codegen, zero Python UDFs.  The bbox
+    prefilter short-circuits the per-edge work for far-away rows.
     """
     lats = [p[0] for p in polygon]
     lons = [p[1] for p in polygon]
@@ -627,28 +629,18 @@ def location_in_polygon(
         & (F.col(lon_col) >= min(lons))
         & (F.col(lon_col) <= max(lons))
     )
-
-    poly = list(polygon)
-
-    @F.udf("boolean")
-    def _pip(lat, lon):
-        if lat is None or lon is None:
-            return False
-        inside = False
-        j = len(poly) - 1
-        for i in range(len(poly)):
-            yi, xi = poly[i]
-            yj, xj = poly[j]
-            if (xi > lon) != (xj > lon):
-                slope = (lat - yi) * (xj - xi) - (yj - yi) * (lon - xi)
-                if (slope < 0) != (xj < xi):
-                    inside = not inside
-            j = i
-        return inside
-
+    verts = F.array(
+        *[
+            F.struct(
+                F.lit(float(la)).alias("lat"), F.lit(float(lo)).alias("lon")
+            )
+            for la, lo in polygon
+        ]
+    )
+    inside = point_in_polygon_col(F.col(lat_col), F.col(lon_col), verts)
     return idf.withColumn(
         result_col,
-        F.when(bbox, _pip(F.col(lat_col), F.col(lon_col))).otherwise(F.lit(False)),
+        F.when(bbox, F.coalesce(inside, F.lit(False))).otherwise(F.lit(False)),
     )
 
 

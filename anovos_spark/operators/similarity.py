@@ -92,6 +92,11 @@ def brute_force_topk(
             "brute-force top-k broadcasts the query side; keep it <= 10k "
             "vectors (use lsh_bucket_topk / ivf_topk for large query sets)"
         )
+    if not q_rows:
+        raise ValueError(
+            "brute-force top-k needs at least one non-null query vector "
+            "(query side collected empty)"
+        )
     qids = np.array([r[0] for r in q_rows])
     Q = np.array([r[1] for r in q_rows], dtype="float64")
     Qn = np.sqrt((Q * Q).sum(axis=1))

@@ -3080,4 +3080,61 @@ FROM fp GROUP BY 2
 UNION ALL
 SELECT 'weekend', CAST(wknd AS VARCHAR), count(*)::BIGINT, round(avg(value), 6)
 FROM fp GROUP BY 2""",
+        # closed-form separable-blob truth: 4 blobs ≥90° apart with ±1°
+        # jitter — any correct silhouette argmax over k=2..6 selects
+        # exactly the 4 blobs, each pure (this is a SEMANTIC oracle of
+        # the ML sweep's model selection, not a replay of KMeans)
+        "geo_cluster_analysis": """
+SELECT (c_custkey % 4)::INT AS blob, count(*)::BIGINT AS n_points,
+       1::BIGINT AS clusters_in_blob, 4::BIGINT AS selected_k
+FROM customer GROUP BY 1""",
+        # word→line synthesis, then the Gopher dup-line aggregate replayed:
+        # per (doc, line) counts → dup fractions by line and by chars
+        "line_repetition": """
+WITH src AS (
+  SELECT doc_id, replace(text, ' ', chr(10)) AS t
+  FROM documents WHERE doc_id % 7 = 0 AND trim(text) <> ''),
+lines AS (
+  SELECT doc_id, trim(u.l) AS line
+  FROM src, unnest(string_split(t, chr(10))) AS u(l)
+  WHERE trim(u.l) <> ''),
+per AS (
+  SELECT doc_id, line, count(*) AS cnt, length(line) AS chars
+  FROM lines GROUP BY 1, 2)
+SELECT doc_id,
+       sum(cnt)::BIGINT AS n_lines,
+       count(*)::BIGINT AS distinct_lines,
+       round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+             / sum(cnt), 6) AS dup_line_frac,
+       round(sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END)
+             / sum(cnt * chars), 6) AS dup_line_char_frac
+FROM per GROUP BY 1""",
+        # every unit extraction + date + daypart + weekend, row-level
+        # (Spark dayofweek is Sunday=1..7; DuckDB Sunday=0..6)
+        "ts_processed_feats": """
+SELECT event_id,
+       EXTRACT(hour FROM ts)::INT AS ts_hour,
+       EXTRACT(minute FROM ts)::INT AS ts_minute,
+       EXTRACT(second FROM ts)::INT AS ts_second,
+       EXTRACT(day FROM ts)::INT AS ts_dayofmonth,
+       (dayofweek(ts) + 1)::INT AS ts_dayofweek,
+       dayofyear(ts)::INT AS ts_dayofyear,
+       weekofyear(ts)::INT AS ts_weekofyear,
+       EXTRACT(month FROM ts)::INT AS ts_month,
+       EXTRACT(quarter FROM ts)::INT AS ts_quarter,
+       EXTRACT(year FROM ts)::INT AS ts_year,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ts_date,
+       CASE WHEN EXTRACT(hour FROM ts) >= 4 AND EXTRACT(hour FROM ts) < 7
+                 THEN 'early_hours'
+            WHEN EXTRACT(hour FROM ts) >= 7 AND EXTRACT(hour FROM ts) < 10
+                 THEN 'morning'
+            WHEN EXTRACT(hour FROM ts) >= 10 AND EXTRACT(hour FROM ts) < 14
+                 THEN 'late_morning'
+            WHEN EXTRACT(hour FROM ts) >= 14 AND EXTRACT(hour FROM ts) < 17
+                 THEN 'afternoon'
+            WHEN EXTRACT(hour FROM ts) >= 17 AND EXTRACT(hour FROM ts) < 20
+                 THEN 'evening'
+            ELSE 'night' END AS ts_daypart,
+       CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS ts_weekend
+FROM events WHERE event_id % 37 = 0""",
     }

@@ -3324,6 +3324,83 @@ def q_ts_analyzer(spark, sf_dir):
     return ts_analyzer(ev, "ts", "value")
 
 
+def q_geo_cluster_analysis(spark, sf_dir):
+    """KMeans sweep + silhouette model selection (reference
+    geospatial_analyzer.py:390-850) on a closed-form separable-blob
+    fixture: 4 blobs at pairwise distances ≥ 90° with ±1° jitter, so ANY
+    correct silhouette-argmax selection finds exactly k=4 with pure
+    clusters.  The oracle states that closed form — per blob: all points,
+    one cluster; globally: selected_k=4 — making the ML sweep's
+    SELECTION (not its labeling, which is arbitrary) the thing verified."""
+    from anovos_spark.operators.geospatial import geo_cluster_analysis
+
+    cu = table(spark, sf_dir, "customer")
+    blob = (F.col("c_custkey") % 4).cast("int")
+    centers_lat = F.element_at(
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(45.0), F.lit(-45.0)), blob + 1
+    )
+    centers_lon = F.element_at(
+        F.array(F.lit(0.0), F.lit(90.0), F.lit(-90.0), F.lit(179.0)), blob + 1
+    )
+    pts = cu.select(
+        blob.alias("blob"),
+        (centers_lat + ((F.col("c_custkey") * 7) % 21).cast("double") / 10.0
+         - 1.0).alias("lat"),
+        (centers_lon + ((F.col("c_custkey") * 13) % 21).cast("double") / 10.0
+         - 1.0).alias("lon"),
+    )
+    odf, _scores = geo_cluster_analysis(
+        pts, "lat", "lon", max_k=6, criterion="silhouette"
+    )
+    per_blob = odf.groupBy("blob").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count_distinct("cluster").alias("clusters_in_blob"),
+    )
+    k_sel = odf.agg(F.count_distinct("cluster").alias("selected_k"))
+    return per_blob.crossJoin(F.broadcast(k_sel))
+
+
+def q_line_repetition(spark, sf_dir):
+    """Gopher duplicate-line filters (text.py line_repetition_stats) over
+    a newline-bearing corpus synthesized deterministically from documents
+    (word → line), so the dup-line mass is real; the oracle replays the
+    explode + per-line count + doc aggregate in SQL.  Whitespace-only and
+    NULL texts are excluded on both sides (the engines' empty-explode
+    conventions differ there by design — covered by the empty-input
+    probe instead)."""
+    from anovos_spark.operators.text import line_repetition_stats
+
+    docs = table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 7 == 0) & (F.trim(F.col("text")) != "")
+    )
+    lined = docs.select(
+        "doc_id", F.replace(F.col("text"), F.lit(" "), F.lit("\n")).alias("text")
+    )
+    return line_repetition_stats(lined, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def q_ts_processed_feats(spark, sf_dir):
+    """Full timeseries feature expansion (timeseries.py ts_processed_feats,
+    reference ts_analyzer.py:87-158): 10 unit extractions + date + daypart
+    + weekend flag, row-level over an events subset; the oracle replays
+    every component (DuckDB dayofweek is Sunday=0 vs Spark's Sunday=1)."""
+    from anovos_spark.operators.timeseries import ts_processed_feats
+
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") % 37 == 0)
+    odf = ts_processed_feats(ev.select("event_id", "ts"), "ts")
+    return odf.select(
+        "event_id",
+        *[F.col(f"ts_{u}").cast("int").alias(f"ts_{u}") for u in (
+            "hour", "minute", "second", "dayofmonth", "dayofweek",
+            "dayofyear", "weekofyear", "month", "quarter", "year")],
+        F.date_format("ts_date", "yyyy-MM-dd").alias("ts_date"),
+        "ts_daypart",
+        "ts_weekend",
+    )
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries
     first (rows-only entries last), and WITHIN the oracle-backed stratum
@@ -3387,7 +3464,11 @@ def _prior_driver_sample_counts() -> dict[str, int]:
     counts = payload.get("counts") if isinstance(payload, dict) else None
     if not isinstance(counts, dict):
         return {}
-    return {str(k): int(v) for k, v in counts.items() if isinstance(v, int)}
+    return {
+        str(k): int(v)
+        for k, v in counts.items()
+        if isinstance(v, int) and not isinstance(v, bool)
+    }
 
 
 # measured sf0.01 bench seconds (round 2); used only to order the
@@ -3623,4 +3704,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_preprocess": q_ts_preprocess,
         "geo_density_clusters": q_geo_density_clusters,
         "ts_analyzer": q_ts_analyzer,
+        "geo_cluster_analysis": q_geo_cluster_analysis,
+        "line_repetition": q_line_repetition,
+        "ts_processed_feats": q_ts_processed_feats,
     }

@@ -65,3 +65,49 @@ def test_registry_names_are_stable():
         f"new registry names not pinned — append to registry_names_pinned.txt: "
         f"{sorted(unpinned)}"
     )
+
+
+def test_rotation_state_covers_all_correctness_artifacts():
+    """tools/rotation_state.json must be regenerated whenever a new
+    CORRECTNESS_r*.json lands (ADVICE r8): stale state silently skews the
+    never-sampled-first registry ordering for the next driver round."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    expected = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    )
+    with open(os.path.join(root, "tools", "rotation_state.json")) as f:
+        state = json.load(f)
+    assert sorted(state.get("source_artifacts", [])) == expected, (
+        "rotation_state.json is stale — run tools/update_rotation_state.py"
+    )
+    # counts must be sane ints (bool-typed values are hand-edit artifacts)
+    for k, v in state.get("counts", {}).items():
+        assert isinstance(v, int) and not isinstance(v, bool), (k, v)
+
+
+def test_evidence_artifact_counts_match_registry():
+    """The pinned current-round bench/oracle artifacts must cover the FULL
+    registry (r8 verdict: prose said 168 while the registry had 170).
+    Older rounds' artifacts are historical and exempt."""
+    import glob
+    import json
+    import re
+
+    from anovos_spark import queries
+
+    n_reg = len(queries.registry())
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    benches = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    if benches:
+        with open(benches[-1]) as f:
+            raw = json.load(f)
+        bench = raw.get("parsed", raw)  # driver wraps bench stdout
+        n_b = bench.get("n_queries")
+        # only enforce once this round's artifact exists; the previous
+        # round's count is allowed to lag a growing registry
+        if n_b is not None and n_b >= n_reg:
+            assert n_b == n_reg, (benches[-1], n_b, n_reg)

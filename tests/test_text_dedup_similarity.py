@@ -1251,3 +1251,27 @@ def test_decode_audio_dataframe(spark):
     assert out[1]["duration_s"] == 0.01
     assert out[2]["decoded"] == 0 and out[2]["sample_sum"] is None
     assert out[3]["decoded"] == 0 and out[3]["n_frames"] is None
+
+
+def test_empty_input_guards_named_errors(spark):
+    """Empty query/corpus sides raise the repo-convention message-bearing
+    ValueError, not numpy's 'axis 1 is out of bounds' (r8 verdict item)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from anovos_spark.operators import similarity as SIM
+    from anovos_spark.operators.featrec import feature_recommender_match_embedded
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="non-null query vector"):
+        SIM.brute_force_topk(emb, emb.where(F.lit(False)), k=2)
+
+    attrs = spark.createDataFrame([("income",)], "attribute string")
+    empty_corpus = spark.createDataFrame(
+        [], "feature_name string, industry string, usecase string, "
+        "description string",
+    )
+    with pytest.raises(ValueError, match="non-empty feature corpus"):
+        feature_recommender_match_embedded(attrs, empty_corpus, top_k=1)

@@ -16,7 +16,12 @@ Embeddings mirror that: replicas 1-2 jitter each coordinate slightly
 (cosine ~0.999 -> real near-neighbor structure), 3-9 re-randomize via a
 coordinate hash (uncorrelated).
 
-Usage: python tools/gen_scale_data.py [out_dir]   (default .scaledata/sf1)
+Usage: python tools/gen_scale_data.py [out_dir] [src_dir] [key_stride]
+  default: out=.scaledata/sf1, src=/root/testdata/sf0.1, stride=10_000_000
+  sf10 (one more decade, ~60M lineitem / 500k docs):
+    python tools/gen_scale_data.py .scaledata/sf10 .scaledata/sf1 100000000
+  The stride must exceed the max key in src (sf1 keys top out just under
+  100M because sf1 itself used stride 10M on sub-1M sf0.1 keys).
 """
 
 from __future__ import annotations
@@ -26,12 +31,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SRC = "/root/testdata/sf0.1"
 # Dimensions stay fixed (TPC-H dims grow sub-linearly with SF anyway);
 # fact tables (orders/lineitem/events) are replicated 10x with remapped
 # keys and deterministic value jitter so group cardinalities really grow.
 DIM_TABLES = ["region", "nation", "customer", "supplier", "part"]
-FACT_SHIFT = 10_000_000  # key-space stride per replica
 
 
 def main():
@@ -39,6 +42,8 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scaledata", "sf1",
     )
+    SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    FACT_SHIFT = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000_000
     os.makedirs(out_dir, exist_ok=True)
 
     from pyspark.sql import SparkSession
@@ -46,9 +51,11 @@ def main():
 
     spark = (
         SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # 10x fan-out of a 6M-row src needs real heap (sf10 OOMed at 1g)
+        .config("spark.driver.memory", os.environ.get("GEN_DRIVER_MEM", "48g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -80,7 +87,7 @@ def main():
         .otherwise(mutated_words)
     )
     out_docs = d.select(
-        (F.col("doc_id") + F.col("rep").cast("long") * F.lit(10_000_000)).alias(
+        (F.col("doc_id") + F.col("rep").cast("long") * F.lit(FACT_SHIFT)).alias(
             "doc_id"
         ),
         new_text.alias("text"),
@@ -116,7 +123,7 @@ def main():
         .otherwise(rehashed)
     )
     out_emb = e.select(
-        (F.col("vec_id") + F.col("rep").cast("long") * F.lit(10_000_000)).alias(
+        (F.col("vec_id") + F.col("rep").cast("long") * F.lit(FACT_SHIFT)).alias(
             "vec_id"
         ),
         new_vec.alias("embedding"),
@@ -216,7 +223,8 @@ def main():
     for t in DIM_TABLES:
         link = f"{out_dir}/{t}.parquet"
         if not os.path.exists(link):
-            os.symlink(f"{SRC}/{t}.parquet", link)
+            # resolve through src symlinks (sf10's src sf1 is itself linked)
+            os.symlink(os.path.realpath(f"{SRC}/{t}.parquet"), link)
 
     for t in ("documents", "embeddings", "orders", "lineitem", "events"):
         n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()

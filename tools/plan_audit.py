@@ -11,6 +11,7 @@ Usage: python tools/plan_audit.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -284,6 +285,26 @@ def main():
     p = plan_of(Q.q_audio_decode(spark, sf_dir))
     check("audio_decode: Arrow codec stage", "MapInPandas" in p)
     check("audio_decode: no join", "Join" not in p and "CartesianProduct" not in p)
+
+    # 35. engine-wide: ZERO row-at-a-time Python UDFs anywhere in the
+    # package source (r9: location_in_polygon was the last one — now the
+    # expression ray cast).  Arrow-batched pandas_udf/mapInPandas/
+    # applyInPandas stay allowed; this pins the BatchEvalPython class out
+    # of existence at the source level, not just per-sampled-plan.
+    import re as _re
+    import anovos_spark as _pkg
+
+    pkg_root = os.path.dirname(_pkg.__file__)
+    row_udf_sites = []
+    for root, _dirs, files in os.walk(pkg_root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            src = open(os.path.join(root, fn)).read()
+            for m in _re.finditer(r"(?<!pandas_)\budf\s*\(|@udf\b|F\.udf\b", src):
+                row_udf_sites.append(f"{fn}:{src[:m.start()].count(chr(10))+1}")
+    check("engine-wide: zero row-at-a-time Python UDFs in source",
+          not row_udf_sites, str(row_udf_sites))
 
     print(f"\n{'ALL CLEAR' if not failures else f'{len(failures)} audit failures: {failures}'}")
     spark.stop()
