@@ -659,9 +659,9 @@ def anovos_report(
     )
 
     # one gate for the report: plotly.js figures (same frame data) when
-    # ANOVOS_SPARK_PLOTLY / an installed plotly asks for them, else the
-    # dependency-free stdlib SVG renderers.  The render_* closures keep
-    # every call site renderer-agnostic.
+    # ANOVOS_SPARK_PLOTLY explicitly opts in (=1, or =auto + installed
+    # plotly), else the dependency-free stdlib SVG renderers.  The
+    # render_* closures keep every call site renderer-agnostic.
     use_plotly = plotly_enabled()
 
     def render_bars(items, title, unit=""):
@@ -678,7 +678,7 @@ def anovos_report(
 
     def render_gauge(value, vmax, bands, title, fmt="{:.2f}"):
         if use_plotly:
-            fig = plotly_gauge(value, vmax, bands, title)
+            fig = plotly_gauge(value, vmax, bands, title, fmt=fmt)
             return embed_figure(fig, "gauge") if fig else ""
         return _svg_gauge(value, vmax, bands, title, fmt=fmt)
 

@@ -7,12 +7,22 @@ same three headline charts — violin panel, correlation heatmap, drift
 summary — as plotly FIGURE DICTS built from the identical frame data,
 gated behind ``ANOVOS_SPARK_PLOTLY``:
 
-- unset (default): auto — plotly output only if ``import plotly``
-  succeeds, else stdlib SVG;
-- ``1``/``true``: force plotly output (a figure is pure JSON, so no
-  package is needed to EMIT it — plotly.js hydrates it in the browser
-  from the pinned CDN script);
-- ``0``/``false``: force stdlib SVG.
+- unset / ``0`` / ``false`` (default): stdlib SVG — a report never
+  becomes network-dependent unless the user explicitly asks (r9: the
+  old auto-on-import-success switch silently made reports trust the
+  CDN whenever plotly happened to be installed);
+- ``1``/``true``: plotly output (a figure is pure JSON, so no package
+  is needed to EMIT it — plotly.js hydrates it in the browser);
+- ``auto``: plotly only if ``import plotly`` succeeds.
+
+Loader-script supply chain: ``ANOVOS_SPARK_PLOTLY_JS`` names a local
+plotly.min.js to inline into the report (fully offline, no CDN trust);
+otherwise the pinned CDN build loads with ``crossorigin=anonymous`` and,
+when ``ANOVOS_SPARK_PLOTLY_SRI`` is set (e.g. ``sha384-…`` computed with
+``openssl dgst -sha384 -binary plotly.min.js | openssl base64 -A``), an
+``integrity`` attribute.  The SRI hash is not hard-coded because this
+build environment has no network to verify one against the pinned CDN
+artifact — a wrong pin would silently blank every chart.
 
 Each figure embeds as ``<div class="plotly-fig"><script
 type="application/json">…</script></div>``; one loader script per
@@ -34,18 +44,18 @@ _DRIFT_COLORS = {"PSI": "#3b6fd4", "JSD": "#2f9e6e", "HD": "#d4933b", "KS": "#b4
 
 
 def plotly_enabled() -> bool:
-    """The render gate (see module docstring)."""
+    """The render gate (see module docstring): explicit opt-in only."""
     flag = os.environ.get("ANOVOS_SPARK_PLOTLY", "").strip().lower()
     if flag in ("1", "true", "yes"):
         return True
-    if flag in ("0", "false", "no"):
-        return False
-    try:
-        import plotly  # noqa: F401
+    if flag == "auto":
+        try:
+            import plotly  # noqa: F401
 
-        return True
-    except ImportError:
-        return False
+            return True
+        except ImportError:
+            return False
+    return False
 
 
 def embed_figure(fig: dict, css_class: str) -> str:
@@ -62,9 +72,26 @@ def embed_figure(fig: dict, css_class: str) -> str:
 def loader_script() -> str:
     """Per-report hydration script: finds every .plotly-fig, parses its
     JSON payload, and renders it with Plotly.newPlot.  Degrades to the
-    (empty) divs when the CDN is unreachable."""
+    (empty) divs when the CDN is unreachable.  See the module docstring
+    for the ANOVOS_SPARK_PLOTLY_JS (inline vendoring) and
+    ANOVOS_SPARK_PLOTLY_SRI (integrity pin) supply-chain controls."""
+    local_js = os.environ.get("ANOVOS_SPARK_PLOTLY_JS", "").strip()
+    if local_js:
+        with open(local_js, encoding="utf-8") as fh:
+            # only </script can close the block; '<\/script' is the same
+            # string in JS, so this is a no-op for the script's behavior
+            src = fh.read().replace("</script", "<\\/script")
+        tag = f'<script charset="utf-8">{src}</script>'
+    else:
+        sri = os.environ.get("ANOVOS_SPARK_PLOTLY_SRI", "").strip()
+        integrity = f' integrity="{sri}"' if sri else ""
+        tag = (
+            f'<script src="{PLOTLY_JS_CDN}" charset="utf-8"'
+            f'{integrity} crossorigin="anonymous" '
+            'referrerpolicy="no-referrer"></script>'
+        )
     return (
-        f'<script src="{PLOTLY_JS_CDN}" charset="utf-8"></script>'
+        tag +
         "<script>window.addEventListener('DOMContentLoaded',function(){"
         "if(typeof Plotly==='undefined'){return;}"
         "document.querySelectorAll('.plotly-fig').forEach(function(el){"
@@ -221,18 +248,27 @@ def plotly_gauge(
     vmax: float,
     bands: list[tuple[float, float, str]],
     title: str,
+    fmt: str = "{:.2f}",
 ) -> dict | None:
     """Indicator gauge — plotly's native 'gauge+number' trace, the very
     shape the reference emits (go.Indicator panels,
-    report_generation.py:142-160, :1521-1535)."""
+    report_generation.py:142-160, :1521-1535).  ``fmt`` is the same
+    python format string the SVG renderer takes; its spec maps onto the
+    indicator's d3 ``number.valueformat`` ('{:.0f}' → '.0f') so both
+    renderers show identically formatted values (r9 ADVICE)."""
     if not vmax or vmax <= 0:
         return None
+    import re
+
+    m = re.fullmatch(r"\{:([^}]*)\}", fmt or "")
+    valueformat = m.group(1) if m else ".2f"
     return {
         "data": [
             {
                 "type": "indicator",
                 "mode": "gauge+number",
                 "value": float(value),
+                "number": {"valueformat": valueformat},
                 "title": {"text": title, "font": {"size": 12}},
                 "gauge": {
                     "axis": {"range": [0, float(vmax)]},

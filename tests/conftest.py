@@ -12,12 +12,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="session")
 def spark():
     spark = (
-        SparkSession.builder.master("local[4]")
+        SparkSession.builder.master(os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[4]"))
         .appName("anovos_spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_TEST_MEM", "4g"))
         .getOrCreate()
     )
     yield spark

@@ -16,7 +16,9 @@ import os
 import duckdb
 import pytest
 
-SF01 = "/root/testdata/sf0.1"
+# default sf0.1; point SPARK_GRAFT_E2E_SF_DIR at .scaledata/sf1 to run the
+# same full-pipeline differential at 6M rows (pinned as E2E_SF1_r09.txt)
+SF01 = os.environ.get("SPARK_GRAFT_E2E_SF_DIR", "/root/testdata/sf0.1")
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 YAML_PATH = os.path.join(ROOT, "examples", "events_pipeline.yaml")
 
@@ -49,9 +51,10 @@ def events_result(spark):
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW events AS SELECT * FROM '{SF01}/events.parquet'"
-    )
+    path = f"{SF01}/events.parquet"
+    if os.path.isdir(path):  # Spark-written dirs (e.g. .scaledata/sf1)
+        path += "/*.parquet"
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
     return con
 
 

@@ -58,7 +58,8 @@ def main():
         .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory",
+                os.environ.get("ORACLE_CHECK_MEM", "8g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

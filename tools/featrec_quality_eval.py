@@ -66,7 +66,47 @@ PERTURBED: list[tuple[str, str]] = [
     ("claim_ammount", "claim_amount"),
 ]
 
+# probe set C (semantic, r9): ZERO-token-overlap synonyms — the attribute
+# shares NO token with the truth feature's name OR description (verified
+# programmatically below).  This is exactly where the reference's
+# sentence-transformer adds value over the TF-IDF/hashed fallbacks; the
+# honest sub-1.0 numbers here quantify what a model-dir embedding buys.
+SEMANTIC: list[tuple[str, str]] = [
+    ("dob", "customer_age"),
+    ("salary", "customer_income_level"),
+    ("wallet_funds", "account_balance"),
+    ("payment_value", "transaction_amount"),
+    ("purchases_past_month", "transaction_count_30d"),
+    ("inactivity_period", "days_since_last_login"),
+    ("mean_time_on_app", "session_duration_avg"),
+    ("screens_viewed_each_visit", "page_views_per_session"),
+    ("checkout_dropoff_ratio", "cart_abandonment_rate"),
+    ("basket_size", "order_item_quantity"),
+    ("markdown_fraction", "product_discount_pct"),
+    ("fulfillment_speed", "shipping_duration_days"),
+    ("talk_time", "call_duration_minutes"),
+    ("bandwidth_consumed", "data_usage_gb"),
+    ("payout_size", "claim_amount"),
+    ("membership_length", "policy_tenure_years"),
+    ("hospital_admissions", "patient_visit_count"),
+    ("vendor_delay", "supplier_lead_time"),
+    ("vat_fraction", "tax_rate_pct"),
+]
+
 TOP_K = 3
+
+
+def _tokens(s: str) -> set[str]:
+    import re
+
+    return {t for t in re.split(r"[^a-z0-9]+", s.lower()) if t}
+
+
+def assert_zero_overlap() -> None:
+    corpus = {name: f"{name} {desc}" for name, _, _, desc in DEFAULT_CORPUS}
+    for attr, truth in SEMANTIC:
+        shared = _tokens(attr) & _tokens(corpus[truth])
+        assert not shared, (attr, truth, shared)
 
 
 def rankings(spark, attrs, path):
@@ -132,7 +172,9 @@ def main() -> None:
 
     identity_pairs = [(name, name) for name, _, _, _ in DEFAULT_CORPUS]
     perturbed_attrs = [a for a, _ in PERTURBED]
-    all_attrs = [a for a, _ in identity_pairs] + perturbed_attrs
+    assert_zero_overlap()
+    semantic_attrs = [a for a, _ in SEMANTIC]
+    all_attrs = [a for a, _ in identity_pairs] + perturbed_attrs + semantic_attrs
 
     result: dict = {"round": rnd, "top_k": TOP_K, "paths": {}}
     ranked_by_path = {}
@@ -142,6 +184,7 @@ def main() -> None:
         result["paths"][path] = {
             "identity": score(ranked, identity_pairs),
             "perturbed": score(ranked, PERTURBED),
+            "semantic_zero_overlap": score(ranked, SEMANTIC),
         }
     try:
         import sentence_transformers  # noqa: F401
@@ -170,7 +213,9 @@ def main() -> None:
         print(
             f"{path:10s} identity hit@1={scores['identity']['hit_at_1']} "
             f"perturbed hit@1={scores['perturbed']['hit_at_1']} "
-            f"hit@3={scores['perturbed']['hit_at_3']} mrr={scores['perturbed']['mrr_at_3']}"
+            f"hit@3={scores['perturbed']['hit_at_3']} mrr={scores['perturbed']['mrr_at_3']} "
+            f"semantic hit@1={scores['semantic_zero_overlap']['hit_at_1']} "
+            f"hit@3={scores['semantic_zero_overlap']['hit_at_3']}"
         )
     print("overlap@3:", result["pairwise_overlap_at_3"])
     print(out_path)
