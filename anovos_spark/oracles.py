@@ -3137,4 +3137,30 @@ SELECT event_id,
             ELSE 'night' END AS ts_daypart,
        CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS ts_weekend
 FROM events WHERE event_id % 37 = 0""",
+        # salted join ≡ plain join: the oracle runs the PLAIN SQL join on
+        # the same hot-key mapping, so any row loss/duplication in the
+        # salt-explode path hash-mismatches; 'salted[8]' is asserted
+        # engine-side by the query (the probe must route to salting)
+        "salted_join_skew": """
+WITH big AS (
+  SELECT CASE WHEN l_partkey % 10 < 7 THEN 0 ELSE l_partkey END::BIGINT AS k,
+         l_quantity
+  FROM lineitem),
+small AS (
+  SELECT CASE WHEN p_partkey % 10 < 7 THEN 0 ELSE p_partkey END::BIGINT AS k,
+         count(*)::BIGINT AS dim_n
+  FROM part GROUP BY 1)
+SELECT big.k AS k, count(*)::BIGINT AS n_rows,
+       round(sum(l_quantity), 6) AS sum_qty,
+       max(dim_n)::BIGINT AS dim_n,
+       'salted[8]' AS strategy
+FROM big JOIN small ON big.k = small.k
+GROUP BY 1""",
+        # closed-form expected detection for the synthesized frame:
+        # latitude/longitude in range with name hints, c_acctbal out of
+        # range, gh matches the geohash alphabet, c_mktsegment doesn't
+        "geo_auto_detect": """
+SELECT 'lat' AS kind, 'latitude' AS col_name
+UNION ALL SELECT 'lon', 'longitude'
+UNION ALL SELECT 'geohash', 'gh'""",
     }

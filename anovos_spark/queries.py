@@ -3401,6 +3401,62 @@ def q_ts_processed_feats(spark, sf_dir):
     )
 
 
+def q_salted_join_skew(spark, sf_dir):
+    """Skew-aware auto-routed join (ingest.py join_dataset_auto →
+    salted_join): 70% of lineitem rows collapse onto one hot key, the
+    pre-flight skew probe must route to the salted path, and the salted
+    join must produce EXACTLY the plain join's rows — the oracle is the
+    plain SQL join, so salting correctness (salt explode on the dim,
+    bucket-spread on the fact, no row loss/dup) is what hashes."""
+    from anovos_spark.operators.ingest import join_dataset_auto
+
+    li = table(spark, sf_dir, "lineitem")
+    pa = table(spark, sf_dir, "part")
+    hot_li = F.when(F.col("l_partkey") % 10 < 7, F.lit(0)).otherwise(
+        F.col("l_partkey")
+    )
+    hot_pa = F.when(F.col("p_partkey") % 10 < 7, F.lit(0)).otherwise(
+        F.col("p_partkey")
+    )
+    big = li.select(hot_li.cast("long").alias("k"), "l_quantity")
+    small = pa.select(hot_pa.cast("long").alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("dim_n")
+    )
+    out, decision = join_dataset_auto(
+        big, small, "k", "inner", skew_threshold=20.0, salt_buckets=8
+    )
+    assert decision["strategy"] == "salted[8]", decision
+    return out.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.max("dim_n").alias("dim_n"),
+    ).withColumn("strategy", F.lit(decision["strategy"]))
+
+
+def q_geo_auto_detect(spark, sf_dir):
+    """Lat/lon/geohash column auto-detection (geospatial.py:648, reference
+    geo_auto_detection.py:177-298) over a frame with one true lat, one
+    true lon, one out-of-range numeric, one geohash-alphabet string and
+    one plain string — the oracle states the closed-form expected
+    detection, so the range/cardinality/regex votes are what's verified."""
+    from anovos_spark.operators.geospatial import geo_auto_detection
+
+    cu = table(spark, sf_dir, "customer")
+    # hex md5 → geohash alphabet (only 'a' is hex-but-not-geohash)
+    gh = F.translate(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8),
+                     "a", "k")
+    df = cu.select(
+        ((F.col("c_custkey") % 170).cast("double") - 85.0 + 0.25).alias("latitude"),
+        ((F.col("c_custkey") % 360).cast("double") - 180.0 + 0.5).alias("longitude"),
+        "c_acctbal",
+        gh.alias("gh"),
+        "c_mktsegment",
+    )
+    det = geo_auto_detection(df)
+    rows = [(kind, c) for kind in ("lat", "lon", "geohash") for c in det[kind]]
+    return spark.createDataFrame(rows, "kind string, col_name string")
+
+
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry iteration order is deliberate: oracle-backed queries
     first (rows-only entries last), and WITHIN the oracle-backed stratum
@@ -3707,4 +3763,6 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cluster_analysis": q_geo_cluster_analysis,
         "line_repetition": q_line_repetition,
         "ts_processed_feats": q_ts_processed_feats,
+        "salted_join_skew": q_salted_join_skew,
+        "geo_auto_detect": q_geo_auto_detect,
     }
