@@ -681,3 +681,45 @@ def test_pipeline_interval_coverage_stage(spark, tmp_path):
     # [0,3) merged + [5,6) -> 4 h covered in 2 islands from 3 intervals
     assert row["k"] == "a" and row["n_intervals"] == 3
     assert row["n_islands"] == 2 and row["covered_seconds"] == 4 * 3600.0
+
+
+def test_plotly_loader_supply_chain(tmp_path, monkeypatch):
+    """r9 ADVICE: explicit opt-in gate, SRI pin via env, inline vendoring
+    via env, and gauge fmt parity between renderers."""
+    from anovos_spark.plans import report_plotly as RP
+
+    # gate: unset and 0 are SVG; 1 forces plotly; auto sniffs the import
+    monkeypatch.delenv("ANOVOS_SPARK_PLOTLY", raising=False)
+    assert RP.plotly_enabled() is False
+    monkeypatch.setenv("ANOVOS_SPARK_PLOTLY", "1")
+    assert RP.plotly_enabled() is True
+    monkeypatch.setenv("ANOVOS_SPARK_PLOTLY", "auto")
+    try:
+        import plotly  # noqa: F401
+
+        assert RP.plotly_enabled() is True
+    except ImportError:
+        assert RP.plotly_enabled() is False
+
+    # CDN tag: crossorigin always; integrity only when the env pins it
+    monkeypatch.delenv("ANOVOS_SPARK_PLOTLY_JS", raising=False)
+    monkeypatch.delenv("ANOVOS_SPARK_PLOTLY_SRI", raising=False)
+    tag = RP.loader_script()
+    assert 'crossorigin="anonymous"' in tag and "integrity=" not in tag
+    monkeypatch.setenv("ANOVOS_SPARK_PLOTLY_SRI", "sha384-TEST")
+    assert 'integrity="sha384-TEST"' in RP.loader_script()
+
+    # vendoring: local file inlines, closes-safe, no CDN reference
+    js = tmp_path / "plotly.min.js"
+    js.write_text("window.Plotly={newPlot:function(){}};//</script>x")
+    monkeypatch.setenv("ANOVOS_SPARK_PLOTLY_JS", str(js))
+    inlined = RP.loader_script()
+    assert "cdn.plot.ly" not in inlined
+    assert "window.Plotly" in inlined
+    assert "//<\\/script>x" in inlined  # escaped, can't close the block
+
+    # gauge fmt maps onto number.valueformat ('{:.0f}' -> '.0f')
+    fig = RP.plotly_gauge(3.0, 10.0, [(0.0, 10.0, "#ccc")], "t", fmt="{:.0f}")
+    assert fig["data"][0]["number"]["valueformat"] == ".0f"
+    fig2 = RP.plotly_gauge(3.0, 10.0, [(0.0, 10.0, "#ccc")], "t")
+    assert fig2["data"][0]["number"]["valueformat"] == ".2f"
