@@ -659,7 +659,7 @@ def geo_auto_detection(idf: DataFrame) -> dict[str, list[str]]:
         aggs += [
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
-            (F.count_distinct(c) / F.count(c)).alias(f"{c}__card"),
+            F.try_divide(F.count_distinct(c), F.count(c)).alias(f"{c}__card"),
         ]
     gh_re = r"^[0123456789bcdefghjkmnpqrstuvwxyz]{4,12}$"
     for c in cat_cols:
@@ -717,6 +717,13 @@ def geo_cluster_analysis(
     vec = VectorAssembler(inputCols=[lat_col, lon_col], outputCol="__features__")
     assembled = vec.transform(idf.dropna(subset=[lat_col, lon_col]))
     assembled.persist()
+    n = assembled.count()  # also materializes the persist before the sweep
+    if n < 2:
+        assembled.unpersist()
+        raise ValueError(
+            "geo_cluster_analysis needs at least 2 non-null (lat, lon) rows "
+            f"(got {n})"
+        )
     scores: dict[int, float] = {}
     best_model, best_k = None, None
     evaluator = ClusteringEvaluator(
