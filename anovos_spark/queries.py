@@ -501,17 +501,19 @@ def q_ngram_jaccard(spark, sf_dir):
 def q_minhash_lsh(spark, sf_dir):
     """LSH candidates verified by exact Jaccard.  Oracle = the exact-pair
     SQL; a recall miss surfaces as a row-count diff.  Band geometry is
-    16 bands × r=2 (not the 8×4 default): per-pair miss probability at
-    the j=0.7 threshold is (1−j²)^16 ≈ 2e-5 vs (1−j⁴)^8 ≈ 0.11 — at sf1
-    (500k docs, 19k true pairs) the default geometry measurably dropped
-    16 marginal-jaccard pairs, while 16×2 retains every pair at every
-    tested sf.  Narrower bands admit more candidates, but the exact
-    verify keeps precision at 100% and measured sf1 cost is ~15 s."""
+    32 bands × r=2: per-pair miss at the j=0.7 threshold is
+    (1−j²)^32 ≈ 4e-10.  Each decade re-taught this lesson — 8×4 dropped
+    16 of 19k pairs at sf1 (miss ≈ 0.11 at j=0.7); the r5 fix 16×2
+    (miss ≈ 2e-5) held through sf1 but dropped 15 of 801k pairs at sf10
+    (500k docs — the pair mass sits just above threshold, where the miss
+    probability peaks).  At 32×2 the expected miss stays ≪1 even at
+    1e12 candidate pairs, i.e. genuinely 100 TB-safe, at ~2× signature
+    cost; the exact verify keeps precision at 100% either way."""
     from anovos_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
         table(spark, sf_dir, "documents"), threshold=0.7,
-        num_hashes=32, bands=16,
+        num_hashes=64, bands=32,
     )
 
 
