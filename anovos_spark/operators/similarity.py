@@ -231,26 +231,37 @@ def embedding_near_dup_pairs(
         sc = corpus.sparkSession.sparkContext
         b_corpus = sc.broadcast((ids, Bz))
 
+        # chunk the Arrow batch so the score block S stays ~64 MB no
+        # matter how large the broadcast corpus is: an UNchunked
+        # batch_rows × n matrix is 10k × 200k × 8 B = 16 GB per python
+        # worker — the sf10 differential OOM-killed workers at exactly
+        # the documented 200k quarantine cap before this fix
+        chunk = max(1, 8_000_000 // max(n, 1))
+
         def score_blocks(batches):
             ids_b, Bz_b = b_corpus.value
             for pdf in batches:
-                A = np.array(list(pdf[vec_col]), dtype="float64")
-                if len(A) == 0:
+                A_all = np.array(list(pdf[vec_col]), dtype="float64")
+                if len(A_all) == 0:
                     continue
-                An = np.sqrt((A * A).sum(axis=1))
-                An[An == 0] = np.inf
-                Az = A / An[:, None]
-                S = np.round(Az @ Bz_b.T, 6)
-                aid = pdf[id_col].to_numpy()
-                keep = (S >= threshold) & (aid[:, None] < ids_b[None, :])
-                ai, bi = np.nonzero(keep)
-                yield pd.DataFrame(
-                    {
-                        "id_a": aid[ai],
-                        "id_b": ids_b[bi],
-                        "cos_sim": S[ai, bi],
-                    }
-                )
+                aid_all = pdf[id_col].to_numpy()
+                for lo in range(0, len(A_all), chunk):
+                    A = A_all[lo:lo + chunk]
+                    An = np.sqrt((A * A).sum(axis=1))
+                    An[An == 0] = np.inf
+                    Az = A / An[:, None]
+                    S = Az @ Bz_b.T
+                    np.round(S, 6, out=S)
+                    aid = aid_all[lo:lo + chunk]
+                    keep = (S >= threshold) & (aid[:, None] < ids_b[None, :])
+                    ai, bi = np.nonzero(keep)
+                    yield pd.DataFrame(
+                        {
+                            "id_a": aid[ai],
+                            "id_b": ids_b[bi],
+                            "cos_sim": S[ai, bi],
+                        }
+                    )
 
         return fan_out(corpus.select(id_col, vec_col)).mapInPandas(
             score_blocks,
