@@ -938,7 +938,12 @@ def point_in_polygon_col(
     an ``array<struct<lat:double, lon:double>>``; the crossing count of a
     +longitude ray against each edge computes inside whole-stage codegen.
     Supersedes the UDF path for polygon COLUMNS (location_in_polygon
-    keeps the driver-side-polygon convenience API)."""
+    keeps the driver-side-polygon convenience API).
+
+    Classification of points EXACTLY on a polygon edge or vertex is
+    unspecified (standard for crossing-count ray casts — which side a
+    boundary point lands on depends on float rounding of the edge
+    intersection)."""
     v = vertices_col
     n = F.size(v)
     idxs = F.sequence(F.lit(1), n)
@@ -951,7 +956,12 @@ def point_in_polygon_col(
             (b["lon"] - a["lon"]) * (lat_col - a["lat"]) / (b["lat"] - a["lat"])
             + a["lon"]
         )
-        return straddles & (lon_col < x_at)
+        # x_at divides by (b.lat - a.lat), which is 0 for horizontal
+        # edges; straddles is always false there, and CaseWhen evaluates
+        # branches lazily per-row, so the guarded form never computes the
+        # division at all (previously relied on doubles not raising and
+        # the Inf comparing false — correct but fragile, ADVICE r9)
+        return F.when(straddles, lon_col < x_at).otherwise(F.lit(False))
 
     return F.pmod(F.size(F.filter(idxs, crossing)), F.lit(2)) == 1
 

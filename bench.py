@@ -112,6 +112,7 @@ def main():
         "unit": "sec",
         "sf": float(sf),
         "n_queries": len(detail),
+        "n_registry": len(registry()),
         "n_errors": n_errors,
         "timing": f"min_of_{max(runs_per_query, 1)}",
         "queries_file": os.path.basename(detail_path),

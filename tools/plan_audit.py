@@ -24,6 +24,59 @@ def plan_of(df, execute: bool = False) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# module paths whose `udf` attribute builds a row-at-a-time Python UDF
+_UDF_MODULES = {"pyspark.sql.functions", "pyspark.sql"}
+
+
+def _find_row_udf_calls(path: str) -> list[int]:
+    """AST lint: line numbers of calls/decorators that resolve to
+    pyspark.sql.functions.udf (row-at-a-time).  pandas_udf is allowed.
+
+    Resolves three binding shapes:
+      - `from pyspark.sql.functions import udf [as alias]` → Name call
+      - `import pyspark.sql.functions [as F]` → F.udf attribute call
+      - `from pyspark.sql import functions [as F]` → F.udf attribute call
+    Comment/docstring text can't trigger (it never parses to a Call), and
+    aliased imports can't hide (the alias table is followed).
+    """
+    import ast
+
+    with open(path) as fh:
+        tree = ast.parse(fh.read(), filename=path)
+    udf_names: set[str] = set()      # names bound directly to udf
+    fn_mod_aliases: set[str] = set() # aliases of the functions module
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module in _UDF_MODULES:
+            for a in node.names:
+                if a.name == "udf":
+                    udf_names.add(a.asname or a.name)
+                elif node.module == "pyspark.sql" and a.name == "functions":
+                    fn_mod_aliases.add(a.asname or a.name)
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name == "pyspark.sql.functions":
+                    fn_mod_aliases.add(a.asname or a.name.split(".")[0])
+
+    def is_udf_ref(expr: ast.expr) -> bool:
+        if isinstance(expr, ast.Name):
+            return expr.id in udf_names
+        if isinstance(expr, ast.Attribute) and expr.attr == "udf":
+            base = expr.value
+            return isinstance(base, ast.Name) and base.id in fn_mod_aliases
+        return False
+
+    sites = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call) and is_udf_ref(node.func):
+            sites.append(node.lineno)
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            for dec in node.decorator_list:
+                target = dec.func if isinstance(dec, ast.Call) else dec
+                if is_udf_ref(target):
+                    sites.append(dec.lineno)
+    return sorted(set(sites))
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
@@ -291,7 +344,9 @@ def main():
     # expression ray cast).  Arrow-batched pandas_udf/mapInPandas/
     # applyInPandas stay allowed; this pins the BatchEvalPython class out
     # of existence at the source level, not just per-sampled-plan.
-    import re as _re
+    # ADVICE r9: lint via the ast module instead of a text regex — a
+    # regex false-positives on 'udf(' inside comments/docstrings and
+    # false-negatives on 'from pyspark.sql.functions import udf as _u'.
     import anovos_spark as _pkg
 
     pkg_root = os.path.dirname(_pkg.__file__)
@@ -300,9 +355,10 @@ def main():
         for fn in files:
             if not fn.endswith(".py"):
                 continue
-            src = open(os.path.join(root, fn)).read()
-            for m in _re.finditer(r"(?<!pandas_)\budf\s*\(|@udf\b|F\.udf\b", src):
-                row_udf_sites.append(f"{fn}:{src[:m.start()].count(chr(10))+1}")
+            path = os.path.join(root, fn)
+            row_udf_sites.extend(
+                f"{fn}:{ln}" for ln in _find_row_udf_calls(path)
+            )
     check("engine-wide: zero row-at-a-time Python UDFs in source",
           not row_udf_sites, str(row_udf_sites))
 
