@@ -1720,6 +1720,146 @@ WHERE rank <= 1"""
 
 
 
+def feature_recommender_distributional_sql() -> str:
+    """Full replay of the distributional recommender: the TF-IDF cosine
+    (words + trigrams, as feature_recommender_sql) blended 50/50 with
+    the PPMI-space semantic cosine — word-level idf, same-document
+    co-occurrence counts, PPMI = max(0, ln(n_tc·T/(n_t·n_c))), per-token
+    row L2 normalization, identity spike, SYNONYM_LEXICON query
+    expansion at weight 0.7 with MAX-merge against self tokens — built
+    from the SAME DEFAULT_CORPUS and SYNONYM_LEXICON the operator
+    imports, so neither constant can drift."""
+    from anovos_spark.operators.featrec import DEFAULT_CORPUS, SYNONYM_LEXICON
+
+    attrs = [
+        "c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey",
+        "l_discount", "l_extendedprice", "l_linenumber", "l_linestatus",
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate",
+        "l_suppkey", "l_tax", "o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice",
+    ]
+    attr_vals = ", ".join(f"('{a}')" for a in attrs)
+    corp_vals = ", ".join(
+        "(" + ", ".join("'" + s.replace("'", "''") + "'" for s in row) + ")"
+        for row in DEFAULT_CORPUS
+    )
+    lex_vals = ", ".join(
+        f"('{t}', '{e}')" for t, exps in SYNONYM_LEXICON.items() for e in exps
+    )
+    n = len(DEFAULT_CORPUS)
+    return f"""
+WITH attrs(attribute) AS (VALUES {attr_vals}),
+corpus(feature_name, industry, usecase, description) AS (VALUES {corp_vals}),
+lex(token, expansion) AS (VALUES {lex_vals}),
+-- ======== TF-IDF component (words + trigrams), all pairs kept ========
+cn0 AS (
+  SELECT feature_name,
+         list_filter(string_split(trim(regexp_replace(lower(feature_name || ' ' || description),
+           '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w
+  FROM corpus),
+cs AS (SELECT *, array_to_string(w, '') AS sq FROM cn0),
+ctok AS (
+  SELECT DISTINCT feature_name, token FROM (
+    SELECT feature_name, unnest(w) AS token FROM cs
+    UNION ALL
+    SELECT feature_name, substring(sq, i, 3) AS token
+    FROM cs, unnest(range(1, greatest(len(sq) - 2, 1) + 1)) AS t(i)
+    WHERE length(substring(sq, i, 3)) = 3)),
+idf AS (
+  SELECT token, ln(1.0 + {n}.0 / count(DISTINCT feature_name)) AS idf
+  FROM ctok GROUP BY 1),
+cw AS (SELECT c.*, idf.idf AS w FROM ctok c JOIN idf USING (token)),
+cnorm AS (SELECT feature_name, sqrt(sum(w * w)) AS cn FROM cw GROUP BY 1),
+an0 AS (
+  SELECT attribute,
+         list_filter(string_split(trim(regexp_replace(lower(attribute),
+           '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w
+  FROM attrs),
+asq AS (SELECT *, array_to_string(w, '') AS sq FROM an0),
+atok AS (
+  SELECT DISTINCT attribute, token FROM (
+    SELECT attribute, unnest(w) AS token FROM asq
+    UNION ALL
+    SELECT attribute, substring(sq, i, 3) AS token
+    FROM asq, unnest(range(1, greatest(len(sq) - 2, 1) + 1)) AS t(i)
+    WHERE length(substring(sq, i, 3)) = 3)),
+aw AS (SELECT a.*, idf.idf AS w2 FROM atok a JOIN idf USING (token)),
+anorm AS (SELECT attribute, sqrt(sum(w2 * w2)) AS an FROM aw GROUP BY 1),
+tf AS (
+  SELECT aw.attribute, cw.feature_name,
+         round(sum(cw.w * aw.w2) / (any_value(anorm.an) * any_value(cnorm.cn)), 6) AS s_tfidf
+  FROM aw JOIN cw USING (token)
+  JOIN anorm ON anorm.attribute = aw.attribute
+  JOIN cnorm ON cnorm.feature_name = cw.feature_name
+  GROUP BY 1, 2),
+-- ======== PPMI semantic component (words only) ========
+wtok AS (
+  SELECT DISTINCT feature_name, unnest(w) AS token FROM cn0),
+widf AS (
+  SELECT token, ln(1.0 + {n}.0 / count(DISTINCT feature_name)) AS idf
+  FROM wtok GROUP BY 1),
+co AS (
+  SELECT x.token AS t, y.token AS c, CAST(count(*) AS DOUBLE) AS n_tc
+  FROM wtok x JOIN wtok y USING (feature_name)
+  WHERE x.token <> y.token GROUP BY 1, 2),
+ntok AS (SELECT token, CAST(count(*) AS DOUBLE) AS n_t FROM wtok GROUP BY 1),
+tot AS (SELECT sum(n_tc) AS total FROM co),
+ppmi AS (
+  SELECT t, c, greatest(ln(n_tc * (SELECT total FROM tot) / (a.n_t * b.n_t)), 0.0) AS pp
+  FROM co JOIN ntok a ON a.token = co.t JOIN ntok b ON b.token = co.c),
+ppos AS (SELECT * FROM ppmi WHERE pp > 0),
+pnorm AS (SELECT t, sqrt(sum(pp * pp)) AS pn FROM ppos GROUP BY 1),
+tokvec AS (
+  SELECT t, c, sum(v) AS v FROM (
+    SELECT token AS t, token AS c, idf AS v FROM widf
+    UNION ALL
+    SELECT p.t, p.c, widf.idf * p.pp / pnorm.pn AS v
+    FROM ppos p JOIN pnorm USING (t) JOIN widf ON widf.token = p.t
+  ) GROUP BY 1, 2),
+cvec AS (
+  SELECT w.feature_name, tv.c, sum(1.0 * tv.v) AS dv
+  FROM wtok w JOIN tokvec tv ON tv.t = w.token GROUP BY 1, 2),
+cvn AS (SELECT feature_name, sqrt(sum(dv * dv)) AS nrm FROM cvec GROUP BY 1),
+aself AS (SELECT DISTINCT attribute, unnest(w) AS token, 1.0 AS wt FROM an0),
+aexp AS (
+  SELECT s.attribute, lex.expansion AS token, 0.7 AS wt
+  FROM (SELECT DISTINCT attribute, token FROM aself) s JOIN lex USING (token)),
+atokw AS (
+  SELECT attribute, token, max(wt) AS wt FROM (
+    SELECT attribute, token, wt FROM aself
+    UNION ALL SELECT attribute, token, wt FROM aexp
+  ) GROUP BY 1, 2),
+avec AS (
+  SELECT a.attribute, tv.c, sum(a.wt * tv.v) AS dv
+  FROM atokw a JOIN tokvec tv ON tv.t = a.token GROUP BY 1, 2),
+avn AS (SELECT attribute, sqrt(sum(dv * dv)) AS nrm FROM avec GROUP BY 1),
+sem AS (
+  SELECT av.attribute, cv.feature_name,
+         sum(av.dv * cv.dv) / (any_value(avn.nrm) * any_value(cvn.nrm)) AS s_sem
+  FROM avec av JOIN cvec cv USING (c)
+  JOIN avn ON avn.attribute = av.attribute
+  JOIN cvn ON cvn.feature_name = cv.feature_name
+  GROUP BY 1, 2),
+-- ======== blend + rank ========
+blended AS (
+  SELECT coalesce(tf.attribute, sem.attribute) AS attribute,
+         coalesce(tf.feature_name, sem.feature_name) AS feature_name,
+         round(0.5 * coalesce(tf.s_tfidf, 0.0) + 0.5 * coalesce(sem.s_sem, 0.0), 6) AS score
+  FROM tf FULL JOIN sem
+    ON tf.attribute = sem.attribute AND tf.feature_name = sem.feature_name),
+scored AS (
+  SELECT b.attribute, b.feature_name, corpus.industry, corpus.usecase, b.score
+  FROM blended b JOIN corpus USING (feature_name)
+  WHERE b.score >= 0.05)
+SELECT attribute, feature_name, industry, usecase, score, rank,
+       'distributional' AS method
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY attribute ORDER BY score DESC, feature_name ASC) AS rank
+  FROM scored)
+WHERE rank <= 1"""
+
+
 def minhash_incremental_sql() -> str:
     """Full SQL replay of the incremental path: recompute MinHash
     signatures for corpus + edited-new-batch, band them, equi-join
@@ -1946,6 +2086,7 @@ SELECT 2 AS k, count(*) AS n_rows, 1 AS converged FROM lineitem""",
 SELECT 1 AS k_in_range, 1 AS var_monotonic, 1 AS orthogonal_ok,
        1 AS explained_ok, count(*) AS n_rows
 FROM lineitem""",
+        "feature_recommender_distributional": feature_recommender_distributional_sql(),
         # hashed-embedding path: xxhash64 has no DuckDB twin, so the
         # oracle pins the match contract over the deterministic attribute
         # universe (information_schema recovers the three tables' columns);

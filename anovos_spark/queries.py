@@ -2003,6 +2003,28 @@ def q_feature_recommender_embedded(spark, sf_dir):
     )
 
 
+def q_feature_recommender_distributional(spark, sf_dir):
+    """Distributional recommender (lexicon query expansion + corpus-local
+    PPMI co-occurrence space blended with TF-IDF cosine) — FULLY
+    ORACLE-BACKED: the path is deliberately PPMI-sparse instead of
+    PPMI+SVD precisely so DuckDB can replay every step (word
+    tokenization, idf, co-occurrence counts, PPMI weights, per-token
+    row normalization, lexicon expansion at damped weight, document
+    cosines, the 50/50 blend, the top-1 rank) from the same
+    DEFAULT_CORPUS and SYNONYM_LEXICON the operator imports."""
+    from anovos_spark.operators.featrec import (
+        feature_recommender_match_distributional,
+    )
+
+    cols = []
+    for t in ("lineitem", "orders", "customer"):
+        cols += table(spark, sf_dir, t).columns
+    attrs = spark.createDataFrame([(c,) for c in sorted(set(cols))], "attribute string")
+    return feature_recommender_match_distributional(
+        attrs, top_k=1, min_score=0.05
+    ).withColumn("method", F.lit("distributional"))
+
+
 def q_feature_recommender_gemm(spark, sf_dir):
     """Bring-your-own-embedding recommender path with a FULL ranking
     oracle: attribute and corpus vectors come from the embeddings table
@@ -3571,7 +3593,7 @@ _APPROX_COST = {
     "invalid_entries_detection": 8.7,
     "dateformat_conversion": 0.5, "regression_imputation": 2.0,
     "knn_imputation_exact": 2.5, "autoencoder_optimality": 3.0,
-    "feature_recommender_gemm": 1.0,
+    "feature_recommender_gemm": 1.0, "feature_recommender_distributional": 1.6,
     "geohash_roundtrip": 0.8, "location_in_country": 0.5, "geo_stats": 1.0,
     "frequency_frame": 0.4, "event_rate_frame": 0.4, "outlier_frame": 2.0,
     "violin_frame": 0.7, "audio_decode": 0.3,
@@ -3733,6 +3755,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "mixture_plan": q_mixture_plan,
         "feature_recommender_embedded": q_feature_recommender_embedded,
+        "feature_recommender_distributional": q_feature_recommender_distributional,
         "feature_recommender_gemm": q_feature_recommender_gemm,
         "pca_closed_form": q_pca_closed_form,
         "dedup_minhash_incremental": q_minhash_incremental,

@@ -487,6 +487,38 @@ def test_feature_recommender_quality_floor(spark):
         assert best.get(attr) == truth, (attr, best.get(attr))
 
 
+def test_feature_recommender_distributional_semantic(spark):
+    """The distributional path (lexicon expansion + corpus-local PPMI,
+    VERDICT r9 item #4) must resolve ZERO-token-overlap synonyms the
+    TF-IDF path measurably cannot (FEATREC_QUALITY_r09: hit@3 = 0.05),
+    while keeping identity matches at rank 1."""
+    from anovos_spark.operators.featrec import (
+        feature_recommender_match_distributional,
+    )
+
+    probes = [
+        # zero token overlap with the truth feature's name+description
+        ("dob", "customer_age"),
+        ("salary", "customer_income_level"),
+        ("wallet_funds", "account_balance"),
+        ("vat_fraction", "tax_rate_pct"),
+        ("bandwidth_consumed", "data_usage_gb"),
+        # identity must stay rank 1 through the blend
+        ("customer_age", "customer_age"),
+        ("transaction_amount", "transaction_amount"),
+    ]
+    attrs = spark.createDataFrame(
+        [(a,) for a, _ in probes], schema="attribute string"
+    )
+    out = feature_recommender_match_distributional(
+        attrs, top_k=1, min_score=0.0
+    ).collect()
+    best = {r["attribute"]: r["feature_name"] for r in out}
+    for attr, truth in probes:
+        assert best.get(attr) == truth, (attr, best.get(attr))
+    assert all(0.0 < r["score"] <= 1.0 for r in out)
+
+
 def test_feature_recommender_embedded_paths(spark):
     from anovos_spark.operators.featrec import (
         feature_recommender_match_embedded,

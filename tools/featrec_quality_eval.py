@@ -32,6 +32,7 @@ from pyspark.sql import SparkSession  # noqa: E402
 from anovos_spark.operators.featrec import (  # noqa: E402
     DEFAULT_CORPUS,
     feature_recommender_match,
+    feature_recommender_match_distributional,
     feature_recommender_match_embedded,
 )
 
@@ -113,6 +114,10 @@ def rankings(spark, attrs, path):
     adf = spark.createDataFrame([(a,) for a in attrs], "attribute string")
     if path == "tfidf":
         out = feature_recommender_match(adf, top_k=TOP_K, min_score=0.0)
+    elif path == "distributional":
+        out = feature_recommender_match_distributional(
+            adf, top_k=TOP_K, min_score=0.0
+        )
     elif path == "hashed64":
         out = feature_recommender_match_embedded(
             adf, dim=64, top_k=TOP_K, min_score=-1.0
@@ -178,7 +183,7 @@ def main() -> None:
 
     result: dict = {"round": rnd, "top_k": TOP_K, "paths": {}}
     ranked_by_path = {}
-    for path in ("tfidf", "hashed64", "hashed256"):
+    for path in ("tfidf", "distributional", "hashed64", "hashed256"):
         ranked = rankings(spark, all_attrs, path)
         ranked_by_path[path] = ranked
         result["paths"][path] = {
