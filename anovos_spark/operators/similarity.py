@@ -71,12 +71,16 @@ def brute_force_topk(
     broken by neighbor id asc on the 6-decimal-rounded similarity (so
     ranking is reproducible across engines).
 
-    Scoring runs as one numpy GEMM per Arrow corpus batch against the
+    Scoring runs as one numpy GEMM per ~64 MB corpus chunk against the
     collected-and-broadcast query block (queries are small by contract) —
     per-pair HOF folds stay out of the hot path (interpreted eval, no
     codegen, megamorphic drift in aged sessions).  The corpus never
-    shuffles; only (query, neighbor, score) triples reach the rank
-    window."""
+    shuffles, and each chunk emits only its PARTIAL TOP-K per query
+    (stable-sorted under the global (cos DESC, id ASC) order, so the
+    cross-chunk rank window sees a superset of the true top-k): the
+    shuffle is O(k·queries·chunks), never O(corpus·queries) — at the
+    documented caps (200k corpus × 10k queries) the unreduced pair
+    stream would be 2e9 rows (r10 mem-probe finding)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -106,26 +110,49 @@ def brute_force_topk(
     b_q = sc.broadcast((qids, Qz))
     id_dtype = dict(corpus.dtypes)[id_col]
 
+    kk = int(k)
+
     def score_blocks(batches):
         qids_b, Qz_b = b_q.value
         nq = len(qids_b)
+        # chunk the corpus rows so the score block S stays ~64 MB
+        # regardless of query count (10k queries × an unchunked 10k-row
+        # Arrow batch was an 800 MB matrix per python worker — the same
+        # class as the sf10 near-dup GEMM OOM, r9)
+        chunk = max(1, 8_000_000 // max(nq, 1))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            C = np.array(list(pdf[vec_col]), dtype="float64")
-            Cn = np.sqrt((C * C).sum(axis=1))
-            Cn[Cn == 0] = np.inf
-            S = np.round((C / Cn[:, None]) @ Qz_b.T, 6)  # (rows, nq)
-            cid = pdf[id_col].to_numpy()
-            keep = cid[:, None] != qids_b[None, :]
-            ci, qi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "query_id": qids_b[qi],
-                    "neighbor_id": cid[ci],
-                    "cos_sim": S[ci, qi],
-                }
-            )
+            # id-ascending within the chunk + a STABLE sort below makes
+            # the per-chunk selection order exactly the global ranking
+            # order (cos_sim DESC, neighbor_id ASC)
+            pdf = pdf.sort_values(id_col, kind="stable")
+            C_all = np.array(list(pdf[vec_col]), dtype="float64")
+            cid_all = pdf[id_col].to_numpy()
+            for lo in range(0, len(pdf), chunk):
+                C = C_all[lo:lo + chunk]
+                cid = cid_all[lo:lo + chunk]
+                Cn = np.sqrt((C * C).sum(axis=1))
+                Cn[Cn == 0] = np.inf
+                S = np.round((C / Cn[:, None]) @ Qz_b.T, 6)  # (rows, nq)
+                S[cid[:, None] == qids_b[None, :]] = -np.inf  # self-matches
+                # per-chunk partial top-k: every GLOBAL top-k neighbor of
+                # a query is among that query's k best within its chunk
+                # under the same total order, so emitting k rows per
+                # (query, chunk) — instead of all rows×nq pairs — loses
+                # nothing and keeps the shuffle O(k·nq·chunks), not O(N·nq)
+                take = min(kk, S.shape[0])
+                top = np.argsort(-S, axis=0, kind="stable")[:take]  # (take, nq)
+                qi = np.broadcast_to(np.arange(nq), (take, nq))
+                sel = S[top, qi]
+                keep = np.isfinite(sel)
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids_b[qi[keep]],
+                        "neighbor_id": cid[top[keep]],
+                        "cos_sim": sel[keep],
+                    }
+                )
 
     scored = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
         score_blocks,
