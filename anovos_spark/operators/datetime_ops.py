@@ -459,10 +459,23 @@ def time_weighted_avg(
     NULL, which would drop the row from both averages.  Interval deltas
     are physically bounded (1e12 seconds ≈ 31,000 years) and need no
     guard.
+
+    Simultaneous observations (tied timestamps — real at scale: the
+    sf10 decade's 10M-event table carries 1.7M tied (group, ts) pairs
+    with distinct values, and ORDER BY ts alone let each engine hand
+    the forward interval to a different tied row, r10 e2e finding):
+    ties order by value ascending with nulls first, so the LARGEST
+    value at a tied instant is the one carried forward to the next
+    distinct timestamp — a defined, total, engine-invariant convention
+    (rows tying on both ts and value are interchangeable in the v·dt
+    sum, so the result is deterministic even though the order isn't
+    total over such rows).
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(group_col).orderBy(F.col(ts_col).asc())
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(ts_col).asc(), F.col(value_col).asc_nulls_first()
+    )
     v_dbl = F.col(value_col).cast("double")
     # NaN passes through like NULL (the decimal cast nulls it and the
     # row drops from both averages, matching pre-guard behavior) — the

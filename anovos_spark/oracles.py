@@ -2770,7 +2770,8 @@ WHERE abs(lat - clat) + abs(lon - clon) < 15.0""",
 WITH s AS (
   SELECT user_id,
          CAST(CAST(value AS DECIMAL(19,6)) * 1000000 AS HUGEINT) AS iv,
-         CAST(CAST(epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC))
+         CAST(CAST(epoch(lead(ts) OVER (PARTITION BY user_id
+                     ORDER BY ts ASC, value ASC NULLS FIRST))
                    - epoch(ts) AS DECIMAL(19,6)) * 1000000 AS HUGEINT) AS idt
   FROM events),
 a AS (
