@@ -2104,10 +2104,10 @@ FROM attrs""",
         "feature_recommender_gemm": """
 WITH a AS (
   SELECT 'attr_' || vec_id AS attribute, embedding::DOUBLE[] AS v
-  FROM embeddings WHERE vec_id % 5 = 0),
+  FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT 5000),
 c AS (
   SELECT 'feat_' || vec_id AS feature_name, embedding::DOUBLE[] AS v
-  FROM embeddings WHERE vec_id % 5 = 1),
+  FROM embeddings WHERE vec_id % 5 = 1 ORDER BY vec_id LIMIT 2000),
 s AS (
   SELECT a.attribute, c.feature_name,
          round(list_cosine_similarity(a.v, c.v), 6) AS score
@@ -2582,7 +2582,10 @@ WHERE is_late = 1 AND n_sup > 1 AND n_late = 1
 GROUP BY 1""",
         "asof_join_events": """
 WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+-- pre-aggregate simultaneous purchases (max value wins): which tied row
+-- an ASOF pick returns is engine-arbitrary, and sf10 has real ties
+p AS (SELECT user_id, ts, max(value) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
 SELECT c.event_id, c.user_id,
        round(p.value, 6) AS purchase_value,
        date_diff('second', p.ts, c.ts)::BIGINT AS secs_since_purchase

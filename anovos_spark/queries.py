@@ -2032,15 +2032,24 @@ def q_feature_recommender_gemm(spark, sf_dir):
     so DuckDB replays the cosine GEMM, the min_score cut, and the
     per-attribute (score DESC, feature_name ASC) rank window exactly —
     scores rounded to 6 decimals BEFORE thresholding/ranking on both
-    engines, making the top-k sets bit-comparable."""
+    engines, making the top-k sets bit-comparable.
+
+    Both sides carry a deterministic ORDER BY vec_id LIMIT cap (attrs
+    5000, corpus 2000) so the query respects the operator's documented
+    ≤10k-corpus broadcast contract at ANY scale factor — at sf10 the
+    unbounded %5 slice was 40k rows and the operator (correctly) raised
+    its loud contract error in the r10 sweep.  The caps don't bind at
+    sf0.01/0.1; the exactness contract, not scale, is what this query
+    pins (scale posture for embeddings lives in the ann/near-dup
+    family)."""
     from anovos_spark.operators.featrec import feature_recommender_match_embedded
 
     emb = table(spark, sf_dir, "embeddings")
-    attrs = emb.where(F.col("vec_id") % 5 == 0).select(
+    attrs = emb.where(F.col("vec_id") % 5 == 0).orderBy("vec_id").limit(5000).select(
         F.concat(F.lit("attr_"), F.col("vec_id").cast("string")).alias("attribute"),
         F.col("embedding").cast("array<double>").alias("emb"),
     )
-    corpus = emb.where(F.col("vec_id") % 5 == 1).select(
+    corpus = emb.where(F.col("vec_id") % 5 == 1).orderBy("vec_id").limit(2000).select(
         F.concat(F.lit("feat_"), F.col("vec_id").cast("string")).alias("feature_name"),
         F.lit("synthetic").alias("industry"),
         F.lit("ann").alias("usecase"),
@@ -2568,8 +2577,15 @@ def q_asof_join_events(spark, sf_dir):
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+    # pre-aggregate simultaneous purchases (the asof_join contract when
+    # tied keys matter): at sf10 a user holds multiple purchases at the
+    # SAME ts, and which one an as-of pick returns is engine-arbitrary —
+    # r10 sweep finding, same class as the TWA tie fix.  max(value) is
+    # the same "largest simultaneous value wins" convention.
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
     )
     out = asof_join(clicks, purchases, on="ts", by="user_id")
     return out.select(
