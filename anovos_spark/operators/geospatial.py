@@ -729,16 +729,37 @@ def geo_cluster_analysis(
     evaluator = ClusteringEvaluator(
         featuresCol="__features__", predictionCol="__pred__", metricName="silhouette"
     )
-    for k in range(2, max_k + 1):
+
+    # Fit the k-sweep CONCURRENTLY: each fit is an independent job chain
+    # over the same persisted frame, and Spark's scheduler interleaves
+    # jobs submitted from separate threads, so the sweep's wall-clock
+    # collapses from sum(fits) toward max(fit) — KMeans iterations are
+    # short scheduling-latency-bound jobs on persisted data.  Results are
+    # unchanged: each (k, seed) fit is deterministic in isolation, and
+    # the selection below replays in ascending-k order exactly as the
+    # old sequential loop did.
+    def _fit_and_score(k: int):
         model = KMeans(
             k=k, seed=seed, featuresCol="__features__", predictionCol="__pred__"
         ).fit(assembled)
         if criterion == "silhouette":
-            scores[k] = evaluator.evaluate(model.transform(assembled))
+            score = evaluator.evaluate(model.transform(assembled))
+        else:
+            score = model.summary.trainingCost
+        return k, model, score
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    ks = list(range(2, max_k + 1))
+    with ThreadPoolExecutor(max_workers=min(len(ks), 8)) as pool:
+        fitted = {k: (m, s) for k, m, s in pool.map(_fit_and_score, ks)}
+
+    for k in ks:  # selection replayed in k order (same as sequential)
+        model, scores[k] = fitted[k]
+        if criterion == "silhouette":
             if best_model is None or scores[k] > scores[best_k]:
                 best_model, best_k = model, k
         else:
-            scores[k] = model.summary.trainingCost
             if best_model is None or (
                 scores.get(best_k) and scores[k] < 0.8 * scores[best_k]
             ):
