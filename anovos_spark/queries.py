@@ -2045,7 +2045,11 @@ def q_feature_recommender_gemm(spark, sf_dir):
     from anovos_spark.operators.featrec import feature_recommender_match_embedded
 
     emb = table(spark, sf_dir, "embeddings")
-    attrs = emb.where(F.col("vec_id") % 5 == 0).orderBy("vec_id").limit(5000).select(
+    # repartition after the cap: orderBy().limit() plans TakeOrdered whose
+    # result is a SINGLE partition, which would serialize the downstream
+    # Arrow GEMM onto one worker (measured 2.0 -> 5.3 s at sf1); the row
+    # SET is already deterministic, so spreading it is free semantically
+    attrs = emb.where(F.col("vec_id") % 5 == 0).orderBy("vec_id").limit(5000).repartition(32).select(
         F.concat(F.lit("attr_"), F.col("vec_id").cast("string")).alias("attribute"),
         F.col("embedding").cast("array<double>").alias("emb"),
     )
