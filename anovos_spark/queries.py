@@ -1908,16 +1908,33 @@ def q_streaming_join(spark, sf_dir):
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
     from anovos_spark.streaming.ops import streaming_shuffle_partitions
 
-    with streaming_shuffle_partitions(spark):
+    # Size the state-store count to the replay volume: a single-batch
+    # availableNow run buffers BOTH streams in the join state, so the
+    # per-store row count is input/n — the fixed small-data default (8)
+    # thrashed at sf10's 10M events (45x at 10x data in the r10 scale
+    # probe).  Join results are partition-count invariant; only the
+    # store sizing changes.  Parquet metadata count — no scan.
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_stores = max(8, min(32, n_events // 250_000))
+    # parquet sink, not the memory sink: the join emits O(input) rows
+    # (7M at sf10) and the memory sink materializes ALL of them in the
+    # DRIVER's in-memory table — a debugging sink.  A file sink keeps the
+    # result distributed end to end; the read-back is a plain scan.
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix=f"{name}_out_")
+    with streaming_shuffle_partitions(spark, n_stores):
         q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
+            joined.select("signup_id", "error_id", "user_id")
+            .writeStream.format("parquet")
+            .option("path", f"{out_dir}/data")
+            .option("checkpointLocation", f"{out_dir}/ckpt")
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return spark.table(name).select("signup_id", "error_id", "user_id")
+    return spark.read.parquet(f"{out_dir}/data")
 
 
 def q_streaming_sessions(spark, sf_dir):
