@@ -23,6 +23,7 @@ Spark-first rework:
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -714,6 +715,8 @@ def geo_cluster_analysis(
 
     if criterion not in ("elbow", "silhouette"):
         raise ValueError("criterion must be 'elbow' or 'silhouette'")
+    if max_k < 2:
+        raise ValueError(f"max_k must be >= 2 (got {max_k}): the sweep fits k=2..max_k")
     vec = VectorAssembler(inputCols=[lat_col, lon_col], outputCol="__features__")
     assembled = vec.transform(idf.dropna(subset=[lat_col, lon_col]))
     assembled.persist()
@@ -729,6 +732,11 @@ def geo_cluster_analysis(
     evaluator = ClusteringEvaluator(
         featuresCol="__features__", predictionCol="__pred__", metricName="silhouette"
     )
+    # Concurrency cap: 8 parallel fit/evaluate chains over the same
+    # persisted frame multiply peak executor pressure; 4 keeps most of the
+    # scheduling-latency win with half the concurrent working set, and is
+    # overridable for bigger boxes.
+    sweep_workers = int(os.environ.get("ANOVOS_SPARK_KSWEEP_WORKERS", "4"))
 
     # Fit the k-sweep CONCURRENTLY: each fit is an independent job chain
     # over the same persisted frame, and Spark's scheduler interleaves
@@ -750,24 +758,28 @@ def geo_cluster_analysis(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    ks = list(range(2, max_k + 1))
-    with ThreadPoolExecutor(max_workers=min(len(ks), 8)) as pool:
-        fitted = {k: (m, s) for k, m, s in pool.map(_fit_and_score, ks)}
+    # try/finally so a failed fit/evaluate chain can't leave the assembled
+    # frame pinned in the cache for the rest of the session.
+    try:
+        ks = list(range(2, max_k + 1))
+        with ThreadPoolExecutor(max_workers=max(1, min(len(ks), sweep_workers))) as pool:
+            fitted = {k: (m, s) for k, m, s in pool.map(_fit_and_score, ks)}
 
-    for k in ks:  # selection replayed in k order (same as sequential)
-        model, scores[k] = fitted[k]
-        if criterion == "silhouette":
-            if best_model is None or scores[k] > scores[best_k]:
-                best_model, best_k = model, k
-        else:
-            if best_model is None or (
-                scores.get(best_k) and scores[k] < 0.8 * scores[best_k]
-            ):
-                best_model, best_k = model, k
-    odf = best_model.transform(assembled).withColumnRenamed(
-        "__pred__", "cluster"
-    ).drop("__features__")
-    assembled.unpersist()
+        for k in ks:  # selection replayed in k order (same as sequential)
+            model, scores[k] = fitted[k]
+            if criterion == "silhouette":
+                if best_model is None or scores[k] > scores[best_k]:
+                    best_model, best_k = model, k
+            else:
+                if best_model is None or (
+                    scores.get(best_k) and scores[k] < 0.8 * scores[best_k]
+                ):
+                    best_model, best_k = model, k
+        odf = best_model.transform(assembled).withColumnRenamed(
+            "__pred__", "cluster"
+        ).drop("__features__")
+    finally:
+        assembled.unpersist()
     return odf, scores
 
 

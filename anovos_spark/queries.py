@@ -60,6 +60,70 @@ def _stream_table_source(sf_dir: str, name: str):
     return sf_dir, {"pathGlobFilter": f"{name}.parquet"}
 
 
+_SCRATCH_LIVE: dict = {}
+
+
+def _scratch_cleanup():  # pragma: no cover - exercised at interpreter exit
+    import shutil
+
+    for d in _SCRATCH_LIVE.values():
+        if "://" not in d:
+            shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH_LIVE.clear()
+
+
+def _stream_scratch(spark, tag: str) -> str:
+    """Run-scoped scratch dir for streaming file sinks + checkpoints.
+
+    A streaming file sink must land on storage visible to every executor
+    AND the driver (HDFS/S3/NFS): executors write the part files, the
+    driver reads them back.  A driver-local tempdir satisfies that only
+    in local mode, so resolution is:
+      1. spark conf ``spark.anovos.scratchDir`` (set this to a shared
+         path/URI when running on a cluster),
+      2. env ``ANOVOS_SPARK_SCRATCH``,
+      3. driver-local tempdir — allowed only when spark.master is
+         local[*]; on any other master this raises instead of silently
+         producing partial/missing read-backs.
+    Leak bound: one live dir per tag — re-invoking the same query first
+    removes the previous invocation's dir, and every locally-created dir
+    is removed at interpreter exit, so repeated runs don't accumulate
+    O(input) bytes in /tmp.  Scheme-URI scratch roots (hdfs://, s3a://)
+    are left to the cluster's scratch-retention policy.
+    """
+    import shutil
+    import tempfile
+    import uuid
+    import os as _os
+
+    prev = _SCRATCH_LIVE.pop(tag, None)
+    if prev is not None and "://" not in prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    root = spark.conf.get("spark.anovos.scratchDir", None) or _os.environ.get(
+        "ANOVOS_SPARK_SCRATCH"
+    )
+    if root:
+        d = f"{root.rstrip('/')}/{tag}_{uuid.uuid4().hex[:8]}"
+        if "://" not in d:
+            _os.makedirs(d, exist_ok=True)
+    else:
+        master = spark.conf.get("spark.master", "")
+        if not master.startswith("local"):
+            raise ValueError(
+                "streaming file sinks need a shared scratch dir on a cluster: "
+                "set spark.anovos.scratchDir (or ANOVOS_SPARK_SCRATCH) to a "
+                f"path visible to driver and executors (master={master!r})"
+            )
+        d = tempfile.mkdtemp(prefix=f"{tag}_")
+    _SCRATCH_LIVE[tag] = d
+    return d
+
+
+import atexit as _atexit
+
+_atexit.register(_scratch_cleanup)
+
+
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS).  Spark >= 4.1 reads it
     natively as TIMESTAMP_NTZ (micro-truncated, matching DuckDB's
@@ -1870,8 +1934,6 @@ def q_streaming_join(spark, sf_dir):
     oracle is the same SQL as range_join_events — two engine paths
     (streaming symmetric hash join vs bucketed batch equi-join) checked
     against one truth."""
-    import uuid
-
     from anovos_spark.streaming.ops import read_stream, stream_stream_join
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1905,7 +1967,6 @@ def q_streaming_join(spark, sf_dir):
         left_watermark="1 hour",
         right_watermark="3 hours",
     )
-    name = f"stream_join_{uuid.uuid4().hex[:8]}"
     from anovos_spark.streaming.ops import streaming_shuffle_partitions
 
     # Size the state-store count to the replay volume: a single-batch
@@ -1920,9 +1981,8 @@ def q_streaming_join(spark, sf_dir):
     # (7M at sf10) and the memory sink materializes ALL of them in the
     # DRIVER's in-memory table — a debugging sink.  A file sink keeps the
     # result distributed end to end; the read-back is a plain scan.
-    import tempfile
-
-    out_dir = tempfile.mkdtemp(prefix=f"{name}_out_")
+    # _stream_scratch handles cluster visibility + leak cleanup.
+    out_dir = _stream_scratch(spark, "stream_join")
     with streaming_shuffle_partitions(spark, n_stores):
         q = (
             joined.select("signup_id", "error_id", "user_id")
@@ -2819,12 +2879,11 @@ def q_streaming_dedup(spark, sf_dir):
     the batch incremental path bit-for-bit, so it shares
     dedup_minhash_incremental's full SQL-replay oracle — two engine
     paths (foreachBatch incremental sink vs batch joins), one truth."""
-    import tempfile
     import uuid
 
     from anovos_spark.streaming.ops import read_dedup_pairs, read_stream, streaming_dedup_sink
 
-    root = tempfile.mkdtemp(prefix=f"sdedup_{uuid.uuid4().hex[:8]}_")
+    root = _stream_scratch(spark, "sdedup")
     index_path, pairs_path = f"{root}/index", f"{root}/pairs"
     docs_schema = "doc_id long, text string, lang string, source string, n_chars long"
 

@@ -161,6 +161,13 @@ def test_ts_analyzer(spark):
     assert grans == {"date", "hour", "daypart", "weekend"}
 
 
+def test_kmeans_max_k_validated(geo_df):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_k must be >= 2"):
+        GEO.geo_cluster_analysis(geo_df, "lat", "lon", max_k=1)
+
+
 def test_kmeans_clusters(geo_df):
     odf, costs = GEO.geo_cluster_analysis(geo_df, "lat", "lon", max_k=2)
     assert "cluster" in odf.columns

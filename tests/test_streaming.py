@@ -443,3 +443,54 @@ def test_streaming_shuffle_partitions_scope(spark):
     except RuntimeError:
         pass
     assert spark.conf.get(key) == before
+
+
+class _FakeConf:
+    def __init__(self, d):
+        self._d = d
+
+    def get(self, k, default=None):
+        return self._d.get(k, default)
+
+
+class _FakeSpark:
+    def __init__(self, confs):
+        self.conf = _FakeConf(confs)
+
+
+def test_stream_scratch_local_lifecycle(spark, tmp_path):
+    """One live dir per tag: re-invoking deletes the previous invocation's
+    scratch (the r10 leak: every q_streaming_join run left O(input) bytes
+    in /tmp forever)."""
+    import os
+
+    from anovos_spark import queries as Q
+
+    d1 = Q._stream_scratch(spark, "pytest_scratch")
+    assert os.path.isdir(d1)
+    (open(os.path.join(d1, "marker"), "w")).close()
+    d2 = Q._stream_scratch(spark, "pytest_scratch")
+    assert os.path.isdir(d2) and d2 != d1
+    assert not os.path.exists(d1)  # previous dir reclaimed
+    # distinct tags coexist
+    d3 = Q._stream_scratch(spark, "pytest_scratch_other")
+    assert os.path.isdir(d2) and os.path.isdir(d3)
+    for tag in ("pytest_scratch", "pytest_scratch_other"):
+        shutil.rmtree(Q._SCRATCH_LIVE.pop(tag), ignore_errors=True)
+
+
+def test_stream_scratch_conf_root_and_cluster_guard(tmp_path):
+    """Conf-provided shared root is honored; a non-local master without a
+    shared root raises instead of silently writing executor-local parquet
+    the driver can't read back."""
+    from anovos_spark import queries as Q
+
+    root = str(tmp_path / "shared")
+    fake = _FakeSpark({"spark.anovos.scratchDir": root, "spark.master": "yarn"})
+    d = Q._stream_scratch(fake, "pytest_conf_scratch")
+    assert d.startswith(root)
+    shutil.rmtree(Q._SCRATCH_LIVE.pop("pytest_conf_scratch"), ignore_errors=True)
+
+    bare = _FakeSpark({"spark.master": "spark://host:7077"})
+    with pytest.raises(ValueError, match="shared scratch dir"):
+        Q._stream_scratch(bare, "pytest_cluster_scratch")
