@@ -43,6 +43,7 @@ def asof_join(
     tolerance=None,
     direction: str = "backward",
     suffix: str = "_matched",
+    on_tie=None,
 ) -> DataFrame:
     """Point-in-time join: for each left row, attach the right row with
     the greatest ``on`` <= left's ``on`` (direction='backward', inclusive),
@@ -61,14 +62,35 @@ def asof_join(
         numeric expression or SQL string (e.g. "INTERVAL 1 HOUR"); rows
         whose nearest match is farther than this get nulls instead.
     direction : 'backward' (default) or 'forward'.
-
-    If several right rows share the same (by, on), the surviving values
-    are taken from one of them arbitrarily-but-deterministically (the
-    last in the union sort); pre-aggregate the right side when that
-    matters, as the registry query does.
+    on_tie : tie policy when several right rows share the same (by, on)
+        value — REAL at scale (the sf10 events table holds 1.7M tied
+        (user, ts) pairs), where an undefined pick is engine-arbitrary
+        and partition-order-dependent.  ``("max", col)`` / ``("min", col)``
+        (or the string forms ``"max:col"`` / ``"min:col"``) make the
+        right row with the largest/smallest ``col`` win the tie — a
+        total, engine-invariant convention (rows tying on both keys and
+        ``col`` are interchangeable only if their other payloads differ,
+        in which case per-column ignorenulls fill applies as documented
+        below).  Null ``col`` loses ties in both modes.  The default
+        ``None`` keeps the legacy behavior: the surviving values come
+        from one tied row arbitrarily (the last in the union sort) —
+        fine when ties are impossible upstream, otherwise pass a policy.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    tie_mode = tie_col = None
+    if on_tie is not None:
+        if isinstance(on_tie, str) and ":" in on_tie:
+            tie_mode, tie_col = on_tie.split(":", 1)
+        elif isinstance(on_tie, (tuple, list)) and len(on_tie) == 2:
+            tie_mode, tie_col = on_tie
+        if tie_mode not in ("max", "min") or not tie_col:
+            raise ValueError(
+                "on_tie must be ('max'|'min', <right column>) or 'max:col'/'min:col'"
+                f" (got {on_tie!r})"
+            )
+        if tie_col not in right.columns:
+            raise ValueError(f"on_tie column {tie_col!r} not in right frame")
     by = ensure_list(by) if by is not None else []
     if not by:
         raise ValueError(
@@ -93,10 +115,18 @@ def asof_join(
 
     # Union schema: by + on + __side__ + left payload + right payload.
     left_payload = [c for c in left.columns if c not in set(by) | {on}]
+    # hidden tie key: right rows carry the tie-break column, left rows
+    # null (left rows never compete in a tie — __side__ separates them
+    # first); 'max' sorts the winner LAST among tied right rows so the
+    # cumulative last() below picks it, 'min' mirrors via desc.  Nulls
+    # sort first => a null tie key loses unless all tied are null.
+    tie_l = [F.lit(None).cast(right.schema[tie_col].dataType).alias("__tie__")] if tie_mode else []
+    tie_r = [F.col(tie_col).alias("__tie__")] if tie_mode else []
     l_tagged = left.select(
         *by,
         F.col(on).alias("__on__"),
         F.lit(1).alias("__side__"),
+        *tie_l,
         *[F.col(c) for c in left_payload],
         F.lit(None).cast(right.schema[on].dataType).alias("__r_on__"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(out_map[c]) for c in right_cols],
@@ -105,6 +135,7 @@ def asof_join(
         *by,
         F.col(on).alias("__on__"),
         F.lit(0).alias("__side__"),
+        *tie_r,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
         F.col(on).alias("__r_on__"),
         *[F.col(c).alias(out_map[c]) for c in right_cols],
@@ -113,17 +144,22 @@ def asof_join(
 
     from pyspark.sql.window import Window
 
+    tie_keys = []
+    if tie_mode == "max":
+        tie_keys = [F.col("__tie__").asc_nulls_first()]
+    elif tie_mode == "min":
+        tie_keys = [F.col("__tie__").desc_nulls_first()]
     if direction == "backward":
         # right rows sort BEFORE left rows at equal ts => inclusive <=
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col("__on__").asc(), F.col("__side__").asc())
+            .orderBy(F.col("__on__").asc(), F.col("__side__").asc(), *tie_keys)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col("__on__").desc(), F.col("__side__").asc())
+            .orderBy(F.col("__on__").desc(), F.col("__side__").asc(), *tie_keys)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     filled = unioned.select(

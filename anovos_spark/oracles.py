@@ -2590,6 +2590,17 @@ SELECT c.event_id, c.user_id,
        round(p.value, 6) AS purchase_value,
        date_diff('second', p.ts, c.ts)::BIGINT AS secs_since_purchase
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+        "asof_join_ties": """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+-- the tie convention stated declaratively: among purchases tied on
+-- (user, day) the largest value wins — must equal the Spark operator's
+-- on_tie=('max','value') pick row-for-row
+p AS (SELECT user_id, date_trunc('day', ts) AS ts, max(value) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id,
+       round(p.value, 6) AS purchase_value,
+       date_diff('second', p.ts, c.ts)::BIGINT AS secs_since_purchase
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
         "streaming_join": """
 SELECT s.event_id AS signup_id, e.event_id AS error_id, s.user_id
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s

@@ -2658,17 +2658,46 @@ def q_asof_join_events(spark, sf_dir):
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    # pre-aggregate simultaneous purchases (the asof_join contract when
-    # tied keys matter): at sf10 a user holds multiple purchases at the
-    # SAME ts, and which one an as-of pick returns is engine-arbitrary —
-    # r10 sweep finding, same class as the TWA tie fix.  max(value) is
-    # the same "largest simultaneous value wins" convention.
-    purchases = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("value"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
     )
-    out = asof_join(clicks, purchases, on="ts", by="user_id")
+    # on_tie: at sf10 a user holds multiple purchases at the SAME ts, and
+    # which tied row an undefined as-of pick returns is engine-arbitrary
+    # (r10 sweep finding, same class as the TWA tie fix).  The convention
+    # — largest simultaneous value wins — now lives in the OPERATOR, not
+    # in caller-side pre-aggregation.
+    out = asof_join(clicks, purchases, on="ts", by="user_id", on_tie=("max", "value"))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value_matched", 6).alias("purchase_value"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_matched"))
+        .cast("bigint")
+        .alias("secs_since_purchase"),
+    )
+
+
+def q_asof_join_ties(spark, sf_dir):
+    """Tie-STRESS as-of join: purchase timestamps truncated to the day
+    manufacture the sf10 tie-collision shape at every SF (36% of sf0.01
+    purchase rows share a (user, day) key with a different-valued
+    sibling; sf10 natively holds 1.7M such ties).  The operator's
+    on_tie=('max','value') policy must hand every click the LARGEST
+    simultaneous purchase — the oracle states the same convention by
+    pre-aggregating tied keys with max() before its ASOF join, so any
+    engine-arbitrary tie pick hash-mismatches immediately.  No caller-
+    side pre-aggregation on the Spark side: the policy under test is the
+    operator's."""
+    from anovos_spark.operators.temporal import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.date_trunc("day", "ts").alias("ts"), "value"
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id", on_tie=("max", "value"))
     return out.select(
         "event_id",
         "user_id",
@@ -3703,7 +3732,7 @@ _APPROX_COST = {
     "q15_top_supplier": 0.7, "q16_supplier_part_counts": 0.8,
     "q17_small_quantity_revenue": 0.6, "q20_promo_part_suppliers": 0.8,
     "q21_waiting_suppliers": 1.0,
-    "asof_join_events": 0.7, "range_join_events": 0.7, "streaming_join": 7.0,
+    "asof_join_events": 0.7, "asof_join_ties": 0.7, "range_join_events": 0.7, "streaming_join": 7.0,
     "hash_split": 0.4, "vocabulary": 0.8, "pack_sequences": 0.5,
     "pii_redaction": 0.6, "repetition_stats": 0.9, "contamination_check": 0.9,
     "approx_stats_band": 2.4,
@@ -3832,6 +3861,7 @@ def _registry_entries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_promo_part_suppliers": q20_promo_part_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "asof_join_events": q_asof_join_events,
+        "asof_join_ties": q_asof_join_ties,
         "range_join_events": q_range_join_events,
         "hash_split": q_hash_split,
         "dedup_apply": q_dedup_apply,

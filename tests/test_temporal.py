@@ -428,3 +428,46 @@ def test_batch_sessionize_string_and_date_ts(spark):
     out2 = sessionize(ddf, "ts", "user_id", gap_seconds=86400).collect()
     # two same-day events merge; the +2d event opens a new session
     assert sorted(r["n_events"] for r in out2) == [1, 2]
+
+
+def test_asof_on_tie_policies(spark):
+    """Tied right keys: on_tie=('max'|'min', col) picks a defined winner;
+    whole-row consistency (the winner's OTHER columns come along); null
+    tie keys lose; both string and tuple spellings accepted; bad specs
+    and unknown columns raise."""
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(1, 9, 0), 10.0, "q1"),
+            ("A", _ts(1, 9, 0), 30.0, "q2"),   # tie winner for max
+            ("A", _ts(1, 9, 0), 5.0, "q3"),    # tie winner for min
+            ("A", _ts(1, 9, 0), None, "q4"),   # null loses both
+            ("A", _ts(1, 11, 0), 99.0, "q5"),
+        ],
+        ["sym", "ts", "px", "qid"],
+    )
+    trades = spark.createDataFrame(
+        [("A", _ts(1, 10, 0), 1)], ["sym", "ts", "qty"]
+    )
+    for spec in (("max", "px"), "max:px"):
+        row = asof_join(trades, quotes, on="ts", by="sym", on_tie=spec).collect()[0]
+        assert (row["px_matched"], row["qid_matched"]) == (30.0, "q2")
+    for spec in (("min", "px"), "min:px"):
+        row = asof_join(trades, quotes, on="ts", by="sym", on_tie=spec).collect()[0]
+        assert (row["px_matched"], row["qid_matched"]) == (5.0, "q3")
+    # forward direction honors the same policy
+    early = spark.createDataFrame([("A", _ts(1, 8, 0), 1)], ["sym", "ts", "qty"])
+    row = asof_join(
+        early, quotes, on="ts", by="sym", direction="forward", on_tie=("max", "px")
+    ).collect()[0]
+    assert (row["px_matched"], row["qid_matched"]) == (30.0, "q2")
+    # all-null tie keys: some row is still matched (nulls only lose to non-null)
+    nullq = spark.createDataFrame(
+        [("A", _ts(1, 9, 0), None, "n1"), ("A", _ts(1, 9, 0), None, "n2")],
+        schema=quotes.schema,
+    )
+    row = asof_join(trades, nullq, on="ts", by="sym", on_tie=("max", "px")).collect()[0]
+    assert row["px_matched"] is None and row["qid_matched"] in ("n1", "n2")
+    with pytest.raises(ValueError, match="on_tie"):
+        asof_join(trades, quotes, on="ts", by="sym", on_tie="max")
+    with pytest.raises(ValueError, match="not in right frame"):
+        asof_join(trades, quotes, on="ts", by="sym", on_tie=("max", "nope"))
