@@ -29,6 +29,52 @@ os_environ_default = ("ANOVOS_EXACT_STATS", "0")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def box_state(sf_dir: str) -> dict:
+    """Cheap cache-state marker: 'cache churn' adjudications of a slow
+    run should be MEASURED, not inferred from the totals.  Records the
+    page-cache numbers from /proc/meminfo plus the observed sequential
+    read rate of up to 256 MB of the lineitem table — multiple GB/s when
+    testdata sits in the page cache (warm box), storage-rate when the
+    cache was churned by other work.  The probe reads bytes the bench is
+    about to read anyway, so it costs <1 s and perturbs nothing."""
+    state: dict = {}
+    try:
+        keep = {"MemTotal", "MemAvailable", "Cached", "Buffers", "Dirty"}
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                k, _, rest = line.partition(":")
+                if k in keep:
+                    state[f"meminfo_{k.lower()}_kb"] = int(rest.split()[0])
+    except OSError:
+        pass
+    try:
+        p = os.path.join(sf_dir, "lineitem.parquet")
+        files = (
+            sorted(
+                os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+            )
+            if os.path.isdir(p)
+            else [p]
+        )
+        budget, read = 256 * 1024 * 1024, 0
+        t0 = time.perf_counter()
+        for f in files:
+            with open(f, "rb", buffering=0) as fh:
+                while read < budget:
+                    chunk = fh.read(8 * 1024 * 1024)
+                    if not chunk:
+                        break
+                    read += len(chunk)
+            if read >= budget:
+                break
+        dt = time.perf_counter() - t0
+        state["probe_read_mb"] = round(read / 1024 / 1024, 1)
+        state["probe_read_mbps"] = round(read / 1024 / 1024 / dt, 1) if dt > 0 else None
+    except OSError:
+        pass
+    return state
+
+
 def main():
     os.environ.setdefault(*os_environ_default)
     # pin BLAS threading before numpy/Spark start: python workers fork from
@@ -44,6 +90,8 @@ def main():
                      "BENCH_DETAIL.json"),
     )
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # cache-state marker BEFORE Spark warms anything
+    box = box_state(sf_dir)
 
     from pyspark.sql import SparkSession
 
@@ -116,10 +164,12 @@ def main():
         "n_errors": n_errors,
         "timing": f"min_of_{max(runs_per_query, 1)}",
         "queries_file": os.path.basename(detail_path),
+        "probe_read_mbps": box.get("probe_read_mbps"),
     }
     with open(detail_path, "w") as fh:
         json.dump(
             {**summary,
+             "box_state": box,
              "queries": {k: v["min"] for k, v in detail.items()},
              "runs": detail},
             fh, indent=1, sort_keys=True,
