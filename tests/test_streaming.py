@@ -494,3 +494,198 @@ def test_stream_scratch_conf_root_and_cluster_guard(tmp_path):
     bare = _FakeSpark({"spark.master": "spark://host:7077"})
     with pytest.raises(ValueError, match="shared scratch dir"):
         Q._stream_scratch(bare, "pytest_cluster_scratch")
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch watermark eviction (VERDICT r10 item #4): the stateful ops
+# below were previously verified in single availableNow replays; these
+# tests run them through >=4 micro-batches (maxFilesPerTrigger=1, one
+# parquet file per batch in mtime order) with late/out-of-order rows
+# crossing the watermark, and assert via StreamingQueryProgress
+# stateOperators that (a) state rows are actually REMOVED between
+# batches (eviction happens), (b) late rows are counted dropped and
+# excluded from results.
+#
+# Measured Spark subtlety these tests encode: within one micro-batch the
+# LATE-RECORD FILTER runs against the watermark of the PREVIOUS batch,
+# while state eviction/emission runs against the updated one — so a late
+# row arriving in the very batch where its window closes still slips in.
+# The inputs therefore put TWO watermark-advancing sentinel batches
+# between the on-time data and the late rows, guaranteeing the filter's
+# (lagged) watermark has passed them.
+# ---------------------------------------------------------------------------
+
+def _write_event_file(path, rows, mtime):
+    """One parquet FILE (not a Spark dir) so maxFilesPerTrigger=1 maps one
+    file -> one micro-batch; mtimes pin the FileStreamSource batch order."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, tss, uids, vals = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(list(tss), pa.timestamp("us", tz="UTC")),
+                "user_id": pa.array(uids, pa.int64()),
+                "value": pa.array([float(v) for v in vals], pa.float64()),
+            }
+        ),
+        path,
+    )
+    os.utime(path, (mtime, mtime))
+
+
+def _state_metrics(q):
+    """Flatten recentProgress -> per-batch stateOperators metrics."""
+    out = []
+    for p in q.recentProgress:
+        for so in p.get("stateOperators", []):
+            out.append(so)
+    return out
+
+
+_EVSCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def _t(h, m=0):
+    return datetime.datetime(2024, 1, 1, h, m, 0)
+
+
+def test_join_multibatch_watermark_eviction(spark, tmp_path):
+    import uuid
+
+    d = str(tmp_path / "mb_join")
+    import os
+
+    os.makedirs(d)
+    # f1: matched pair at 12:00; f2+f3: far-future pairs advance the
+    # watermark (two sentinel batches — see filter-lag note above);
+    # f4: another pair + a LATE pair back at 12:30/12:31 — far behind
+    # the watermark by then, must be dropped unjoined
+    _write_event_file(f"{d}/f1.parquet",
+                      [(0, _t(12, 0), 1, 0), (1, _t(12, 1), 1, 0)], 1_000)
+    _write_event_file(f"{d}/f2.parquet",
+                      [(10, _t(18, 0), 1, 0), (11, _t(18, 1), 1, 0)], 2_000)
+    _write_event_file(f"{d}/f3.parquet",
+                      [(40, _t(20, 0), 1, 0), (41, _t(20, 1), 1, 0)], 3_000)
+    _write_event_file(f"{d}/f4.parquet",
+                      [(20, _t(23, 0), 1, 0), (21, _t(23, 1), 1, 0),
+                       (30, _t(12, 30), 1, 0), (31, _t(12, 31), 1, 0)], 4_000)
+
+    def side(parity, id_alias, ts_alias):
+        sdf = S.read_stream(spark, "parquet", d, schema=_EVSCHEMA,
+                            options={"maxFilesPerTrigger": "1"})
+        return sdf.where(sdf["event_id"] % 2 == parity).select(
+            sdf["event_id"].alias(id_alias), "user_id", sdf["ts"].alias(ts_alias)
+        )
+
+    joined = S.stream_stream_join(
+        side(0, "l_id", "l_ts"), side(1, "r_id", "r_ts"),
+        on="user_id", left_ts="l_ts", right_ts="r_ts",
+        within="5 minutes", left_watermark="1 hour", right_watermark="1 hour",
+    )
+    name = f"mbj_{uuid.uuid4().hex[:8]}"
+    with S.streaming_shuffle_partitions(spark, 4):
+        q = (
+            joined.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _drain(q)
+    got = {(r["l_id"], r["r_id"]) for r in spark.table(name).collect()}
+    # on-time pairs joined; the late pair (30, 31) excluded per contract
+    assert got == {(0, 1), (10, 11), (40, 41), (20, 21)}
+    sos = _state_metrics(q)
+    assert len({p["batchId"] for p in q.recentProgress}) >= 4
+    # eviction actually happened: buffered join rows were removed once the
+    # watermark passed their window ...
+    assert sum(so["numRowsRemoved"] for so in sos) > 0
+    # ... so total state shrank below its peak by the final batch
+    totals = [so["numRowsTotal"] for so in sos]
+    assert totals[-1] < max(totals)
+    # the late rows were counted as watermark drops
+    assert sum(so["numRowsDroppedByWatermark"] for so in sos) >= 1
+
+
+def test_sessionize_multibatch_watermark_eviction(spark, tmp_path):
+    import os
+    import uuid
+
+    d = str(tmp_path / "mb_sess")
+    os.makedirs(d)
+    # f1: u1 burst (one session); f2+f3: sentinels advance the watermark
+    # past the session (two batches — filter-lag note above); f4: new u3
+    # burst + LATE u1 row at 12:02 that must neither extend nor
+    # resurrect u1's already-emitted session
+    _write_event_file(f"{d}/f1.parquet",
+                      [(0, _t(12, 0), 1, 0), (1, _t(12, 1), 1, 0)], 1_000)
+    _write_event_file(f"{d}/f2.parquet", [(10, _t(15, 0), 2, 0)], 2_000)
+    _write_event_file(f"{d}/f3.parquet", [(11, _t(16, 0), 2, 0)], 3_000)
+    _write_event_file(f"{d}/f4.parquet",
+                      [(20, _t(18, 0), 3, 0), (30, _t(12, 2), 1, 0)], 4_000)
+    sdf = S.read_stream(spark, "parquet", d, schema=_EVSCHEMA,
+                        options={"maxFilesPerTrigger": "1"})
+    sessions = S.sessionize(sdf, "ts", "user_id", gap="5 minutes",
+                            watermark="10 minutes")
+    name = f"mbs_{uuid.uuid4().hex[:8]}"
+    with S.streaming_shuffle_partitions(spark, 4):
+        q = (
+            sessions.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _drain(q)
+    rows = {r["user_id"]: r for r in spark.table(name).collect()}
+    # u1's session closed with exactly its 2 on-time events — the late row
+    # didn't extend it (and no second u1 session appeared)
+    assert rows[1]["n_events"] == 2
+    assert [r["user_id"] for r in spark.table(name).collect()].count(1) == 1
+    sos = _state_metrics(q)
+    assert len({p["batchId"] for p in q.recentProgress}) >= 4
+    assert sum(so["numRowsRemoved"] for so in sos) > 0
+    totals = [so["numRowsTotal"] for so in sos]
+    assert totals[-1] < max(totals)
+    assert sum(so["numRowsDroppedByWatermark"] for so in sos) >= 1
+
+
+def test_drift_monitor_multibatch_watermark_eviction(spark, tmp_path):
+    import os
+    import uuid
+
+    d = str(tmp_path / "mb_drift")
+    os.makedirs(d)
+    # f1: 20 events in the 12:00-12:10 window; f2+f3: sentinels far ahead
+    # (two batches — filter-lag note above); f4: more current data + LATE
+    # rows back in the 12:00 window that must not change its
+    # already-emitted n_events
+    f1 = [(i, _t(12, 0) + datetime.timedelta(seconds=15 * i), 1, i)
+          for i in range(20)]
+    _write_event_file(f"{d}/f1.parquet", f1, 1_000)
+    _write_event_file(f"{d}/f2.parquet", [(100, _t(15, 0), 1, 50)], 2_000)
+    _write_event_file(f"{d}/f3.parquet", [(101, _t(16, 0), 1, 50)], 3_000)
+    _write_event_file(f"{d}/f4.parquet",
+                      [(200, _t(18, 0), 1, 60), (201, _t(12, 7), 1, 70),
+                       (202, _t(12, 8), 1, 80)], 4_000)
+    sdf = S.read_stream(spark, "parquet", d, schema=_EVSCHEMA,
+                        options={"maxFilesPerTrigger": "1"})
+    mon = S.streaming_drift_monitor(
+        sdf, "ts", "value", [25.0, 50.0, 75.0], [0.25, 0.25, 0.25, 0.25],
+        window_duration="10 minutes", watermark="10 minutes",
+    )
+    name = f"mbd_{uuid.uuid4().hex[:8]}"
+    with S.streaming_shuffle_partitions(spark, 4):
+        q = (
+            mon.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _drain(q)
+    rows = {r["window"]["start"]: r for r in spark.table(name).collect()}
+    # the 12:00 window was emitted with its 20 on-time events only
+    assert rows[_t(12, 0)]["n_events"] == 20
+    sos = _state_metrics(q)
+    assert len({p["batchId"] for p in q.recentProgress}) >= 4
+    assert sum(so["numRowsRemoved"] for so in sos) > 0
+    totals = [so["numRowsTotal"] for so in sos]
+    assert totals[-1] < max(totals)
+    assert sum(so["numRowsDroppedByWatermark"] for so in sos) >= 1
