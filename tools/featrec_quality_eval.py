@@ -94,6 +94,32 @@ SEMANTIC: list[tuple[str, str]] = [
     ("vat_fraction", "tax_rate_pct"),
 ]
 
+# probe set D (held-out zero-overlap, r11 — VERDICT r10 item #1): the r9
+# SEMANTIC set and SYNONYM_LEXICON were authored together, so the
+# distributional path's 1.00 hit@3 partly measured the lexicon echoing
+# its own test.  This set is authored BLIND from text the REFERENCE
+# ships (attribute names its own authors wrote for their recommender
+# tutorials and example datasets), mapped to DEFAULT_CORPUS truths by
+# two mechanical rules, without consulting SYNONYM_LEXICON:
+#   1. truth = the semantically BEST corpus feature for the attribute's
+#      reference-shipped description; drop the pair if that is ambiguous
+#      (MonthlyCharge, OverageFee) or has no corpus analog (churn,
+#      DataPlan, ContractRenewal, pickup_latitude, ...);
+#   2. drop the pair if the best truth shares a word token with the
+#      attribute (fare_amount -> transaction_amount), keeping the set
+#      zero-overlap by construction, verified programmatically below.
+HELDOUT: list[tuple[str, str]] = [
+    # reference/data/feature_recommender/test_input_fr.csv (telco churn):
+    ("DataUsage", "data_usage_gb"),          # "gigabytes of monthly data usage"
+    ("DayMins", "call_duration_minutes"),    # "average daytime minutes per month"
+    ("CustServCalls", "call_duration_minutes"),  # "number of calls into customer service"
+    ("AccountWeeks", "policy_tenure_years"),     # "number of weeks customer has had active account"
+    # reference/data/feature_recommender/test_input_fr_2.csv (ridepooling):
+    ("passenger_count", "order_item_quantity"),  # "the number of passengers in the vehicle"
+    # reference/examples/data/sales_dataset (target column):
+    ("sales", "order_total_price"),          # item outlet sales value
+]
+
 TOP_K = 3
 
 
@@ -105,7 +131,7 @@ def _tokens(s: str) -> set[str]:
 
 def assert_zero_overlap() -> None:
     corpus = {name: f"{name} {desc}" for name, _, _, desc in DEFAULT_CORPUS}
-    for attr, truth in SEMANTIC:
+    for attr, truth in SEMANTIC + HELDOUT:
         shared = _tokens(attr) & _tokens(corpus[truth])
         assert not shared, (attr, truth, shared)
 
@@ -117,6 +143,12 @@ def rankings(spark, attrs, path):
     elif path == "distributional":
         out = feature_recommender_match_distributional(
             adf, top_k=TOP_K, min_score=0.0
+        )
+    elif path == "distributional_nolex":
+        # lexicon-off ablation: same PPMI machinery, zero query expansion —
+        # isolates what the co-occurrence space contributes on its own
+        out = feature_recommender_match_distributional(
+            adf, top_k=TOP_K, min_score=0.0, lexicon={}
         )
     elif path == "hashed64":
         out = feature_recommender_match_embedded(
@@ -179,17 +211,24 @@ def main() -> None:
     perturbed_attrs = [a for a, _ in PERTURBED]
     assert_zero_overlap()
     semantic_attrs = [a for a, _ in SEMANTIC]
-    all_attrs = [a for a, _ in identity_pairs] + perturbed_attrs + semantic_attrs
+    heldout_attrs = [a for a, _ in HELDOUT]
+    all_attrs = (
+        [a for a, _ in identity_pairs] + perturbed_attrs + semantic_attrs
+        + heldout_attrs
+    )
 
     result: dict = {"round": rnd, "top_k": TOP_K, "paths": {}}
     ranked_by_path = {}
-    for path in ("tfidf", "distributional", "hashed64", "hashed256"):
+    for path in (
+        "tfidf", "distributional", "distributional_nolex", "hashed64", "hashed256"
+    ):
         ranked = rankings(spark, all_attrs, path)
         ranked_by_path[path] = ranked
         result["paths"][path] = {
             "identity": score(ranked, identity_pairs),
             "perturbed": score(ranked, PERTURBED),
             "semantic_zero_overlap": score(ranked, SEMANTIC),
+            "heldout_zero_overlap": score(ranked, HELDOUT),
         }
     try:
         import sentence_transformers  # noqa: F401
@@ -220,7 +259,9 @@ def main() -> None:
             f"perturbed hit@1={scores['perturbed']['hit_at_1']} "
             f"hit@3={scores['perturbed']['hit_at_3']} mrr={scores['perturbed']['mrr_at_3']} "
             f"semantic hit@1={scores['semantic_zero_overlap']['hit_at_1']} "
-            f"hit@3={scores['semantic_zero_overlap']['hit_at_3']}"
+            f"hit@3={scores['semantic_zero_overlap']['hit_at_3']} "
+            f"heldout hit@1={scores['heldout_zero_overlap']['hit_at_1']} "
+            f"hit@3={scores['heldout_zero_overlap']['hit_at_3']}"
         )
     print("overlap@3:", result["pairwise_overlap_at_3"])
     print(out_path)
