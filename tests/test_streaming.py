@@ -689,3 +689,46 @@ def test_drift_monitor_multibatch_watermark_eviction(spark, tmp_path):
     totals = [so["numRowsTotal"] for so in sos]
     assert totals[-1] < max(totals)
     assert sum(so["numRowsDroppedByWatermark"] for so in sos) >= 1
+
+
+def test_dedup_multibatch_watermark_eviction(spark, tmp_path):
+    import os
+    import uuid
+
+    d = str(tmp_path / "mb_dedup")
+    os.makedirs(d)
+    # f1: two distinct events + one intra-batch duplicate; f2+f3:
+    # sentinels advance the watermark far past f1; f4: a LATE duplicate
+    # of event 0 (key state already evicted) and a late NEW key — with
+    # dropDuplicatesWithinWatermark semantics the late duplicate may
+    # reappear ONLY if its key's state was evicted, and late rows behind
+    # the filter watermark are dropped entirely
+    _write_event_file(f"{d}/f1.parquet",
+                      [(0, _t(12, 0), 1, 0), (1, _t(12, 1), 1, 0),
+                       (0, _t(12, 2), 1, 0)], 1_000)
+    _write_event_file(f"{d}/f2.parquet", [(10, _t(15, 0), 2, 0)], 2_000)
+    _write_event_file(f"{d}/f3.parquet", [(11, _t(16, 0), 2, 0)], 3_000)
+    _write_event_file(f"{d}/f4.parquet",
+                      [(0, _t(12, 3), 1, 0), (30, _t(12, 4), 1, 0),
+                       (20, _t(18, 0), 3, 0)], 4_000)
+    sdf = S.read_stream(spark, "parquet", d, schema=_EVSCHEMA,
+                        options={"maxFilesPerTrigger": "1"})
+    deduped = S.streaming_dedup(sdf, ["event_id"], "ts", watermark="30 minutes")
+    name = f"mbdd_{uuid.uuid4().hex[:8]}"
+    with S.streaming_shuffle_partitions(spark, 4):
+        q = (
+            deduped.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _drain(q)
+    ids = [r["event_id"] for r in spark.table(name).collect()]
+    # the intra-batch duplicate of 0 was dropped; the late rows (0, 30)
+    # were dropped by the watermark filter, not re-emitted
+    assert sorted(ids) == [0, 1, 10, 11, 20]
+    sos = _state_metrics(q)
+    assert len({p["batchId"] for p in q.recentProgress}) >= 4
+    # key state from f1/f2 was evicted once the watermark passed it
+    assert sum(so["numRowsRemoved"] for so in sos) > 0
+    totals = [so["numRowsTotal"] for so in sos]
+    assert totals[-1] < max(totals)
+    assert sum(so["numRowsDroppedByWatermark"] for so in sos) >= 1
