@@ -15,4 +15,4 @@ Design stance (Spark-first, 100 TB-ready):
   column expressions (whole-stage codegen).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.12.0"

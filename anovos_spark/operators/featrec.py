@@ -71,16 +71,19 @@ def feature_recommender_match(
     attr_col: str = "attribute",
     top_k: int = 2,
     min_score: float = 0.05,
+    _n_features: int | None = None,
 ) -> DataFrame:
     """[attribute, feature_name, industry, usecase, score, rank] — top-k
-    corpus features per attribute by TF-IDF cosine."""
+    corpus features per attribute by TF-IDF cosine.  ``_n_features``
+    lets a caller that already counted the corpus (the distributional
+    blend) skip the extra count job."""
     spark = attr_df.sparkSession
     if corpus_df is None:
         corpus_df = spark.createDataFrame(
             DEFAULT_CORPUS,
             schema="feature_name string, industry string, usecase string, description string",
         )
-    n_features = corpus_df.count()
+    n_features = _n_features if _n_features is not None else corpus_df.count()
 
     corpus_tok = _tokenized(
         corpus_df,
@@ -259,14 +262,6 @@ def feature_recommender_match_distributional(
             schema="feature_name string, industry string, usecase string, description string",
         )
     lex = SYNONYM_LEXICON if lexicon is None else lexicon
-    n_features = corpus_df.count()
-
-    # ---- first-order TF-IDF cosine (words + trigrams), as-is ----
-    tfidf = feature_recommender_match(
-        attr_df, corpus_df, attr_col=attr_col,
-        top_k=max(n_features, 1), min_score=-1.0,
-    ).select("attribute", "feature_name", "industry", "usecase",
-             F.col("score").alias("s_tfidf"))
 
     # ---- corpus word tokens (no trigrams: PPMI is word co-occurrence) --
     def words(df, col, keep):
@@ -280,31 +275,71 @@ def feature_recommender_match_distributional(
             ).alias("token"),
         )
 
+    # The corpus side is ≤10k docs by the same contract as the embedded
+    # path, so the whole PPMI pipeline is fixed-cost — the cost that
+    # matters is STAGE LATENCY, not data volume (r11 verdict item #6:
+    # 7.5 s of ~15 sequential tiny shuffles at any SF).  Three trims,
+    # all value-identical:
+    #   1. ctok is localCheckpointed once and reused by idf / co / cvec
+    #      instead of being re-tokenized per consumer;
+    #   2. ONE driver action replaces three (corpus count, Σco collect,
+    #      the TF-IDF path's internal count): n_features = #docs and
+    #      total = Σ_d m_d·(m_d−1) — exactly sum(n_tc), since the
+    #      co-occurrence self-join emits every ordered distinct-token
+    #      pair of a doc (feature_name is the doc key; duplicate names
+    #      merge, as they already did in co/cvec);
+    #   3. idf and n_t fold into one groupBy, the identity-spike ∪ PPMI
+    #      union drops its no-op re-aggregation (spike rows have t=c,
+    #      PPMI rows t≠c — no key ever collides), and the tiny corpus
+    #      frames broadcast into every join they feed.
     ctok = words(
         corpus_df,
         F.concat_ws(" ", "feature_name", "description"),
         ["feature_name"],
+    ).localCheckpoint(eager=True)
+    stats = (
+        ctok.groupBy("feature_name")
+        .agg(F.count(F.lit(1)).cast("double").alias("m"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("m") * (F.col("m") - 1)).alias("total"),
+        )
+        .collect()[0]
     )
-    idf = ctok.groupBy("token").agg(
+    n_features = int(stats["n_docs"] or 0)
+    total = float(stats["total"] or 0.0) or 1.0
+
+    # ---- first-order TF-IDF cosine (words + trigrams), as-is ----
+    tfidf = feature_recommender_match(
+        attr_df, corpus_df, attr_col=attr_col,
+        top_k=max(n_features, 1), min_score=-1.0, _n_features=n_features,
+    ).select("attribute", "feature_name", "industry", "usecase",
+             F.col("score").alias("s_tfidf"))
+
+    tok_stats = ctok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("n_t"),
         F.log(
             F.lit(1.0) + F.lit(float(n_features)) / F.count_distinct("feature_name")
-        ).alias("idf")
+        ).alias("idf"),
     )
     # co-occurrence counts: tokens sharing a corpus document, t ≠ c
     co = (
         ctok.alias("x")
-        .join(ctok.alias("y"), "feature_name")
+        .join(F.broadcast(ctok.alias("y")), "feature_name")
         .where(F.col("x.token") != F.col("y.token"))
         .groupBy(F.col("x.token").alias("t"), F.col("y.token").alias("c"))
         .agg(F.count(F.lit(1)).cast("double").alias("n_tc"))
     )
-    n_t = ctok.groupBy("token").agg(
-        F.count(F.lit(1)).cast("double").alias("n_t")
-    )
-    total = co.agg(F.sum("n_tc")).collect()[0][0] or 1.0
     ppmi = (
-        co.join(n_t.select(F.col("token").alias("t"), "n_t"), "t")
-        .join(n_t.select(F.col("token").alias("c"), F.col("n_t").alias("n_c")), "c")
+        co.join(
+            F.broadcast(tok_stats.select(F.col("token").alias("t"), "n_t")), "t"
+        )
+        .join(
+            F.broadcast(
+                tok_stats.select(F.col("token").alias("c"), F.col("n_t").alias("n_c"))
+            ),
+            "c",
+        )
         .select(
             "t", "c",
             F.greatest(
@@ -317,14 +352,15 @@ def feature_recommender_match_distributional(
     pn = ppmi.groupBy("t").agg(F.sqrt(F.sum(F.col("pp") * F.col("pp"))).alias("pn"))
     # token vector rows in context space: identity spike + normalized row
     tok_vec = (
-        idf.select(F.col("token").alias("t"), "idf")
-        .select("t", F.col("t").alias("c"), F.col("idf").alias("v"))
+        tok_stats.select(F.col("token").alias("t"), F.col("token").alias("c"),
+                         F.col("idf").alias("v"))
         .unionByName(
-            ppmi.join(pn, "t")
-            .join(idf.select(F.col("token").alias("t"), "idf"), "t")
+            ppmi.join(F.broadcast(pn), "t")
+            .join(
+                F.broadcast(tok_stats.select(F.col("token").alias("t"), "idf")), "t"
+            )
             .select("t", "c", (F.col("idf") * F.col("pp") / F.col("pn")).alias("v"))
         )
-        .groupBy("t", "c").agg(F.sum("v").alias("v"))
     )
 
     # ---- document vectors ----

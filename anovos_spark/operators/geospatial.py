@@ -736,7 +736,14 @@ def geo_cluster_analysis(
     # persisted frame multiply peak executor pressure; 4 keeps most of the
     # scheduling-latency win with half the concurrent working set, and is
     # overridable for bigger boxes.
-    sweep_workers = int(os.environ.get("ANOVOS_SPARK_KSWEEP_WORKERS", "4"))
+    raw_workers = os.environ.get("ANOVOS_SPARK_KSWEEP_WORKERS", "4")
+    try:
+        sweep_workers = max(1, int(raw_workers))
+    except ValueError:
+        raise ValueError(
+            "ANOVOS_SPARK_KSWEEP_WORKERS must be an integer >= 1 "
+            f"(got {raw_workers!r})"
+        ) from None
 
     # Fit the k-sweep CONCURRENTLY: each fit is an independent job chain
     # over the same persisted frame, and Spark's scheduler interleaves

@@ -30,8 +30,21 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from anovos_spark.core.utils import ensure_list
+
+
+def _orderable(dt) -> bool:
+    """Spark sort-orderability of a data type: maps are not orderable,
+    arrays/structs are orderable iff their element/field types are."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -68,13 +81,24 @@ def asof_join(
         and partition-order-dependent.  ``("max", col)`` / ``("min", col)``
         (or the string forms ``"max:col"`` / ``"min:col"``) make the
         right row with the largest/smallest ``col`` win the tie — a
-        total, engine-invariant convention (rows tying on both keys and
-        ``col`` are interchangeable only if their other payloads differ,
-        in which case per-column ignorenulls fill applies as documented
-        below).  Null ``col`` loses ties in both modes.  The default
-        ``None`` keeps the legacy behavior: the surviving values come
-        from one tied row arbitrarily (the last in the union sort) —
-        fine when ties are impossible upstream, otherwise pass a policy.
+        total, engine-invariant convention.  Null ``col`` loses ties in
+        both modes.  **The default changed in 0.12** (breaking): ``None``
+        now means the CANONICAL policy — tied right rows are ordered by
+        their attached-payload tuple (sort-orderable columns only, in
+        ``right_cols`` order, nulls first) and the greatest wins — so the
+        default pick is deterministic and engine-invariant instead of the
+        pre-0.12 partition-order-dependent arbitrary pick.  Rows tying on
+        every orderable payload column are interchangeable — identical
+        output either way — unless they differ only in an UNORDERABLE
+        column (a map), which Spark cannot sort by; that residual case
+        keeps the arbitrary pick.
+
+    The matched right row survives ATOMICALLY: all attached columns
+    (including ``<on><suffix>``) come from the single winning row, so a
+    null payload column in the winner stays null — it is never backfilled
+    from a losing tied row or an older right row (pre-0.12 filled each
+    column independently with ignorenulls, which could emit a chimera of
+    several right rows when payloads held nulls).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -113,23 +137,40 @@ def asof_join(
             "rename upstream or use a non-empty suffix"
         )
 
-    # Union schema: by + on + __side__ + left payload + right payload.
+    # Union schema: by + on + __side__ + left payload + __rrow__ (the
+    # right row as ONE struct — matched atomically, never field-by-field).
     left_payload = [c for c in left.columns if c not in set(by) | {on}]
-    # hidden tie key: right rows carry the tie-break column, left rows
-    # null (left rows never compete in a tie — __side__ separates them
-    # first); 'max' sorts the winner LAST among tied right rows so the
-    # cumulative last() below picks it, 'min' mirrors via desc.  Nulls
-    # sort first => a null tie key loses unless all tied are null.
-    tie_l = [F.lit(None).cast(right.schema[tie_col].dataType).alias("__tie__")] if tie_mode else []
-    tie_r = [F.col(tie_col).alias("__tie__")] if tie_mode else []
+    rrow_type = T.StructType(
+        [T.StructField(matched_on, right.schema[on].dataType)]
+        + [T.StructField(out_map[c], right.schema[c].dataType) for c in right_cols]
+    )
+    # Canonical tie order: the attached payload tuple itself.  When every
+    # attached column is sort-orderable the __rrow__ struct doubles as the
+    # key (zero extra shuffle bytes — its leading matched_on field is
+    # constant among tied rows, so the payload decides); with unorderable
+    # columns (maps) in play, a slim struct of the orderable subset rides
+    # along instead.
+    orderable_cols = [c for c in right_cols if _orderable(right.schema[c].dataType)]
+    canon_inline = len(orderable_cols) == len(right_cols)
+    tie2_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in orderable_cols]
+    )
+    tie_l, tie_r = [], []
+    if tie_mode:
+        tie_l.append(F.lit(None).cast(right.schema[tie_col].dataType).alias("__tie__"))
+        tie_r.append(F.col(tie_col).alias("__tie__"))
+    if orderable_cols and not canon_inline:
+        tie_l.append(F.lit(None).cast(tie2_type).alias("__tie2__"))
+        tie_r.append(
+            F.struct(*[F.col(c).alias(c) for c in orderable_cols]).alias("__tie2__")
+        )
     l_tagged = left.select(
         *by,
         F.col(on).alias("__on__"),
         F.lit(1).alias("__side__"),
         *tie_l,
         *[F.col(c) for c in left_payload],
-        F.lit(None).cast(right.schema[on].dataType).alias("__r_on__"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(out_map[c]) for c in right_cols],
+        F.lit(None).cast(rrow_type).alias("__rrow__"),
     )
     r_tagged = right.select(
         *by,
@@ -137,18 +178,29 @@ def asof_join(
         F.lit(0).alias("__side__"),
         *tie_r,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        F.col(on).alias("__r_on__"),
-        *[F.col(c).alias(out_map[c]) for c in right_cols],
+        F.struct(
+            F.col(on).alias(matched_on),
+            *[F.col(c).alias(out_map[c]) for c in right_cols],
+        ).alias("__rrow__"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
     from pyspark.sql.window import Window
 
+    # hidden tie keys: right rows carry them, left rows null (left rows
+    # never compete in a tie — __side__ separates them first).  Explicit
+    # policy first ('max' sorts the winner LAST so the cumulative last()
+    # picks it; 'min' mirrors via desc; nulls sort first => a null tie
+    # key loses unless all tied are null), then the canonical payload
+    # order as the total tie-break (asc, greatest wins).
     tie_keys = []
     if tie_mode == "max":
-        tie_keys = [F.col("__tie__").asc_nulls_first()]
+        tie_keys.append(F.col("__tie__").asc_nulls_first())
     elif tie_mode == "min":
-        tie_keys = [F.col("__tie__").desc_nulls_first()]
+        tie_keys.append(F.col("__tie__").desc_nulls_first())
+    if orderable_cols:
+        canon = F.col("__rrow__") if canon_inline else F.col("__tie2__")
+        tie_keys.append(canon.asc_nulls_first())
     if direction == "backward":
         # right rows sort BEFORE left rows at equal ts => inclusive <=
         w = (
@@ -162,14 +214,23 @@ def asof_join(
             .orderBy(F.col("__on__").desc(), F.col("__side__").asc(), *tie_keys)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
+    # ONE last() over the struct: the winning right row survives whole —
+    # its null payload columns stay null instead of being backfilled from
+    # a losing tied row or an older right row.
     filled = unioned.select(
         *by,
         "__on__",
         "__side__",
         *left_payload,
-        F.last("__r_on__", ignorenulls=True).over(w).alias(matched_on),
-        *[F.last(out_map[c], ignorenulls=True).over(w).alias(out_map[c]) for c in right_cols],
+        F.last("__rrow__", ignorenulls=True).over(w).alias("__m__"),
     ).where(F.col("__side__") == 1)
+    filled = filled.select(
+        *by,
+        "__on__",
+        *left_payload,
+        F.col("__m__").getField(matched_on).alias(matched_on),
+        *[F.col("__m__").getField(out_map[c]).alias(out_map[c]) for c in right_cols],
+    )
 
     if tolerance is not None:
         tol = F.expr(tolerance) if isinstance(tolerance, str) else tolerance

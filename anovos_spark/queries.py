@@ -60,16 +60,21 @@ def _stream_table_source(sf_dir: str, name: str):
     return sf_dir, {"pathGlobFilter": f"{name}.parquet"}
 
 
-_SCRATCH_LIVE: dict = {}
+_SCRATCH_LIVE: dict = {}  # tag -> [dirs, oldest first]
+import threading as _threading
+
+_SCRATCH_LOCK = _threading.Lock()
 
 
 def _scratch_cleanup():  # pragma: no cover - exercised at interpreter exit
     import shutil
 
-    for d in _SCRATCH_LIVE.values():
-        if "://" not in d:
-            shutil.rmtree(d, ignore_errors=True)
-    _SCRATCH_LIVE.clear()
+    with _SCRATCH_LOCK:
+        for dirs in _SCRATCH_LIVE.values():
+            for d in dirs:
+                if "://" not in d:
+                    shutil.rmtree(d, ignore_errors=True)
+        _SCRATCH_LIVE.clear()
 
 
 def _stream_scratch(spark, tag: str) -> str:
@@ -85,20 +90,23 @@ def _stream_scratch(spark, tag: str) -> str:
       3. driver-local tempdir — allowed only when spark.master is
          local[*]; on any other master this raises instead of silently
          producing partial/missing read-backs.
-    Leak bound: one live dir per tag — re-invoking the same query first
-    removes the previous invocation's dir, and every locally-created dir
-    is removed at interpreter exit, so repeated runs don't accumulate
-    O(input) bytes in /tmp.  Scheme-URI scratch roots (hdfs://, s3a://)
-    are left to the cluster's scratch-retention policy.
+    Leak bound: at most TWO live dirs per tag.  Reclamation is DEFERRED
+    by one generation — the invocation after next removes a dir, never
+    the next one — because the previous invocation's returned DataFrame
+    is lazy: it may not have been read yet when the same query is
+    re-invoked, and deleting its scratch under it would turn a valid
+    plan into a missing-path failure (r11 ADVICE).  Every locally
+    created dir is removed at interpreter exit, so repeated runs still
+    don't accumulate O(input) bytes in /tmp.  Registry mutation is
+    lock-guarded so concurrent in-process invocations of the same query
+    never delete each other's live scratch.  Scheme-URI scratch roots
+    (hdfs://, s3a://) are left to the cluster's scratch-retention policy.
     """
     import shutil
     import tempfile
     import uuid
     import os as _os
 
-    prev = _SCRATCH_LIVE.pop(tag, None)
-    if prev is not None and "://" not in prev:
-        shutil.rmtree(prev, ignore_errors=True)
     root = spark.conf.get("spark.anovos.scratchDir", None) or _os.environ.get(
         "ANOVOS_SPARK_SCRATCH"
     )
@@ -115,7 +123,14 @@ def _stream_scratch(spark, tag: str) -> str:
                 f"path visible to driver and executors (master={master!r})"
             )
         d = tempfile.mkdtemp(prefix=f"{tag}_")
-    _SCRATCH_LIVE[tag] = d
+    with _SCRATCH_LOCK:
+        dirs = _SCRATCH_LIVE.setdefault(tag, [])
+        dirs.append(d)
+        stale = dirs[:-2]  # keep this dir + the immediately-previous one
+        del dirs[:-2]
+    for s in stale:
+        if "://" not in s:
+            shutil.rmtree(s, ignore_errors=True)
     return d
 
 
@@ -2665,7 +2680,11 @@ def q_asof_join_events(spark, sf_dir):
     # which tied row an undefined as-of pick returns is engine-arbitrary
     # (r10 sweep finding, same class as the TWA tie fix).  The convention
     # — largest simultaneous value wins — now lives in the OPERATOR, not
-    # in caller-side pre-aggregation.
+    # in caller-side pre-aggregation.  All-null tie groups agree with the
+    # oracle too since 0.12: the winner row survives atomically, so an
+    # all-null-value tie yields (ts_matched = tied ts, value NULL) exactly
+    # like DuckDB's max() over the group — no ignorenulls backfill from an
+    # older purchase (the pre-0.12 latent divergence, ADVICE r11).
     out = asof_join(clicks, purchases, on="ts", by="user_id", on_tie=("max", "value"))
     return out.select(
         "event_id",

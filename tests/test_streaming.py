@@ -459,9 +459,11 @@ class _FakeSpark:
 
 
 def test_stream_scratch_local_lifecycle(spark, tmp_path):
-    """One live dir per tag: re-invoking deletes the previous invocation's
-    scratch (the r10 leak: every q_streaming_join run left O(input) bytes
-    in /tmp forever)."""
+    """At most TWO live dirs per tag with reclamation deferred one
+    generation (r11 ADVICE: the immediately-previous invocation's
+    returned DataFrame is lazy and may still read its scratch, so only
+    the invocation after next may delete it).  Original r10 leak bound
+    still holds: repeated runs never accumulate more than two dirs."""
     import os
 
     from anovos_spark import queries as Q
@@ -470,13 +472,19 @@ def test_stream_scratch_local_lifecycle(spark, tmp_path):
     assert os.path.isdir(d1)
     (open(os.path.join(d1, "marker"), "w")).close()
     d2 = Q._stream_scratch(spark, "pytest_scratch")
-    assert os.path.isdir(d2) and d2 != d1
-    assert not os.path.exists(d1)  # previous dir reclaimed
+    # the previous dir SURVIVES the next invocation (lazy reader safety)
+    assert os.path.isdir(d2) and d2 != d1 and os.path.isdir(d1)
+    d3 = Q._stream_scratch(spark, "pytest_scratch")
+    # ... and is reclaimed by the invocation after next (leak bound: 2)
+    assert os.path.isdir(d3) and os.path.isdir(d2)
+    assert not os.path.exists(d1)
+    assert len(Q._SCRATCH_LIVE["pytest_scratch"]) == 2
     # distinct tags coexist
-    d3 = Q._stream_scratch(spark, "pytest_scratch_other")
-    assert os.path.isdir(d2) and os.path.isdir(d3)
+    d4 = Q._stream_scratch(spark, "pytest_scratch_other")
+    assert os.path.isdir(d3) and os.path.isdir(d4)
     for tag in ("pytest_scratch", "pytest_scratch_other"):
-        shutil.rmtree(Q._SCRATCH_LIVE.pop(tag), ignore_errors=True)
+        for d in Q._SCRATCH_LIVE.pop(tag):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def test_stream_scratch_conf_root_and_cluster_guard(tmp_path):
@@ -489,7 +497,8 @@ def test_stream_scratch_conf_root_and_cluster_guard(tmp_path):
     fake = _FakeSpark({"spark.anovos.scratchDir": root, "spark.master": "yarn"})
     d = Q._stream_scratch(fake, "pytest_conf_scratch")
     assert d.startswith(root)
-    shutil.rmtree(Q._SCRATCH_LIVE.pop("pytest_conf_scratch"), ignore_errors=True)
+    for p in Q._SCRATCH_LIVE.pop("pytest_conf_scratch"):
+        shutil.rmtree(p, ignore_errors=True)
 
     bare = _FakeSpark({"spark.master": "spark://host:7077"})
     with pytest.raises(ValueError, match="shared scratch dir"):

@@ -432,9 +432,10 @@ def test_batch_sessionize_string_and_date_ts(spark):
 
 def test_asof_on_tie_policies(spark):
     """Tied right keys: on_tie=('max'|'min', col) picks a defined winner;
-    whole-row consistency (the winner's OTHER columns come along); null
-    tie keys lose; both string and tuple spellings accepted; bad specs
-    and unknown columns raise."""
+    whole-row consistency holds UNCONDITIONALLY (the winner row survives
+    as one struct — its null columns stay null, never backfilled from a
+    losing tied row); null tie keys lose; both string and tuple spellings
+    accepted; bad specs and unknown columns raise."""
     quotes = spark.createDataFrame(
         [
             ("A", _ts(1, 9, 0), 10.0, "q1"),
@@ -471,3 +472,50 @@ def test_asof_on_tie_policies(spark):
         asof_join(trades, quotes, on="ts", by="sym", on_tie="max")
     with pytest.raises(ValueError, match="not in right frame"):
         asof_join(trades, quotes, on="ts", by="sym", on_tie=("max", "nope"))
+
+
+def test_asof_default_tie_canonical(spark):
+    """0.12 default (on_tie=None): tied right rows are ordered by their
+    attached payload tuple and the greatest wins — deterministic across
+    partition layouts, unlike the pre-0.12 arbitrary pick.  Verified by
+    running the same tied data under several input partitionings."""
+    quotes_rows = [
+        ("A", _ts(1, 9, 0), 10.0, "q1"),
+        ("A", _ts(1, 9, 0), 30.0, "q2"),   # canonical winner: largest (px, qid)
+        ("A", _ts(1, 9, 0), 30.0, "q0"),   # ties q2 on px, loses on qid
+        ("A", _ts(1, 9, 0), None, "q9"),   # null px sorts first, loses
+    ]
+    trades = spark.createDataFrame([("A", _ts(1, 10, 0), 1)], ["sym", "ts", "qty"])
+    for nparts in (1, 3, 7):
+        quotes = spark.createDataFrame(quotes_rows, ["sym", "ts", "px", "qid"]).repartition(nparts)
+        row = asof_join(trades, quotes, on="ts", by="sym").collect()[0]
+        assert (row["px_matched"], row["qid_matched"]) == (30.0, "q2"), nparts
+
+
+def test_asof_no_null_backfill_chimera(spark):
+    """The winner row survives ATOMICALLY: a null payload column in the
+    matched right row stays null — the pre-0.12 per-column ignorenulls
+    fill would have backfilled it from an older right row (chimera).
+    Exercises both the tie path and the plain nearest-row path."""
+    # nearest right row has a NULL payload; an older row has a value
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(1, 8, 0), 7.0, "old"),
+            ("A", _ts(1, 9, 0), None, "near"),
+        ],
+        ["sym", "ts", "px", "qid"],
+    )
+    trades = spark.createDataFrame([("A", _ts(1, 10, 0), 1)], ["sym", "ts", "qty"])
+    row = asof_join(trades, quotes, on="ts", by="sym").collect()[0]
+    assert row["qid_matched"] == "near" and row["px_matched"] is None
+    assert row["ts_matched"] == _ts(1, 9, 0)
+    # tie variant: the on_tie winner carries a null alongside the tie col
+    quotes2 = spark.createDataFrame(
+        [
+            ("A", _ts(1, 9, 0), 5.0, "lo"),
+            ("A", _ts(1, 9, 0), 9.0, None),  # max-px winner, null qid
+        ],
+        ["sym", "ts", "px", "qid"],
+    )
+    row = asof_join(trades, quotes2, on="ts", by="sym", on_tie=("max", "px")).collect()[0]
+    assert row["px_matched"] == 9.0 and row["qid_matched"] is None

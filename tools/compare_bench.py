@@ -16,7 +16,13 @@ import sys
 
 def minima(path):
     d = json.load(open(path))
-    q = d.get("queries", d)
+    if isinstance(d.get("parsed"), dict):  # driver envelope (pin_bench.py)
+        d = d["parsed"]
+    q = d.get("queries")
+    if q is None:
+        # summary-only files carry no per-query minima; detail files ARE
+        # the query map when no wrapper key is present
+        q = {} if "metric" in d else d
     out = {}
     for k, v in q.items():
         m = v.get("min") if isinstance(v, dict) else v

@@ -94,30 +94,66 @@ SEMANTIC: list[tuple[str, str]] = [
     ("vat_fraction", "tax_rate_pct"),
 ]
 
-# probe set D (held-out zero-overlap, r11 — VERDICT r10 item #1): the r9
-# SEMANTIC set and SYNONYM_LEXICON were authored together, so the
-# distributional path's 1.00 hit@3 partly measured the lexicon echoing
-# its own test.  This set is authored BLIND from text the REFERENCE
-# ships (attribute names its own authors wrote for their recommender
-# tutorials and example datasets), mapped to DEFAULT_CORPUS truths by
-# two mechanical rules, without consulting SYNONYM_LEXICON:
+# probe set D (held-out zero-overlap, r11, grown to n=25 in r12 — VERDICT
+# r11 item #2): the r9 SEMANTIC set and SYNONYM_LEXICON were authored
+# together, so the distributional path's 1.00 hit@3 partly measured the
+# lexicon echoing its own test.  This set is authored BLIND from text the
+# REFERENCE ships — attribute names its own authors wrote for their
+# recommender test inputs (test_input_fr*.csv), example datasets, and
+# their 1053-row feature corpus (flatten_fr_db.csv, whose "Feature Name"
+# strings predate and are independent of this repo's SYNONYM_LEXICON) —
+# mapped to DEFAULT_CORPUS truths by two mechanical rules, without
+# consulting SYNONYM_LEXICON:
 #   1. truth = the semantically BEST corpus feature for the attribute's
 #      reference-shipped description; drop the pair if that is ambiguous
-#      (MonthlyCharge, OverageFee) or has no corpus analog (churn,
-#      DataPlan, ContractRenewal, pickup_latitude, ...);
+#      (MonthlyCharge, OverageFee, arpu-vs-LTV 'monetary values') or has
+#      no corpus analog (churn, DataPlan, ContractRenewal,
+#      pickup_latitude, CustServCalls — a CALL-COUNT attribute with no
+#      call-count corpus feature, dropped per r11 ADVICE, ...);
 #   2. drop the pair if the best truth shares a word token with the
-#      attribute (fare_amount -> transaction_amount), keeping the set
-#      zero-overlap by construction, verified programmatically below.
+#      attribute (fare_amount -> transaction_amount, 'total day minutes'
+#      -> call_duration_minutes, connection_duration ->
+#      session_duration_avg), keeping the set zero-overlap by
+#      construction, verified programmatically below.
+# Concepts with NO reference-shipped zero-overlap attribute (claim_amount,
+# tax_rate_pct, customer_age, shipping_duration_days, page_views_per_
+# session, cart_abandonment_rate, product_discount_pct, patient_visit_
+# count) are absent by rule, not by choice — every flatten_fr_db name for
+# them shares a token with the truth (Claim Paid Amount, tax, age,
+# Total_Visits, ...), which is itself evidence the reference corpus
+# vocabulary is token-overlapping by habit.
 HELDOUT: list[tuple[str, str]] = [
     # reference/data/feature_recommender/test_input_fr.csv (telco churn):
     ("DataUsage", "data_usage_gb"),          # "gigabytes of monthly data usage"
     ("DayMins", "call_duration_minutes"),    # "average daytime minutes per month"
-    ("CustServCalls", "call_duration_minutes"),  # "number of calls into customer service"
     ("AccountWeeks", "policy_tenure_years"),     # "number of weeks customer has had active account"
     # reference/data/feature_recommender/test_input_fr_2.csv (ridepooling):
     ("passenger_count", "order_item_quantity"),  # "the number of passengers in the vehicle"
     # reference/examples/data/sales_dataset (target column):
     ("sales", "order_total_price"),          # item outlet sales value
+    # reference/data/feature_recommender/flatten_fr_db.csv "Feature Name"
+    # strings used verbatim as user attributes; truth per their shipped
+    # "Feature Description" (quoted):
+    ("estimatedsalary", "customer_income_level"),    # "...salaries..." (bank churn)
+    ("rental30", "account_balance"),                 # "Average main account balance over last 30 days"
+    ("rental90", "account_balance"),                 # "Average main account balance over last 90 days"
+    ("medianmarechprebal30", "account_balance"),     # "Median of main account balance just before recharge..."
+    ("oldbalanceorig", "account_balance"),           # "initial balance before the transaction"
+    ("daily_decr30", "transaction_amount"),          # "Daily amount spent from main account, averaged..."
+    ("mean purchased value", "transaction_amount"),  # "Mean amount spent in one transaction"
+    ("minimum_payments", "transaction_amount"),      # "Minimum amount of payments made by user"
+    ("Itempurchasefrequency", "transaction_count_30d"),  # "Number of purchases in store"
+    ("cash_advance_trx", "transaction_count_30d"),   # "Number of Transactions made with Cash in Advanced"
+    ("quarter_frequency", "transaction_count_30d"),  # "Average number of transactions by quarter"
+    ("daysSinceLastOrder", "days_since_last_login"),  # "days Since Last Order" (activity recency)
+    ("meanDaysSinceOrder", "days_since_last_login"),  # "mean Days Since Order"
+    ("recency value", "days_since_last_login"),      # "The last time the customer has made a transaction"
+    ("revenue", "order_total_price"),                # "Total revenue of customer in period i"
+    ("arpu", "order_total_price"),                   # "Average revenue per user" (revenue -> the corpus's one revenue feature)
+    ("Member_Since", "policy_tenure_years"),         # "Number of months since the member joined the gym"
+    ("activation_elapsed_time", "policy_tenure_years"),  # "months elapsed since activation"
+    ("length of customer association", "policy_tenure_years"),  # "Number of years the customer is associated with a bank"
+    ("activeDuration", "session_duration_avg"),      # "Time difference between the last play and the first play..."
 ]
 
 TOP_K = 3
@@ -166,6 +202,18 @@ def rankings(spark, attrs, path):
     return ranked
 
 
+def wilson_ci(k: int, n: int, z: float = 1.96) -> list[float]:
+    """95% Wilson score interval for a binomial proportion — the honest
+    error bar the r11 verdict asked for on the held-out hit rates."""
+    if n == 0:
+        return [0.0, 1.0]
+    p = k / n
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (z / denom) * ((p * (1 - p) / n + z * z / (4 * n * n)) ** 0.5)
+    return [round(max(0.0, center - half), 4), round(min(1.0, center + half), 4)]
+
+
 def score(ranked, truth_pairs):
     hit1 = hit3 = 0
     rr_sum = 0.0
@@ -183,7 +231,9 @@ def score(ranked, truth_pairs):
     return {
         "n": n,
         "hit_at_1": round(hit1 / n, 4),
+        "hit_at_1_ci95": wilson_ci(hit1, n),
         "hit_at_3": round(hit3 / n, 4),
+        "hit_at_3_ci95": wilson_ci(hit3, n),
         "mrr_at_3": round(rr_sum / n, 4),
         "misses": misses,
     }
