@@ -254,7 +254,16 @@ def feature_recommender_match_distributional(
     never the pair), and — unlike a driver-side truncated SVD — every
     arithmetic step is replayable in ANSI SQL, which keeps this path
     oracle-gradable end to end.  Falls back on pure TF-IDF behavior as
-    ``alpha → 1``.  Same output contract as feature_recommender_match."""
+    ``alpha → 1``.  Same output contract as feature_recommender_match.
+
+    Corpus contract: ``feature_name`` must be a UNIQUE key and every row
+    must tokenize to at least one word (name+description non-empty after
+    normalization).  Rows sharing a feature_name merge token-wise in the
+    co-occurrence space, but the single-action normalization below then
+    counts distinct tokenized names — not corpus rows — so n_features and
+    the PPMI total silently shift for duplicate-keyed or token-empty-row
+    corpora (ADVICE r12).  The bundled DEFAULT_CORPUS and the reference's
+    corpus (feature_exploration/feature_recommender.py) are unique-keyed."""
     spark = attr_df.sparkSession
     if corpus_df is None:
         corpus_df = spark.createDataFrame(
@@ -284,10 +293,12 @@ def feature_recommender_match_distributional(
     #      instead of being re-tokenized per consumer;
     #   2. ONE driver action replaces three (corpus count, Σco collect,
     #      the TF-IDF path's internal count): n_features = #docs and
-    #      total = Σ_d m_d·(m_d−1) — exactly sum(n_tc), since the
-    #      co-occurrence self-join emits every ordered distinct-token
-    #      pair of a doc (feature_name is the doc key; duplicate names
-    #      merge, as they already did in co/cvec);
+    #      total = Σ_d m_d·(m_d−1) = sum(n_tc) — the co-occurrence
+    #      self-join emits every ordered distinct-token pair of a doc.
+    #      The identity holds for UNIQUE-KEYED corpora (the documented
+    #      contract): with duplicate feature_name rows sharing tokens,
+    #      the merged doc's pair count exceeds the per-row sum and the
+    #      two quantities diverge (ADVICE r12: 32 vs 36);
     #   3. idf and n_t fold into one groupBy, the identity-spike ∪ PPMI
     #      union drops its no-op re-aggregation (spike rows have t=c,
     #      PPMI rows t≠c — no key ever collides), and the tiny corpus

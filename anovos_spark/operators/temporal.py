@@ -35,10 +35,25 @@ from pyspark.sql import types as T
 from anovos_spark.core.utils import ensure_list
 
 
+# Atomic types Spark cannot sort (DATATYPE_MISMATCH.INVALID_ORDERING_TYPE):
+# maps, calendar intervals, and variants.  VariantType is absent from older
+# Spark builds, hence the getattr guard.
+_UNORDERABLE_ATOMIC = tuple(
+    t
+    for t in (
+        T.MapType,
+        getattr(T, "CalendarIntervalType", None),
+        getattr(T, "VariantType", None),
+    )
+    if t is not None
+)
+
+
 def _orderable(dt) -> bool:
-    """Spark sort-orderability of a data type: maps are not orderable,
-    arrays/structs are orderable iff their element/field types are."""
-    if isinstance(dt, T.MapType):
+    """Spark sort-orderability of a data type: maps, calendar intervals and
+    variants are not orderable; arrays/structs are orderable iff their
+    element/field types are."""
+    if isinstance(dt, _UNORDERABLE_ATOMIC):
         return False
     if isinstance(dt, T.ArrayType):
         return _orderable(dt.elementType)
@@ -90,8 +105,9 @@ def asof_join(
         pre-0.12 partition-order-dependent arbitrary pick.  Rows tying on
         every orderable payload column are interchangeable — identical
         output either way — unless they differ only in an UNORDERABLE
-        column (a map), which Spark cannot sort by; that residual case
-        keeps the arbitrary pick.
+        column (a map, calendar interval, or variant — 0.13 widened the
+        exclusion beyond maps, since Spark refuses to sort any of these);
+        that residual case keeps the arbitrary pick.
 
     The matched right row survives ATOMICALLY: all attached columns
     (including ``<on><suffix>``) come from the single winning row, so a

@@ -519,3 +519,95 @@ def test_asof_no_null_backfill_chimera(spark):
     )
     row = asof_join(trades, quotes2, on="ts", by="sym", on_tie=("max", "px")).collect()[0]
     assert row["px_matched"] == 9.0 and row["qid_matched"] is None
+
+
+def test_orderable_rejects_interval_variant_map():
+    """Spark 4 cannot sort maps, calendar intervals, or variants
+    (DATATYPE_MISMATCH.INVALID_ORDERING_TYPE) — _orderable must say so,
+    also through array/struct nesting."""
+    from pyspark.sql import types as T
+
+    from anovos_spark.operators.temporal import _orderable
+
+    assert not _orderable(T.MapType(T.StringType(), T.LongType()))
+    assert not _orderable(T.CalendarIntervalType())
+    assert not _orderable(T.ArrayType(T.CalendarIntervalType()))
+    assert not _orderable(
+        T.StructType([T.StructField("i", T.CalendarIntervalType())])
+    )
+    if hasattr(T, "VariantType"):
+        assert not _orderable(T.VariantType())
+    assert _orderable(T.ArrayType(T.StructType([T.StructField("x", T.DoubleType())])))
+    # ANSI day-time / year-month intervals ARE orderable (distinct from
+    # CalendarIntervalType) — they must stay in the canonical key
+    assert _orderable(T.DayTimeIntervalType())
+    assert _orderable(T.YearMonthIntervalType())
+
+
+def test_asof_unorderable_payload_subset_deterministic(spark):
+    """Canonical default with a MAP payload riding along: the tie is
+    decided by the ORDERABLE subset (px, qid) deterministically across
+    partition layouts, and the winner's map column arrives atomically
+    from that same winning row."""
+    quotes_rows = [
+        ("A", _ts(1, 9, 0), 10.0, "q1", {"src": "a"}),
+        ("A", _ts(1, 9, 0), 30.0, "q2", {"src": "b"}),  # winner on (px, qid)
+        ("A", _ts(1, 9, 0), 30.0, "q0", {"src": "c"}),
+        ("A", _ts(1, 9, 0), None, "q9", {"src": "d"}),
+    ]
+    trades = spark.createDataFrame([("A", _ts(1, 10, 0), 1)], ["sym", "ts", "qty"])
+    for nparts in (1, 3, 7):
+        quotes = spark.createDataFrame(
+            quotes_rows, ["sym", "ts", "px", "qid", "meta"]
+        ).repartition(nparts)
+        row = asof_join(trades, quotes, on="ts", by="sym").collect()[0]
+        assert (row["px_matched"], row["qid_matched"]) == (30.0, "q2"), nparts
+        assert row["meta_matched"] == {"src": "b"}, nparts
+
+
+def test_asof_all_unorderable_payload_arbitrary_pick(spark):
+    """When NO payload column is orderable (all maps), the documented
+    arbitrary-pick fallback fires: the join still succeeds and attaches
+    ONE of the tied rows whole (no analysis error, no chimera)."""
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(1, 9, 0), {"v": 1}),
+            ("A", _ts(1, 9, 0), {"v": 2}),
+        ],
+        ["sym", "ts", "meta"],
+    )
+    trades = spark.createDataFrame([("A", _ts(1, 10, 0), 1)], ["sym", "ts", "qty"])
+    row = asof_join(trades, quotes, on="ts", by="sym").collect()[0]
+    assert row["meta_matched"] in ({"v": 1}, {"v": 2})
+    assert row["ts_matched"] == _ts(1, 9, 0)
+
+
+def test_asof_calendar_interval_payload_no_analysis_error(spark):
+    """Regression (0.13): a CalendarIntervalType payload column must fall
+    out of the canonical tie key like maps do — pre-fix the canonical
+    default (and the secondary key under on_tie) tried to sort by it and
+    failed at analysis time with INVALID_ORDERING_TYPE."""
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(1, 9, 0), 10.0, 1),
+            ("A", _ts(1, 9, 0), 30.0, 2),
+        ],
+        ["sym", "ts", "px", "months"],
+    ).withColumn("ivl", F.expr("make_interval(0, months, 0, 0, 0, 0, 0)")).drop("months")
+    assert quotes.schema["ivl"].dataType.typeName() == "interval"
+    trades = spark.createDataFrame([("A", _ts(1, 10, 0), 1)], ["sym", "ts", "qty"])
+    # canonical default: decided by the orderable subset (px).  PySpark
+    # cannot deserialize CalendarInterval values to Python, so compare the
+    # interval column JVM-side (cast to its month count) before collect.
+    out = asof_join(trades, quotes, on="ts", by="sym").select(
+        "px_matched", F.expr("extract(month from ivl_matched)").alias("m")
+    )
+    row = out.collect()[0]
+    assert (row["px_matched"], row["m"]) == (30.0, 2)
+    # explicit on_tie with the interval column riding along as payload
+    row = (
+        asof_join(trades, quotes, on="ts", by="sym", on_tie=("min", "px"))
+        .select("px_matched", F.expr("extract(month from ivl_matched)").alias("m"))
+        .collect()[0]
+    )
+    assert (row["px_matched"], row["m"]) == (10.0, 1)

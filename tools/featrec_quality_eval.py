@@ -194,6 +194,11 @@ def rankings(spark, attrs, path):
         out = feature_recommender_match_embedded(
             adf, dim=256, top_k=TOP_K, min_score=-1.0
         )
+    elif path == "sentence_transformer":
+        out = feature_recommender_match_embedded(
+            adf, model_dir=os.environ["ANOVOS_SPARK_ST_MODEL_DIR"],
+            top_k=TOP_K, min_score=-1.0,
+        )
     else:
         raise ValueError(path)
     ranked: dict[str, list[str]] = {}
@@ -280,12 +285,40 @@ def main() -> None:
             "semantic_zero_overlap": score(ranked, SEMANTIC),
             "heldout_zero_overlap": score(ranked, HELDOUT),
         }
+    # True-model row (r12 verdict #3): grade the sentence-transformer path
+    # on the SAME blind sets whenever the env provides both the library and
+    # a model dir ($ANOVOS_SPARK_ST_MODEL_DIR -> featrec.py model_dir gate),
+    # so the "a real model would close the zero-overlap gap" hypothesis is
+    # falsifiable the moment an env can run it; otherwise the row is
+    # recorded as skipped with the reason.
+    st_model_dir = os.environ.get("ANOVOS_SPARK_ST_MODEL_DIR")
     try:
         import sentence_transformers  # noqa: F401
 
-        st_status = "available-but-unevaluated"
+        st_importable = True
     except ImportError:
-        st_status = "unavailable (import-gated; reference featrec_init.py:29-31)"
+        st_importable = False
+    if st_importable and st_model_dir:
+        ranked = rankings(spark, all_attrs, "sentence_transformer")
+        ranked_by_path["sentence_transformer"] = ranked
+        result["paths"]["sentence_transformer"] = {
+            "model_dir": st_model_dir,
+            "identity": score(ranked, identity_pairs),
+            "perturbed": score(ranked, PERTURBED),
+            "semantic_zero_overlap": score(ranked, SEMANTIC),
+            "heldout_zero_overlap": score(ranked, HELDOUT),
+        }
+        st_status = f"evaluated (model_dir={st_model_dir})"
+    elif st_importable:
+        st_status = (
+            "skipped: env-gated (library present, no "
+            "$ANOVOS_SPARK_ST_MODEL_DIR model dir)"
+        )
+    else:
+        st_status = (
+            "skipped: env-gated (sentence-transformers not importable; "
+            "reference featrec_init.py:29-31)"
+        )
     result["sentence_transformer_path"] = st_status
     result["pairwise_overlap_at_3"] = {
         "tfidf_vs_hashed64": overlap_at_k(
