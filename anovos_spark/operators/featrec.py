@@ -94,21 +94,40 @@ def feature_recommender_match(
     idf = corpus_tok.groupBy("token").agg(
         F.log(F.lit(1.0) + F.lit(float(n_features)) / F.count_distinct("feature_name")).alias("idf")
     )
-    cw = (
+    # Norms ride along as window sums instead of a groupBy + rejoin
+    # (0.13): the attribute-side norm frame is DATA-SIZED (one row per
+    # attribute — millions at scale), so broadcasting it was a scale bug;
+    # a window over the attribute key shuffles once on a key the scoring
+    # groupBy needs anyway, and the corpus side follows the same shape.
+    # Also two fewer broadcast-materialization jobs on the fixed-cost path.
+    corpus_weighted = (
         corpus_tok.join(F.broadcast(idf), "token")
         .withColumn("w", F.col("idf"))
+        .withColumn(
+            "cn",
+            F.sqrt(
+                F.sum(F.col("w") * F.col("w")).over(
+                    Window.partitionBy("feature_name")
+                )
+            ),
+        )
     )
-    cnorm = cw.groupBy("feature_name").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("cn"))
-    corpus_weighted = cw.join(F.broadcast(cnorm), "feature_name")
 
     attrs = _tokenized(
         attr_df.select(F.col(attr_col).alias("attribute")),
         F.col("attribute"),
         ["attribute"],
     )
-    aw = attrs.join(F.broadcast(idf), "token").withColumn("w2", F.col("idf"))
-    anorm = aw.groupBy("attribute").agg(F.sqrt(F.sum(F.col("w2") * F.col("w2"))).alias("an"))
-    attr_weighted = aw.join(F.broadcast(anorm), "attribute")
+    attr_weighted = (
+        attrs.join(F.broadcast(idf), "token")
+        .withColumn("w2", F.col("idf"))
+        .withColumn(
+            "an",
+            F.sqrt(
+                F.sum(F.col("w2") * F.col("w2")).over(Window.partitionBy("attribute"))
+            ),
+        )
+    )
 
     # sparse dot product: equi-join on token, sum the weight products
     scored = (
@@ -384,9 +403,20 @@ def feature_recommender_match_distributional(
             .agg(F.sum(F.col("wt") * F.col("v")).alias("dv"))
         )
 
-    cvec = doc_vec(ctok.withColumn("wt", F.lit(1.0)), "feature_name")
-    cn = cvec.groupBy("feature_name").agg(
-        F.sqrt(F.sum(F.col("dv") * F.col("dv"))).alias("nrm")
+    # document norms ride the vector frames as window sums (0.13) — the
+    # attribute-side norm frame is data-sized (one row per attribute), so
+    # the previous broadcast-join of `an` was a scale bug, and each folded
+    # norm also drops one aggregation + one broadcast job from the
+    # fixed-cost chain (r12 verdict #5)
+    def with_norm(vec, key, out):
+        return vec.withColumn(
+            out,
+            F.sqrt(F.sum(F.col("dv") * F.col("dv")).over(Window.partitionBy(key))),
+        )
+
+    cvec = with_norm(
+        doc_vec(ctok.withColumn("wt", F.lit(1.0)), "feature_name"),
+        "feature_name", "cn",
     )
 
     # attribute tokens: self (weight 1) ∪ lexicon expansions (damped);
@@ -410,26 +440,22 @@ def feature_recommender_match_distributional(
         .groupBy("attribute", "token")
         .agg(F.max("wt").alias("wt"))
     )
-    avec = doc_vec(a_tok, "attribute")
-    an = avec.groupBy("attribute").agg(
-        F.sqrt(F.sum(F.col("dv") * F.col("dv"))).alias("nrm")
-    )
+    avec = with_norm(doc_vec(a_tok, "attribute"), "attribute", "an")
 
     sem = (
-        avec.select("attribute", "c", F.col("dv").alias("adv"))
+        avec.select("attribute", "c", F.col("dv").alias("adv"), "an")
         .join(
             F.broadcast(
-                cvec.select("feature_name", "c", F.col("dv").alias("cdv"))
+                cvec.select("feature_name", "c", F.col("dv").alias("cdv"), "cn")
             ),
             "c",
         )
         .groupBy("attribute", "feature_name")
-        .agg(F.sum(F.col("adv") * F.col("cdv")).alias("dot"))
-        .join(F.broadcast(an.withColumnRenamed("nrm", "an")), "attribute")
-        .join(F.broadcast(cn.withColumnRenamed("nrm", "cn")), "feature_name")
-        .select(
-            "attribute", "feature_name",
-            F.try_divide(F.col("dot"), F.col("an") * F.col("cn")).alias("s_sem"),
+        .agg(
+            F.try_divide(
+                F.sum(F.col("adv") * F.col("cdv")),
+                F.first("an") * F.first("cn"),
+            ).alias("s_sem")
         )
     )
 
