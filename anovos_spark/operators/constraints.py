@@ -87,9 +87,15 @@ def validate_constraints(
     row = idf.agg(*aggs).collect()[0]
     n_rows = row["__rows__"]
 
-    # referential rules: one anti-join each, counted distinctly on the
-    # child side (a missing key is one violation however often it occurs
-    # — matches deequ's referential-integrity semantics)
+    # referential rules: counted distinctly on the child side (a missing
+    # key is one violation however often it occurs — matches deequ's
+    # referential-integrity semantics).  ONE action per rule: a left
+    # OUTER join + aggregate computes total distinct child keys AND the
+    # unmatched count together — the previous anti-join count + separate
+    # child.count() ran two actions and computed the child distinct
+    # twice.  Identical numbers: the ref side is distinct, so the left
+    # join preserves child multiplicity 1:1 and count(match-marker)
+    # equals the anti-join's complement.
     ref_viol: dict[int, tuple[int, int]] = {}
     for i, r in enumerate(rules):
         if r["type"] != "referential":
@@ -98,12 +104,20 @@ def validate_constraints(
         child = idf.select(F.col(r["col"]).alias("__k__")).where(
             F.col("__k__").isNotNull()
         ).distinct()
-        missing = child.join(
-            ref_df.select(F.col(r["ref_col"]).alias("__k__")).distinct(),
-            "__k__",
-            "left_anti",
-        ).count()
-        ref_viol[i] = (missing, child.count())
+        ref_keys = (
+            ref_df.select(F.col(r["ref_col"]).alias("__k__"))
+            .distinct()
+            .withColumn("__m__", F.lit(1))
+        )
+        rrow = (
+            child.join(ref_keys, "__k__", "left_outer")
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.count("__m__").alias("matched"),
+            )
+            .collect()[0]
+        )
+        ref_viol[i] = (rrow["total"] - rrow["matched"], rrow["total"])
 
     report = []
     for i, r in enumerate(rules):

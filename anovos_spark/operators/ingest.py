@@ -189,6 +189,7 @@ def data_sample(
     method_type: str = "random",
     stratified_type: str = "population",
     seed: int = 12,
+    strata_counts: dict | None = None,
 ) -> DataFrame:
     """Random or stratified sampling
     (reference: data_ingest/data_sampling.py:8-149; seed 12 per :20).
@@ -203,6 +204,12 @@ def data_sample(
     Both modes use sampleBy on a concatenated strata key — one bounded
     groupBy count (strata are dimension-sized by contract) plus one
     sampling scan, no per-stratum jobs.
+
+    ``strata_counts``: precomputed ``{strata key: row count}`` map keyed
+    exactly like the internal ``concat_ws(\\u0001, casts)`` key.  Callers
+    that already aggregated the strata (e.g. to derive validation bands)
+    pass it to skip this function's own groupBy-collect pass; same
+    counts => the identical sample.
     """
     if method_type == "random":
         return idf.sample(withReplacement=False, fraction=fraction, seed=seed)
@@ -214,7 +221,7 @@ def data_sample(
     keyed = idf.withColumn(
         "__strata__", F.concat_ws("\u0001", *[F.col(c).cast("string") for c in strata_cols])
     )
-    counts = {
+    counts = strata_counts if strata_counts is not None else {
         r["__strata__"]: r["n"]
         for r in keyed.groupBy("__strata__").agg(F.count(F.lit(1)).alias("n")).collect()
     }

@@ -506,7 +506,10 @@ def ivf_topk(
         array_to_vector(F.col(vec_col)).alias("__v__"),
     )
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__v__", predictionCol="cell")
-    model = km.fit(corp)
+    # fit on the vector column ALONE: KMeans caches and iterates over its
+    # input, so the id / raw-array / norm columns would ride every
+    # iteration for nothing.  Same vectors, same seed => identical model.
+    model = km.fit(corp.select("__v__"))
     corp_cells = model.transform(corp).select("neighbor_id", "cv", "cn", "cell")
 
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
@@ -579,7 +582,10 @@ def ivf_build_index(
         array_to_vector(F.col(vec_col)).alias("__v__"),
     )
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__v__", predictionCol="cell")
-    model = km.fit(corp)
+    # fit on the vector column ALONE: KMeans caches and iterates over its
+    # input, so the id / raw-array / norm columns would ride every
+    # iteration for nothing.  Same vectors, same seed => identical model.
+    model = km.fit(corp.select("__v__"))
     spark = corpus.sparkSession
     cent_rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())

@@ -217,15 +217,26 @@ def imputation_knn(
     k: int = 5,
     sample_size: int = 10_000,
     seed: int = 42,
+    fit_frac: float | None = None,
 ) -> DataFrame:
     """KNN imputation: fit = a bounded seeded sample of complete rows
     pulled to the driver and broadcast; score = Arrow-batched mapInPandas
     computing k-nearest (euclidean over observed dims, z-scaled) means
     (reference: transformers.py:1677-2019, sample 10k :1689; sklearn
-    KNNImputer replaced by the same math in numpy)."""
+    KNNImputer replaced by the same math in numpy).
+
+    ``fit_frac``: the seeded Bernoulli sampling fraction for the fit
+    sample.  Default None derives it as ``min(1, sample_size/count)``,
+    which costs one count() pass over the input; callers that already
+    know the row count (or know by construction that the frame is within
+    the fit budget, i.e. frac would be 1.0) pass it explicitly and skip
+    that pass.  Same seed + same frac => the identical sample either way."""
     cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
-    total = idf.count()
-    frac = min(1.0, sample_size / total) if total else 1.0
+    if fit_frac is not None:
+        frac = fit_frac
+    else:
+        total = idf.count()
+        frac = min(1.0, sample_size / total) if total else 1.0
     sample_pd = (
         idf.select(cols).dropna().sample(False, frac, seed).limit(sample_size).toPandas()
     )
@@ -322,6 +333,7 @@ def imputation_regression(
     sample_size: int = 10_000,
     ridge: float = 1e-6,
     seed: int = 42,
+    fit_frac: float | None = None,
 ) -> DataFrame:
     """Regression imputation: fill each missing cell with its conditional
     mean given the row's observed columns (reference: transformers.py:
@@ -336,10 +348,17 @@ def imputation_regression(
     Arrow-batched mapInPandas over ONLY the rows containing nulls, one
     small Σ_OO solve per distinct null-pattern per batch (patterns ≤ 2^cols
     but in practice a handful), everything else a matmul.  The clean-row
-    majority never crosses the Arrow boundary."""
+    majority never crosses the Arrow boundary.
+
+    ``fit_frac`` as in :func:`imputation_knn`: pass the known sampling
+    fraction (1.0 when the frame is within the fit budget by construction)
+    to skip the count() pass that would otherwise derive it."""
     cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="numerical")
-    total = idf.count()
-    frac = min(1.0, sample_size / total) if total else 1.0
+    if fit_frac is not None:
+        frac = fit_frac
+    else:
+        total = idf.count()
+        frac = min(1.0, sample_size / total) if total else 1.0
     sample_pd = (
         idf.select(cols).dropna().sample(False, frac, seed).limit(sample_size).toPandas()
     )
@@ -439,12 +458,16 @@ def auto_imputation(
         )
     corrupted.persist()
 
-    truth_means = {
-        c: r
-        for c, r in zip(
-            cols, clean.agg(*[F.avg(F.abs(F.col(c))).alias(c) for c in cols]).collect()[0]
-        )
-    }
+    stats_row = clean.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        *[F.avg(F.abs(F.col(c))).alias(c) for c in cols],
+    ).collect()[0]
+    truth_means = {c: stats_row[c] for c in cols}
+    # bake-off sample size, measured once here off the persisted frame —
+    # the knn/regression candidates take it as fit_frac instead of each
+    # re-counting the same ≤sample_size frame
+    n_bake = stats_row["__n__"]
+    bake_frac = min(1.0, 5000 / n_bake) if n_bake else 1.0
 
     def rmse_score(imputed: DataFrame) -> float:
         joined = clean.alias("t").join(imputed.alias("i"), "__rid__")
@@ -461,9 +484,11 @@ def auto_imputation(
     candidates = {
         "mmm_mean": lambda: imputation_MMM(corrupted, cols, method_type="mean")[0],
         "mmm_median": lambda: imputation_MMM(corrupted, cols, method_type="median")[0],
-        "knn": lambda: imputation_knn(corrupted, cols, sample_size=5000, seed=seed),
+        "knn": lambda: imputation_knn(
+            corrupted, cols, sample_size=5000, seed=seed, fit_frac=bake_frac
+        ),
         "regression": lambda: imputation_regression(
-            corrupted, cols, sample_size=5000, seed=seed
+            corrupted, cols, sample_size=5000, seed=seed, fit_frac=bake_frac
         ),
         "als": lambda: imputation_als(
             corrupted, "__rid__", cols, max_iter=10, seed=seed

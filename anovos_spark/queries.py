@@ -777,10 +777,23 @@ def q_ivf_topk(spark, sf_dir):
     qs = emb.where(F.col("vec_id") < 10)
     truth = brute_force_topk(emb, qs, k=5).select("query_id", "neighbor_id")
     approx = ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=4).select(
-        "query_id", "neighbor_id"
+        "query_id", "neighbor_id", F.lit(1).alias("__hit__")
     )
-    hits = truth.join(approx, ["query_id", "neighbor_id"]).count()
-    total = truth.count()
+    # ONE action computes both the truth-set size and the hit count (left
+    # join preserves every truth row; (query_id, neighbor_id) is unique on
+    # both sides, so count(__hit__) equals the old inner-join count) — the
+    # previous two-action shape (join.count() then truth.count()) re-ran
+    # the whole brute-force GEMM + rank window a second time for the
+    # denominator.  Same hits, same total, half the heavy work.
+    row = (
+        truth.join(approx, ["query_id", "neighbor_id"], "left_outer")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count("__hit__").alias("hits"),
+        )
+        .collect()[0]
+    )
+    total, hits = row["total"], row["hits"]
     return spark.createDataFrame(
         [(total, int(hits / max(total, 1) >= 0.5))],
         schema="total long, recall_ok int",
@@ -1363,15 +1376,24 @@ def q_knn_imputation(spark, sf_dir):
         "l_quantity",
         F.when(F.col("l_orderkey") % 13 == 0, F.lit(None)).otherwise(F.col("l_quantity")),
     )
-    imputed = imputation_knn(li, ["l_quantity", "l_extendedprice", "l_discount"], k=5)
-    # k-NN fills are means of k OBSERVED values → always inside the
-    # observed range, and (quantity ⟂ price/discount) within ~1% of the
-    # observed mean — both SQL-checkable as indicators
+    # ONE prefit agg supplies both the envelope bounds and the row count
+    # the operator needs for its sampling fraction — previously the
+    # operator ran its own count() pass (a second full scan) to derive it
     obs = li.agg(
         F.min("l_quantity").alias("mn"),
         F.max("l_quantity").alias("mx"),
         F.avg("l_quantity").alias("mu"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()[0]
+    imputed = imputation_knn(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        k=5,
+        fit_frac=min(1.0, 10_000 / obs["n"]) if obs["n"] else 1.0,
+    )
+    # k-NN fills are means of k OBSERVED values → always inside the
+    # observed range, and (quantity ⟂ price/discount) within ~1% of the
+    # observed mean — both SQL-checkable as indicators
     return imputed.agg(
         F.sum(F.col("l_quantity").isNull().cast("long")).alias("nulls_after"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -1411,7 +1433,10 @@ def q_knn_imputation_exact(spark, sf_dir):
             F.col("l_discount").alias("d"),
         )
     )
-    imputed = imputation_knn(li, ["q", "e", "d"], k=5)
+    # the ≤10k-row subset contract above means the seeded fit sample is
+    # the identity (frac would compute to 1.0) — assert it instead of
+    # paying a count() pass to derive it
+    imputed = imputation_knn(li, ["q", "e", "d"], k=5, fit_frac=1.0)
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
     # — group on the full observed tuple so both engines emit one row per
     # distinct imputation problem, with multiplicity
@@ -1475,8 +1500,12 @@ def q_regression_imputation(spark, sf_dir):
         "l_quantity",
         F.when(F.col("l_orderkey") % 13 == 0, F.lit(None)).otherwise(F.col("l_quantity")),
     )
+    # the base-key restriction above bounds the frame under sample_size at
+    # every sf (that identity IS this query's contract) — frac is 1.0 by
+    # construction, so don't pay a count() pass to compute it
     imputed = imputation_regression(
-        li, ["l_quantity", "l_extendedprice"], sample_size=1_000_000
+        li, ["l_quantity", "l_extendedprice"], sample_size=1_000_000,
+        fit_frac=1.0,
     )
     return imputed.agg(
         F.round(F.avg("l_quantity"), 6).alias("mean_q"),
@@ -1646,16 +1675,28 @@ def q_data_sample(spark, sf_dir):
     from anovos_spark.operators.ingest import data_sample
 
     li = table(spark, sf_dir, "lineitem")
-    total = li.count()
+    # ONE stratum aggregation supplies everything the old shape computed
+    # in four separate driver actions: the overall row count (sum), the
+    # per-stratum totals (both the validation bands below and the two
+    # stratified samplers' allocation maps, passed via strata_counts),
+    # and the smallest stratum.  Identical numbers everywhere => the
+    # identical samples and the identical indicator bands.
+    nt_rows = (
+        li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("nt")).collect()
+    )
+    nt_map = {r["l_returnflag"]: r["nt"] for r in nt_rows}
+    total = sum(nt_map.values())
     if total == 0:
         raise ValueError("empty input: sampling ratios undefined")
+    counts = {str(k): n for k, n in nt_map.items()}
 
     def _band(n):
         return 5.0 * (0.1 * 0.9 / float(n)) ** 0.5
 
     s = data_sample(li, fraction=0.1, seed=12)
     strat = data_sample(
-        li, strata_cols=["l_returnflag"], fraction=0.1, method_type="stratified", seed=12
+        li, strata_cols=["l_returnflag"], fraction=0.1, method_type="stratified",
+        seed=12, strata_counts=counts,
     )
     overall = spark.createDataFrame(
         [("overall:random",
@@ -1664,12 +1705,14 @@ def q_data_sample(spark, sf_dir):
           float(abs(strat.count() / total - 0.1) <= _band(total)))],
         schema="stratum string, ratio double",
     )
+    # stratum totals are already on the driver — inline them as a literal
+    # lookup instead of re-aggregating li and joining (same nt values)
+    nt_lit = F.create_map(
+        *[F.lit(x) for kv in nt_map.items() for x in kv]
+    )
     per_stratum = (
         strat.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
-        .join(
-            li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("nt")),
-            "l_returnflag",
-        )
+        .withColumn("nt", nt_lit[F.col("l_returnflag")])
         .select(
             F.concat(F.lit("stratum:"), F.col("l_returnflag")).alias("stratum"),
             (
@@ -1685,11 +1728,9 @@ def q_data_sample(spark, sf_dir):
     bal = data_sample(
         li, strata_cols=["l_returnflag"], fraction=0.1,
         method_type="stratified", stratified_type="balanced", seed=12,
+        strata_counts=counts,
     )
-    smallest = (
-        li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("nt"))
-        .agg(F.min("nt")).collect()[0][0]
-    )
+    smallest = min(nt_map.values())
     band = 5.0 * (0.1 / float(smallest)) ** 0.5
     per_balanced = (
         bal.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
