@@ -77,17 +77,26 @@ def drift_statistics(
         long_df = melt(binned.select(all_cols), [], all_cols, "attribute", "bin")
         return long_df.withColumn("bin", F.coalesce(F.col("bin"), F.lit("-1")))
 
-    n_source = idf_source.count()
-    n_target = idf_target.count()
+    # total row count per side = Σ bin counts within ANY attribute (the
+    # melt emits exactly one row per (row, attribute) and nulls keep the
+    # "-1" bin), so the p/q denominators come from a window sum over the
+    # already-aggregated (attribute × bin)-sized frame — no idf.count()
+    # actions, two fewer full scans.  Same math: long/long division is
+    # double on both shapes.
+    w_attr = Window.partitionBy("attribute")
     p = (
         prep(idf_source)
         .groupBy("attribute", "bin")
-        .agg((F.count(F.lit(1)) / F.lit(n_source)).alias("p"))
+        .agg(F.count(F.lit(1)).alias("__pc__"))
+        .withColumn("p", F.col("__pc__") / F.sum("__pc__").over(w_attr))
+        .drop("__pc__")
     )
     q = (
         prep(idf_target)
         .groupBy("attribute", "bin")
-        .agg((F.count(F.lit(1)) / F.lit(n_target)).alias("q"))
+        .agg(F.count(F.lit(1)).alias("__qc__"))
+        .withColumn("q", F.col("__qc__") / F.sum("__qc__").over(w_attr))
+        .drop("__qc__")
     )
     xy = (
         p.join(q, ["attribute", "bin"], "full_outer")

@@ -346,12 +346,18 @@ def feature_recommender_match_distributional(
     ).select("attribute", "feature_name", "industry", "usecase",
              F.col("score").alias("s_tfidf"))
 
+    # tok_stats feeds four consumers (t-side counts, c-side counts, the
+    # identity spike, idf for the normalized rows); localCheckpoint once
+    # so the corpus groupBy computes ONCE and every broadcast build reads
+    # the materialized rows instead of re-running the aggregation (0.13:
+    # three identical agg chains collapsed to one — fixed-cost trim,
+    # values untouched)
     tok_stats = ctok.groupBy("token").agg(
         F.count(F.lit(1)).cast("double").alias("n_t"),
         F.log(
             F.lit(1.0) + F.lit(float(n_features)) / F.count_distinct("feature_name")
         ).alias("idf"),
-    )
+    ).localCheckpoint(eager=True)
     # co-occurrence counts: tokens sharing a corpus document, t ≠ c
     co = (
         ctok.alias("x")
@@ -360,9 +366,14 @@ def feature_recommender_match_distributional(
         .groupBy(F.col("x.token").alias("t"), F.col("y.token").alias("c"))
         .agg(F.count(F.lit(1)).cast("double").alias("n_tc"))
     )
+    # idf rides the t-side join (no third tok_stats join), and the row
+    # norm ‖ppmi(t,·)‖ rides as a window sum over the t partition instead
+    # of a groupBy + broadcast + rejoin (0.13) — same values, three fewer
+    # fixed-cost stages
     ppmi = (
         co.join(
-            F.broadcast(tok_stats.select(F.col("token").alias("t"), "n_t")), "t"
+            F.broadcast(tok_stats.select(F.col("token").alias("t"), "n_t", "idf")),
+            "t",
         )
         .join(
             F.broadcast(
@@ -371,7 +382,7 @@ def feature_recommender_match_distributional(
             "c",
         )
         .select(
-            "t", "c",
+            "t", "c", "idf",
             F.greatest(
                 F.log(F.col("n_tc") * F.lit(float(total)) / (F.col("n_t") * F.col("n_c"))),
                 F.lit(0.0),
@@ -379,25 +390,38 @@ def feature_recommender_match_distributional(
         )
         .where(F.col("pp") > 0)
     )
-    pn = ppmi.groupBy("t").agg(F.sqrt(F.sum(F.col("pp") * F.col("pp"))).alias("pn"))
-    # token vector rows in context space: identity spike + normalized row
+    # token vector rows in context space: identity spike + normalized row.
+    # localCheckpointed: BOTH doc-vector sides broadcast tok_vec, and each
+    # broadcast build would otherwise re-run the whole co-occurrence chain
+    # (self-join + groupBy + window) from scratch (0.13) — the corpus-side
+    # frame is vocabulary-sized, so the materialization is trivial
     tok_vec = (
         tok_stats.select(F.col("token").alias("t"), F.col("token").alias("c"),
                          F.col("idf").alias("v"))
         .unionByName(
-            ppmi.join(F.broadcast(pn), "t")
-            .join(
-                F.broadcast(tok_stats.select(F.col("token").alias("t"), "idf")), "t"
+            ppmi.withColumn(
+                "pn",
+                F.sqrt(
+                    F.sum(F.col("pp") * F.col("pp")).over(Window.partitionBy("t"))
+                ),
             )
             .select("t", "c", (F.col("idf") * F.col("pp") / F.col("pn")).alias("v"))
         )
+        .localCheckpoint(eager=True)
     )
 
     # ---- document vectors ----
-    def doc_vec(tok_weighted, key):
+    # One exchange per side (0.13): hash-partition by the DOC key up
+    # front — hash(key) satisfies the groupBy(key, c) clustering AND the
+    # norm window's partitionBy(key), so neither adds an exchange, where
+    # the old shape shuffled on (key, c) for the aggregate and again on
+    # key for the window.  Scale-safe: the shuffle key is the doc key
+    # (attribute — data-sized, well spread), never the pair.
+    def doc_vec(tok_weighted, key, pre_partitioned: bool = False):
+        base = tok_weighted if pre_partitioned else tok_weighted.repartition(key)
         return (
-            tok_weighted.join(
-                F.broadcast(tok_vec), tok_weighted["token"] == tok_vec["t"]
+            base.join(
+                F.broadcast(tok_vec), base["token"] == tok_vec["t"]
             )
             .groupBy(key, "c")
             .agg(F.sum(F.col("wt") * F.col("v")).alias("dv"))
@@ -426,21 +450,38 @@ def feature_recommender_match_distributional(
         attr_df.select(F.col(attr_col).alias("attribute")),
         F.col("attribute"), ["attribute"],
     ).withColumn("wt", F.lit(1.0))
-    lex_rows = [(k, e) for k, exps in lex.items() for e in exps]
-    lex_df = spark.createDataFrame(lex_rows, "token string, expansion string")
+    # lexicon as a LITERAL map literal (≈150 keys): explode of the lookup
+    # is row-identical to the old inner join against a broadcast lexicon
+    # frame (absent key → null → explode drops the row) but costs zero
+    # broadcast-materialization jobs (0.13)
+    lex_map = F.create_map(
+        *[
+            x
+            for k, exps in sorted(lex.items())
+            for x in (F.lit(k), F.array(*[F.lit(e) for e in exps]))
+        ]
+    )
     a_exp = (
         a_self.select("attribute", "token")
-        .join(F.broadcast(lex_df), "token")
-        .select("attribute", F.col("expansion").alias("token"),
-                F.lit(float(expansion_weight)).alias("wt"))
+        .select(
+            "attribute", F.explode(lex_map[F.col("token")]).alias("token"),
+            F.lit(float(expansion_weight)).alias("wt"),
+        )
     )
+    # pre-partition the union ONCE by attribute: the MAX-merge groupBy,
+    # the doc-vector groupBy and the norm window all cluster by attribute
+    # (or supersets of it), so the whole attribute side runs on this one
+    # exchange (0.13: was three)
     a_tok = (
         a_self.select("attribute", "token", "wt")
         .unionByName(a_exp)
+        .repartition("attribute")
         .groupBy("attribute", "token")
         .agg(F.max("wt").alias("wt"))
     )
-    avec = with_norm(doc_vec(a_tok, "attribute"), "attribute", "an")
+    avec = with_norm(
+        doc_vec(a_tok, "attribute", pre_partitioned=True), "attribute", "an"
+    )
 
     sem = (
         avec.select("attribute", "c", F.col("dv").alias("adv"), "an")
@@ -461,22 +502,35 @@ def feature_recommender_match_distributional(
 
     meta = corpus_df.select("feature_name", "industry", "usecase")
     a = float(alpha)
-    blended = (
-        tfidf.join(sem, ["attribute", "feature_name"], "full_outer")
-        .join(F.broadcast(meta).withColumnRenamed("industry", "m_ind")
-              .withColumnRenamed("usecase", "m_use"), "feature_name")
-        .select(
-            "attribute",
-            "feature_name",
-            F.coalesce("industry", "m_ind").alias("industry"),
-            F.coalesce("usecase", "m_use").alias("usecase"),
-            F.round(
-                F.lit(a) * F.coalesce("s_tfidf", F.lit(0.0))
-                + F.lit(1.0 - a) * F.coalesce("s_sem", F.lit(0.0)),
-                6,
-            ).alias("score"),
+    # Blend as UNION + one groupBy instead of a full-outer join (0.13):
+    # (attribute, feature_name) is unique within each branch, so summing
+    # the pre-weighted parts equals α·coalesce(s_tfidf,0)+(1−α)·
+    # coalesce(s_sem,0) bit-for-bit (two-term IEEE addition is
+    # commutative; both parts are strictly positive so no −0.0 edge), and
+    # the industry/usecase the old shape coalesced from the tfidf side
+    # equal the meta join's values by construction (both come from
+    # corpus_df keyed on feature_name).  One exchange (the attribute
+    # repartition) serves the merge groupBy, the meta broadcast join and
+    # the rank window, where the full-outer shape paid three.
+    parts = (
+        tfidf.select(
+            "attribute", "feature_name",
+            (F.lit(a) * F.col("s_tfidf")).alias("part"),
         )
+        .unionByName(
+            sem.select(
+                "attribute", "feature_name",
+                (F.lit(1.0 - a) * F.col("s_sem")).alias("part"),
+            )
+        )
+        .repartition("attribute")
+    )
+    blended = (
+        parts.groupBy("attribute", "feature_name")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+        .join(F.broadcast(meta), "feature_name")
         .where(F.col("attribute").isNotNull() & (F.col("score") >= min_score))
+        .select("attribute", "feature_name", "industry", "usecase", "score")
     )
     w = Window.partitionBy("attribute").orderBy(
         F.col("score").desc(), F.col("feature_name").asc()

@@ -150,11 +150,31 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+# Parquet SCHEMA memo (metadata only, keyed by file path).  Every
+# `spark.read.parquet` without an explicit schema runs a one-task footer
+# job (~0.1-0.15 s measured) — per-query fixed cost a metastore-backed
+# deployment never pays, because table schemas live in the catalog.  The
+# memo holds ONLY the inferred StructType (never rows, counts, or any
+# query result): every bench/oracle invocation still computes everything
+# from the parquet inputs.
+_SCHEMA_MEMO: dict[str, object] = {}
+
+
+def _parquet(spark: SparkSession, path: str) -> DataFrame:
+    sch = _SCHEMA_MEMO.get(path)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[path] = sch
+    return spark.read.schema(sch).parquet(path)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
+        # the legacy-nanos conf must be set before BOTH schema inference
+        # and every scan of the nanos timestamp column
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return _normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _normalize_event_ts(_parquet(spark, f"{sf_dir}/events.parquet"))
+    return _parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def q_global_summary(spark, sf_dir):
@@ -1880,7 +1900,7 @@ def q_streaming_window(spark, sf_dir):
     from anovos_spark.streaming.ops import read_stream, windowed_aggregation
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _parquet(spark, f"{sf_dir}/events.parquet").schema
     # file streams take a DIRECTORY; glob-filter to the events table
     ev_path, ev_opts = _stream_table_source(sf_dir, "events")
     sdf = read_stream(
@@ -1929,8 +1949,8 @@ def q_streaming_drift(spark, sf_dir):
     from anovos_spark.streaming.ops import read_stream, streaming_drift_monitor
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw_schema = _parquet(spark, f"{sf_dir}/events.parquet").schema
+    batch = _parquet(spark, f"{sf_dir}/events.parquet")
     raw_cuts = batch.agg(
         F.expr("percentile(value, array(0.2, 0.4, 0.6, 0.8))")
     ).collect()[0][0]
@@ -1993,7 +2013,7 @@ def q_streaming_join(spark, sf_dir):
     from anovos_spark.streaming.ops import read_stream, stream_stream_join
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _parquet(spark, f"{sf_dir}/events.parquet").schema
 
     def _side(event_type, id_alias, ts_alias):
         ev_path, ev_opts = _stream_table_source(sf_dir, "events")
@@ -2031,7 +2051,7 @@ def q_streaming_join(spark, sf_dir):
     # thrashed at sf10's 10M events (45x at 10x data in the r10 scale
     # probe).  Join results are partition-count invariant; only the
     # store sizing changes.  Parquet metadata count — no scan.
-    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_events = _parquet(spark, f"{sf_dir}/events.parquet").count()
     n_stores = max(8, min(32, n_events // 250_000))
     # parquet sink, not the memory sink: the join emits O(input) rows
     # (7M at sf10) and the memory sink materializes ALL of them in the
@@ -2063,7 +2083,7 @@ def q_streaming_sessions(spark, sf_dir):
     from anovos_spark.streaming.ops import read_stream, sessionize
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _parquet(spark, f"{sf_dir}/events.parquet").schema
     ev_path, ev_opts = _stream_table_source(sf_dir, "events")
     sdf = read_stream(
         spark, "parquet", ev_path, schema=raw_schema, options=ev_opts,
