@@ -18,6 +18,10 @@ descriptions; callers pass their own curated corpus_df for real use.
 
 from __future__ import annotations
 
+import math
+import re
+from collections import Counter
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -65,6 +69,35 @@ def _tokenized(df: DataFrame, col: Column, keep: list[str]) -> DataFrame:
     )
 
 
+def _py_norm_words(*texts) -> list[str]:
+    """EXACT Python mirror of the SQL word tokenizer (lower →
+    regexp_replace ``[^a-z0-9]+``→' ' → trim → split → drop empties →
+    per-row distinct, first-occurrence order).  Fidelity note: identical
+    for ASCII text (the corpus contract and every bundled corpus); exotic
+    unicode case mappings could differ between JVM and Python in the last
+    locale corner — both still strip to [a-z0-9] afterwards."""
+    s = " ".join(t for t in texts if t is not None)
+    toks = [w for w in re.sub(r"[^a-z0-9]+", " ", s.lower()).strip().split(" ") if w]
+    return list(dict.fromkeys(toks))
+
+
+def _py_tokens(*texts) -> list[str]:
+    """Python mirror of :func:`_tokenized`: word tokens + character
+    trigrams of the space-stripped word sequence, distinct overall."""
+    words = [
+        w
+        for w in re.sub(
+            r"[^a-z0-9]+", " ", " ".join(t for t in texts if t is not None).lower()
+        )
+        .strip()
+        .split(" ")
+        if w
+    ]
+    sq = "".join(words)
+    grams = [sq[i : i + 3] for i in range(len(sq) - 2)] if len(sq) >= 3 else []
+    return list(dict.fromkeys(words + grams))
+
+
 def feature_recommender_match(
     attr_df: DataFrame,
     corpus_df: DataFrame | None = None,
@@ -76,41 +109,58 @@ def feature_recommender_match(
     """[attribute, feature_name, industry, usecase, score, rank] — top-k
     corpus features per attribute by TF-IDF cosine.  ``_n_features``
     lets a caller that already counted the corpus (the distributional
-    blend) skip the extra count job."""
+    blend) skip the extra count job.
+
+    Corpus-side statistics (idf, per-feature token weights and norms) are
+    computed DRIVER-SIDE from one bounded collect (0.13): the corpus is
+    ≤10k rows by the embedded path's contract — driver-scale BY DESIGN,
+    exactly where the reference computes its corpus model
+    (featrec_init.py) — while the ATTRIBUTE side (data-sized) stays fully
+    distributed.  The previous all-Spark corpus chain cost ~8 sequential
+    tiny stages of pure fixed cost at any SF; the numbers are the same
+    integer df counts and scalar ln/√ arithmetic, so scores are unchanged."""
     spark = attr_df.sparkSession
     if corpus_df is None:
         corpus_df = spark.createDataFrame(
             DEFAULT_CORPUS,
             schema="feature_name string, industry string, usecase string, description string",
         )
-    n_features = _n_features if _n_features is not None else corpus_df.count()
+    crows = corpus_df.select(
+        "feature_name", "industry", "usecase", "description"
+    ).collect()
+    n_features = _n_features if _n_features is not None else len(crows)
 
-    corpus_tok = _tokenized(
-        corpus_df,
-        F.concat_ws(" ", "feature_name", "description"),
-        ["feature_name", "industry", "usecase"],
+    # per corpus ROW: distinct word+trigram tokens (mirrors _tokenized)
+    row_toks = [
+        (r["feature_name"], r["industry"], r["usecase"],
+         _py_tokens(r["feature_name"], r["description"]))
+        for r in crows
+    ]
+    # idf: ln(1 + N/df), df = distinct feature_names containing the token
+    fname_tok = {(fname, t) for fname, _, _, toks in row_toks for t in toks}
+    df_count: Counter = Counter(t for _, t in fname_tok)
+    idf_map = {
+        t: math.log(1.0 + float(n_features) / df_count[t]) for t in df_count
+    }
+    # per-feature norm: √Σ w² over ALL token rows sharing the
+    # feature_name (duplicate-keyed rows merge in the norm, exactly as
+    # the window partitioned by feature_name did)
+    cn2: Counter = Counter()
+    for fname, _, _, toks in row_toks:
+        for t in toks:
+            cn2[fname] += idf_map[t] * idf_map[t]
+    corpus_weighted_rows = [
+        (t, fname, ind, use, idf_map[t], math.sqrt(cn2[fname]))
+        for fname, ind, use, toks in row_toks
+        for t in toks
+    ]
+    idf = spark.createDataFrame(
+        sorted(idf_map.items()), schema="token string, idf double"
     )
-    # idf from the corpus: ln(1 + N/df) — tiny frame, stays broadcastable
-    idf = corpus_tok.groupBy("token").agg(
-        F.log(F.lit(1.0) + F.lit(float(n_features)) / F.count_distinct("feature_name")).alias("idf")
-    )
-    # Norms ride along as window sums instead of a groupBy + rejoin
-    # (0.13): the attribute-side norm frame is DATA-SIZED (one row per
-    # attribute — millions at scale), so broadcasting it was a scale bug;
-    # a window over the attribute key shuffles once on a key the scoring
-    # groupBy needs anyway, and the corpus side follows the same shape.
-    # Also two fewer broadcast-materialization jobs on the fixed-cost path.
-    corpus_weighted = (
-        corpus_tok.join(F.broadcast(idf), "token")
-        .withColumn("w", F.col("idf"))
-        .withColumn(
-            "cn",
-            F.sqrt(
-                F.sum(F.col("w") * F.col("w")).over(
-                    Window.partitionBy("feature_name")
-                )
-            ),
-        )
+    corpus_weighted = spark.createDataFrame(
+        corpus_weighted_rows,
+        schema="token string, feature_name string, industry string, "
+               "usecase string, w double, cn double",
     )
 
     attrs = _tokenized(
@@ -118,6 +168,11 @@ def feature_recommender_match(
         F.col("attribute"),
         ["attribute"],
     )
+    # Norms ride along as window sums instead of a groupBy + rejoin
+    # (0.13): the attribute-side norm frame is DATA-SIZED (one row per
+    # attribute — millions at scale), so broadcasting it was a scale bug;
+    # a window over the attribute key shuffles once on a key the scoring
+    # groupBy needs anyway.
     attr_weighted = (
         attrs.join(F.broadcast(idf), "token")
         .withColumn("w2", F.col("idf"))
@@ -303,41 +358,29 @@ def feature_recommender_match_distributional(
             ).alias("token"),
         )
 
-    # The corpus side is ≤10k docs by the same contract as the embedded
-    # path, so the whole PPMI pipeline is fixed-cost — the cost that
-    # matters is STAGE LATENCY, not data volume (r11 verdict item #6:
-    # 7.5 s of ~15 sequential tiny shuffles at any SF).  Three trims,
-    # all value-identical:
-    #   1. ctok is localCheckpointed once and reused by idf / co / cvec
-    #      instead of being re-tokenized per consumer;
-    #   2. ONE driver action replaces three (corpus count, Σco collect,
-    #      the TF-IDF path's internal count): n_features = #docs and
-    #      total = Σ_d m_d·(m_d−1) = sum(n_tc) — the co-occurrence
-    #      self-join emits every ordered distinct-token pair of a doc.
-    #      The identity holds for UNIQUE-KEYED corpora (the documented
-    #      contract): with duplicate feature_name rows sharing tokens,
-    #      the merged doc's pair count exceeds the per-row sum and the
-    #      two quantities diverge (ADVICE r12: 32 vs 36);
-    #   3. idf and n_t fold into one groupBy, the identity-spike ∪ PPMI
-    #      union drops its no-op re-aggregation (spike rows have t=c,
-    #      PPMI rows t≠c — no key ever collides), and the tiny corpus
-    #      frames broadcast into every join they feed.
-    ctok = words(
-        corpus_df,
-        F.concat_ws(" ", "feature_name", "description"),
-        ["feature_name"],
-    ).localCheckpoint(eager=True)
-    stats = (
-        ctok.groupBy("feature_name")
-        .agg(F.count(F.lit(1)).cast("double").alias("m"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("m") * (F.col("m") - 1)).alias("total"),
-        )
-        .collect()[0]
-    )
-    n_features = int(stats["n_docs"] or 0)
-    total = float(stats["total"] or 0.0) or 1.0
+    # ---- corpus-side PPMI model, DRIVER-SIDE (0.13) --------------------
+    # The corpus is ≤10k docs by the same contract as the embedded path —
+    # driver-scale BY DESIGN, exactly where the reference computes its
+    # corpus model (featrec_init.py) — while the ATTRIBUTE side
+    # (data-sized) stays fully distributed below.  The previous all-Spark
+    # corpus chain (tokenize → stats → token stats → co-occurrence
+    # self-join → PPMI → norms → corpus doc vectors) was ~20 sequential
+    # tiny stages of pure fixed cost at any SF (r11 verdict #6, r12 #5).
+    # This computes the SAME integer token/doc/pair counts and the same
+    # scalar ln/√ arithmetic from ONE bounded collect; all consumers see
+    # the same values.  Duplicate-keyed corpora merge exactly as the old
+    # groupBy(feature_name) chains merged them: token rows concatenate
+    # into a per-feature multiset (the documented contract remains
+    # unique-keyed — ADVICE r12).
+    crows = corpus_df.select("feature_name", "description").collect()
+    doc_toks: dict = {}
+    for r in crows:
+        toks = _py_norm_words(r["feature_name"], r["description"])
+        if toks:
+            doc_toks.setdefault(r["feature_name"], Counter()).update(toks)
+    n_features = len(doc_toks)
+    total = float(sum(m * (m - 1) for m in
+                      (sum(c.values()) for c in doc_toks.values()))) or 1.0
 
     # ---- first-order TF-IDF cosine (words + trigrams), as-is ----
     tfidf = feature_recommender_match(
@@ -346,77 +389,64 @@ def feature_recommender_match_distributional(
     ).select("attribute", "feature_name", "industry", "usecase",
              F.col("score").alias("s_tfidf"))
 
-    # tok_stats feeds four consumers (t-side counts, c-side counts, the
-    # identity spike, idf for the normalized rows); localCheckpoint once
-    # so the corpus groupBy computes ONCE and every broadcast build reads
-    # the materialized rows instead of re-running the aggregation (0.13:
-    # three identical agg chains collapsed to one — fixed-cost trim,
-    # values untouched)
-    tok_stats = ctok.groupBy("token").agg(
-        F.count(F.lit(1)).cast("double").alias("n_t"),
-        F.log(
-            F.lit(1.0) + F.lit(float(n_features)) / F.count_distinct("feature_name")
-        ).alias("idf"),
-    ).localCheckpoint(eager=True)
-    # co-occurrence counts: tokens sharing a corpus document, t ≠ c
-    co = (
-        ctok.alias("x")
-        .join(F.broadcast(ctok.alias("y")), "feature_name")
-        .where(F.col("x.token") != F.col("y.token"))
-        .groupBy(F.col("x.token").alias("t"), F.col("y.token").alias("c"))
-        .agg(F.count(F.lit(1)).cast("double").alias("n_tc"))
+    # token stats: n_t = token-row multiplicity, df = distinct docs
+    n_t: Counter = Counter()
+    df_cnt: Counter = Counter()
+    for cdict in doc_toks.values():
+        n_t.update(cdict)
+        df_cnt.update(cdict.keys())
+    idf_map = {t: math.log(1.0 + float(n_features) / df_cnt[t]) for t in n_t}
+    # co-occurrence (t ≠ c, multiplicity n_tc = Σ_d m_d(t)·m_d(c)) → PPMI
+    # → per-t row norm — vectorized in pandas so the 10k-doc contract
+    # ceiling stays cheap
+    import pandas as pd
+
+    tok_pdf = pd.DataFrame(
+        [(f, t, m) for f, c in doc_toks.items() for t, m in c.items()],
+        columns=["f", "t", "m"],
     )
-    # idf rides the t-side join (no third tok_stats join), and the row
-    # norm ‖ppmi(t,·)‖ rides as a window sum over the t partition instead
-    # of a groupBy + broadcast + rejoin (0.13) — same values, three fewer
-    # fixed-cost stages
-    ppmi = (
-        co.join(
-            F.broadcast(tok_stats.select(F.col("token").alias("t"), "n_t", "idf")),
-            "t",
-        )
-        .join(
-            F.broadcast(
-                tok_stats.select(F.col("token").alias("c"), F.col("n_t").alias("n_c"))
-            ),
-            "c",
-        )
-        .select(
-            "t", "c", "idf",
-            F.greatest(
-                F.log(F.col("n_tc") * F.lit(float(total)) / (F.col("n_t") * F.col("n_c"))),
-                F.lit(0.0),
-            ).alias("pp"),
-        )
-        .where(F.col("pp") > 0)
+    pp: dict = {}
+    pn2: Counter = Counter()
+    if len(tok_pdf):
+        pairs = tok_pdf.merge(tok_pdf, on="f", suffixes=("", "_c"))
+        pairs = pairs[pairs["t"] != pairs["t_c"]]
+        pairs["n"] = pairs["m"] * pairs["m_c"]
+        for (t, c2), n_tc in pairs.groupby(["t", "t_c"])["n"].sum().items():
+            v = math.log(float(n_tc) * total / (n_t[t] * n_t[c2]))
+            if v > 0:
+                pp[(t, c2)] = v
+                pn2[t] += v * v
+    # token vector rows: identity spike + normalized PPMI row
+    tok_vec_rows = [(t, t, idf_map[t]) for t in sorted(n_t)]
+    tok_vec_rows += [
+        (t, c2, idf_map[t] * v / math.sqrt(pn2[t])) for (t, c2), v in pp.items()
+    ]
+    tok_vec = spark.createDataFrame(
+        tok_vec_rows, schema="t string, c string, v double"
     )
-    # token vector rows in context space: identity spike + normalized row.
-    # localCheckpointed: BOTH doc-vector sides broadcast tok_vec, and each
-    # broadcast build would otherwise re-run the whole co-occurrence chain
-    # (self-join + groupBy + window) from scratch (0.13) — the corpus-side
-    # frame is vocabulary-sized, so the materialization is trivial
-    tok_vec = (
-        tok_stats.select(F.col("token").alias("t"), F.col("token").alias("c"),
-                         F.col("idf").alias("v"))
-        .unionByName(
-            ppmi.withColumn(
-                "pn",
-                F.sqrt(
-                    F.sum(F.col("pp") * F.col("pp")).over(Window.partitionBy("t"))
-                ),
-            )
-            .select("t", "c", (F.col("idf") * F.col("pp") / F.col("pn")).alias("v"))
-        )
-        .localCheckpoint(eager=True)
+    # corpus document vectors + norms (wt = 1 per token row, multiplicity
+    # from duplicate-keyed rows preserved)
+    vmap: dict = {}
+    for t, c2, v in tok_vec_rows:
+        vmap.setdefault(t, []).append((c2, v))
+    cvec_rows = []
+    for fname, cdict in doc_toks.items():
+        dv: dict = {}
+        for t, mt in cdict.items():
+            for c2, v in vmap.get(t, ()):
+                dv[c2] = dv.get(c2, 0.0) + mt * v
+        cn = math.sqrt(sum(x * x for x in dv.values()))
+        cvec_rows += [(fname, c2, x, cn) for c2, x in dv.items()]
+    cvec = spark.createDataFrame(
+        cvec_rows, schema="feature_name string, c string, dv double, cn double"
     )
 
-    # ---- document vectors ----
-    # One exchange per side (0.13): hash-partition by the DOC key up
-    # front — hash(key) satisfies the groupBy(key, c) clustering AND the
-    # norm window's partitionBy(key), so neither adds an exchange, where
-    # the old shape shuffled on (key, c) for the aggregate and again on
-    # key for the window.  Scale-safe: the shuffle key is the doc key
-    # (attribute — data-sized, well spread), never the pair.
+    # ---- ATTRIBUTE document vectors: fully distributed ------------------
+    # One exchange for the whole side (0.13): hash-partition by attribute
+    # up front — hash(attribute) satisfies the MAX-merge groupBy, the
+    # doc-vector groupBy(attribute, c) AND the norm window, so none adds
+    # an exchange.  Scale-safe: the shuffle key is the attribute
+    # (data-sized, well spread), never the token pair.
     def doc_vec(tok_weighted, key, pre_partitioned: bool = False):
         base = tok_weighted if pre_partitioned else tok_weighted.repartition(key)
         return (
@@ -429,19 +459,12 @@ def feature_recommender_match_distributional(
 
     # document norms ride the vector frames as window sums (0.13) — the
     # attribute-side norm frame is data-sized (one row per attribute), so
-    # the previous broadcast-join of `an` was a scale bug, and each folded
-    # norm also drops one aggregation + one broadcast job from the
-    # fixed-cost chain (r12 verdict #5)
+    # a broadcast-join of it would be a scale bug
     def with_norm(vec, key, out):
         return vec.withColumn(
             out,
             F.sqrt(F.sum(F.col("dv") * F.col("dv")).over(Window.partitionBy(key))),
         )
-
-    cvec = with_norm(
-        doc_vec(ctok.withColumn("wt", F.lit(1.0)), "feature_name"),
-        "feature_name", "cn",
-    )
 
     # attribute tokens: self (weight 1) ∪ lexicon expansions (damped);
     # MAX-merge so a token arriving as both self and expansion keeps
