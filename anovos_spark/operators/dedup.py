@@ -637,16 +637,28 @@ def near_dup_components(
         .withColumn("component", F.col("id"))
     )
     changed = 1
+    id_type = edges.schema["src"].dataType
     for round_no in range(max_iter):
         # neighbor labels: for each edge (src,dst), dst's current label
         neighbor = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .select(F.col("src").alias("id"), "component")
         )
+        # The PRE-round label rides the union as __o__ (labels has exactly
+        # one row per id, so max(__o__) recovers it through the min-agg) —
+        # convergence is then a FILTER over the checkpointed frame instead
+        # of the old per-round new⋈old join + count (one shuffle join per
+        # round removed; the filter scans local checkpoint blocks).
         hop = (
-            labels.unionByName(neighbor)
+            labels.withColumn("__o__", F.col("component"))
+            .unionByName(
+                neighbor.withColumn("__o__", F.lit(None).cast(id_type))
+            )
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("__o__").alias("__o__"),
+            )
             # checkpoint BEFORE the self-join: truncating the union's
             # lineage here both bounds plan growth and sidesteps a
             # Catalyst constraint-rewrite defect on self-joined unions
@@ -657,10 +669,16 @@ def near_dup_components(
             # checkpoint — one-hop alone closes diameter-(round+1)
             # graphs, which covers typical near-dup clusters
             new_labels = hop
+            change_pred = F.col("component") != F.col("__o__")
         else:
             # pointer doubling: label ← label(label).  Every component
             # value is itself a node id present in `hop`, so the join
-            # is total.
+            # is total.  The pre-double label rides as __h__ so the
+            # convergence test ((double changed) OR (hop changed)) stays
+            # a checkpoint-local filter.  Equivalent to the old
+            # new⋈labels comparison: min-propagation is pointwise
+            # non-increasing, so new == labels iff hop == labels and
+            # double(hop) == hop.
             new_labels = (
                 hop.alias("a")
                 .join(
@@ -670,28 +688,30 @@ def near_dup_components(
                     ),
                     "component",
                 )
-                .select("id", F.col("__c2__").alias("component"))
+                .select(
+                    "id",
+                    F.col("__c2__").alias("component"),
+                    F.col("a.component").alias("__h__"),
+                    "__o__",
+                )
                 .localCheckpoint(eager=True)
+            )
+            change_pred = (F.col("component") != F.col("__h__")) | (
+                F.col("__h__") != F.col("__o__")
             )
         if round_no == 0 and max_iter > 1:
             # a nonempty edge set always changes some label in round 0
             # (for any edge (a,b) with a<b, node b drops to ≤a), so the
-            # convergence-count join would be a guaranteed "changed" —
-            # EXCEPT when the distinct'd edge set is all self-loops
-            # (src == dst), where round 0 is already the fixpoint.  When
-            # round 0 is also the LAST permitted round (max_iter == 1)
-            # the real count must run, or an already-converged labeling
-            # would be reported as non-convergence.
+            # convergence count would be a guaranteed "changed" — EXCEPT
+            # when the distinct'd edge set is all self-loops (src == dst),
+            # where round 0 is already the fixpoint.  When round 0 is
+            # also the LAST permitted round (max_iter == 1) the real
+            # count must run, or an already-converged labeling would be
+            # reported as non-convergence.
             changed = 1
         else:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
-        labels = new_labels
+            changed = new_labels.where(change_pred).limit(1).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     if changed != 0:
