@@ -636,9 +636,16 @@ def near_dup_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    from pyspark.sql import Observation
+
     changed = 1
     id_type = edges.schema["src"].dataType
     for round_no in range(max_iter):
+        # round 0 with budget to spare never needs a convergence answer
+        # (a nonempty non-self-loop edge set always changes a label) —
+        # see the skip below; don't attach a metric at all in that case.
+        need_obs = not (round_no == 0 and max_iter > 1)
+        obs = Observation(f"__ndc_changed_{round_no}__") if need_obs else None
         # neighbor labels: for each edge (src,dst), dst's current label
         neighbor = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -646,9 +653,9 @@ def near_dup_components(
         )
         # The PRE-round label rides the union as __o__ (labels has exactly
         # one row per id, so max(__o__) recovers it through the min-agg) —
-        # convergence is then a FILTER over the checkpointed frame instead
-        # of the old per-round new⋈old join + count (one shuffle join per
-        # round removed; the filter scans local checkpoint blocks).
+        # the convergence count then rides the checkpoint materialization
+        # itself as an observed metric (zero extra jobs), where the old
+        # shape paid a per-round new⋈old shuffle join + count job.
         hop = (
             labels.withColumn("__o__", F.col("component"))
             .unionByName(
@@ -659,26 +666,37 @@ def near_dup_components(
                 F.min("component").alias("component"),
                 F.max("__o__").alias("__o__"),
             )
-            # checkpoint BEFORE the self-join: truncating the union's
-            # lineage here both bounds plan growth and sidesteps a
-            # Catalyst constraint-rewrite defect on self-joined unions
-            .localCheckpoint(eager=True)
         )
         if round_no < plain_rounds:
             # shallow-graph fast path: no self-join, no second
             # checkpoint — one-hop alone closes diameter-(round+1)
             # graphs, which covers typical near-dup clusters
-            new_labels = hop
             change_pred = F.col("component") != F.col("__o__")
+            if obs is not None:
+                hop = hop.observe(
+                    obs, F.sum(change_pred.cast("long")).alias("n")
+                )
+            # checkpoint (still) truncates the union's lineage: bounds
+            # plan growth and sidesteps a Catalyst constraint-rewrite
+            # defect on self-joined unions
+            hop = hop.localCheckpoint(eager=True)
+            new_labels = hop
         else:
+            # the hop agg still checkpoints first (lineage truncation +
+            # the Catalyst self-joined-union workaround) — its own
+            # materialization needs no metric
+            hop = hop.localCheckpoint(eager=True)
             # pointer doubling: label ← label(label).  Every component
             # value is itself a node id present in `hop`, so the join
             # is total.  The pre-double label rides as __h__ so the
-            # convergence test ((double changed) OR (hop changed)) stays
-            # a checkpoint-local filter.  Equivalent to the old
-            # new⋈labels comparison: min-propagation is pointwise
-            # non-increasing, so new == labels iff hop == labels and
-            # double(hop) == hop.
+            # convergence test ((double changed) OR (hop changed)) is
+            # an observed metric on the double's own checkpoint
+            # materialization.  Equivalent to the old new⋈labels
+            # comparison: min-propagation is pointwise non-increasing,
+            # so new == labels iff hop == labels and double(hop) == hop.
+            change_pred = (F.col("component") != F.col("__h__")) | (
+                F.col("__h__") != F.col("__o__")
+            )
             new_labels = (
                 hop.alias("a")
                 .join(
@@ -694,23 +712,26 @@ def near_dup_components(
                     F.col("a.component").alias("__h__"),
                     "__o__",
                 )
-                .localCheckpoint(eager=True)
             )
-            change_pred = (F.col("component") != F.col("__h__")) | (
-                F.col("__h__") != F.col("__o__")
-            )
-        if round_no == 0 and max_iter > 1:
+            if obs is not None:
+                new_labels = new_labels.observe(
+                    obs, F.sum(change_pred.cast("long")).alias("n")
+                )
+            new_labels = new_labels.localCheckpoint(eager=True)
+        if obs is None:
             # a nonempty edge set always changes some label in round 0
             # (for any edge (a,b) with a<b, node b drops to ≤a), so the
             # convergence count would be a guaranteed "changed" — EXCEPT
             # when the distinct'd edge set is all self-loops (src == dst),
             # where round 0 is already the fixpoint.  When round 0 is
             # also the LAST permitted round (max_iter == 1) the real
-            # count must run, or an already-converged labeling would be
-            # reported as non-convergence.
+            # count must run (observed above), or an already-converged
+            # labeling would be reported as non-convergence.
             changed = 1
         else:
-            changed = new_labels.where(change_pred).limit(1).count()
+            # the eager checkpoint above already ran the job; the
+            # observed sum is the number of ids whose label moved
+            changed = int(obs.get["n"] or 0)
         labels = new_labels.select("id", "component")
         if changed == 0:
             break
