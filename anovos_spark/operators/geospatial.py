@@ -719,10 +719,17 @@ def geo_cluster_analysis(
         raise ValueError(f"max_k must be >= 2 (got {max_k}): the sweep fits k=2..max_k")
     vec = VectorAssembler(inputCols=[lat_col, lon_col], outputCol="__features__")
     assembled = vec.transform(idf.dropna(subset=[lat_col, lon_col]))
-    assembled.persist()
-    n = assembled.count()  # also materializes the persist before the sweep
+    # The sweep (every fit iteration + every silhouette pass) only reads
+    # __features__, so cache THAT projection — the full-width frame would
+    # pin every payload column in executor storage and make each KMeans
+    # iteration scan bytes it never uses (guide §2.3/§5: don't cache or
+    # rescan payload you don't need).  The final labeled output transforms
+    # the full `assembled` frame exactly once, outside the cache.
+    sweep_frame = assembled.select("__features__")
+    sweep_frame.persist()
+    n = sweep_frame.count()  # also materializes the persist before the sweep
     if n < 2:
-        assembled.unpersist()
+        sweep_frame.unpersist()
         raise ValueError(
             "geo_cluster_analysis needs at least 2 non-null (lat, lon) rows "
             f"(got {n})"
@@ -756,9 +763,9 @@ def geo_cluster_analysis(
     def _fit_and_score(k: int):
         model = KMeans(
             k=k, seed=seed, featuresCol="__features__", predictionCol="__pred__"
-        ).fit(assembled)
+        ).fit(sweep_frame)
         if criterion == "silhouette":
-            score = evaluator.evaluate(model.transform(assembled))
+            score = evaluator.evaluate(model.transform(sweep_frame))
         else:
             score = model.summary.trainingCost
         return k, model, score
@@ -786,7 +793,7 @@ def geo_cluster_analysis(
             "__pred__", "cluster"
         ).drop("__features__")
     finally:
-        assembled.unpersist()
+        sweep_frame.unpersist()
     return odf, scores
 
 
