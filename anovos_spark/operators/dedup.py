@@ -263,23 +263,43 @@ def _cap_buckets(rows: DataFrame, keys, cap: int):
     when a homogeneity group_col is given: same connectivity for the
     components consumer, O(N log N) sort instead of O(N²) pairs).
 
-    The bucket size is attached as a WINDOW count over ``keys`` and the
-    split is two filters on it.  The window's exchange hash-partitions
-    ``rows`` by exactly the keys every call site's follow-up candidate
-    self-join equi-joins on, so that join consumes the partitioning
-    instead of re-shuffling — one exchange total, where the previous
-    groupBy-count + two broadcast-join shape cost an extra aggregation
-    shuffle plus a broadcast build and scheduled a separate map stage
-    per consumer.  Same split semantics: a window count over a ``keys``
-    partition equals the groupBy count for that key group.  The window
-    sorts only by the partition keys (no ORDER BY), so an oversized
-    bucket costs O(N log N) locally, never O(N²)."""
-    w_count = F.count(F.lit(1)).over(Window.partitionBy(*list(keys)))
-    tagged = rows.withColumn("__bsz__", w_count)
-    return (
-        tagged.where(F.col("__bsz__") <= int(cap)).drop("__bsz__"),
-        tagged.where(F.col("__bsz__") > int(cap)).drop("__bsz__"),
+    HYBRID split, one mechanism per side (both compute the identical
+    groupBy-count-per-key split — only the physical shape differs):
+
+    - The SMALL side attaches the bucket size as a WINDOW count over
+      ``keys`` and filters on it.  The window's exchange hash-partitions
+      ``rows`` by exactly the keys every call site's follow-up candidate
+      self-join equi-joins on, so that join consumes the partitioning
+      instead of re-shuffling (interleaved A/B: ngram −43%, simhash
+      −64%, fuzzy −35%, ann_lsh −36% vs the broadcast shape).  The
+      window sorts only by the partition keys (no ORDER BY), so an
+      oversized bucket costs O(N log N) locally, never O(N²).
+    - The OVER side is a semi-join against the broadcast of oversized
+      keys (bounded by N/cap, in practice a handful) — NOT a window
+      filter.  The reason is AQE empty-relation propagation: when no
+      bucket exceeds the cap (every non-degenerate corpus), the
+      broadcast side is empty at runtime and AQE collapses the whole
+      ``over`` subtree — and with it every _chain_pairs window pass —
+      to an empty LocalTableScan.  A window-filtered ``over`` side is
+      never provably empty, so each chain window (partitioned by
+      keys+group_col, i.e. NOT the small side's partitioning) re-ran
+      the full upstream candidate subtree: dedup_minhash_lsh regressed
+      5.4 → 50.6 s at sf1 (the 64-min signature aggregate is the most
+      expensive subtree to recompute) until this split was made hybrid."""
+    klist = list(keys)
+    w_count = F.count(F.lit(1)).over(Window.partitionBy(*klist))
+    small = (
+        rows.withColumn("__bsz__", w_count)
+        .where(F.col("__bsz__") <= int(cap))
+        .drop("__bsz__")
     )
+    big = F.broadcast(
+        rows.groupBy(*klist)
+        .agg(F.count(F.lit(1)).alias("__bsz__"))
+        .where(F.col("__bsz__") > int(cap))
+        .select(*klist)
+    )
+    return small, rows.join(big, klist, "left_semi")
 
 
 def _chain_pairs(over: DataFrame, keys, order_col: str, payload=(), group_col=None):
