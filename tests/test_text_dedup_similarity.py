@@ -1307,3 +1307,48 @@ def test_empty_input_guards_named_errors(spark):
     )
     with pytest.raises(ValueError, match="non-empty feature corpus"):
         feature_recommender_match_embedded(attrs, empty_corpus, top_k=1)
+
+
+def test_cap_buckets_hybrid_split_matches_groupby_reference(spark):
+    # r13 hybrid _cap_buckets: the small side is a window-count filter
+    # (pre-partitions the candidate self-join) and the over side is a
+    # broadcast semi-join (so AQE empty-relation propagation can collapse
+    # the chain branch when nothing exceeds the cap).  Both sides must
+    # reproduce the reference groupBy split EXACTLY — every row lands on
+    # exactly one side, chosen by its key group's total count.
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(6), rng.randrange(4), i) for i in range(500)]
+    df = spark.createDataFrame(rows, "band int, bucket int, id long")
+    cap = 25
+    small, over = DD._cap_buckets(df, ["band", "bucket"], cap)
+
+    sizes = {
+        (r["band"], r["bucket"]): r["n"]
+        for r in df.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    exp_small = sorted(
+        (b, k, i) for b, k, i in rows if sizes[(b, k)] <= cap
+    )
+    exp_over = sorted(
+        (b, k, i) for b, k, i in rows if sizes[(b, k)] > cap
+    )
+    assert exp_over, "fixture must actually overflow some bucket"
+    got_small = sorted((r["band"], r["bucket"], r["id"]) for r in small.collect())
+    got_over = sorted((r["band"], r["bucket"], r["id"]) for r in over.collect())
+    assert got_small == exp_small
+    assert got_over == exp_over
+    # column contract: the split is transparent (no helper columns leak)
+    assert small.columns == df.columns and over.columns == df.columns
+
+
+def test_cap_buckets_empty_over_side(spark):
+    # the common production case: no bucket exceeds the cap — the over
+    # side must be EMPTY (and, in the plan, collapsible: its broadcast
+    # build is an empty relation, which is what keeps _chain_pairs free)
+    rows = [(b, 0, i) for b in range(4) for i in range(3)]
+    df = spark.createDataFrame(rows, "band int, bucket int, id long")
+    small, over = DD._cap_buckets(df, ["band", "bucket"], 10)
+    assert over.count() == 0
+    assert small.count() == len(rows)
