@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from anovos_spark.core.typing import resolve_columns
-from anovos_spark.core.utils import melt
+from anovos_spark.core.utils import fan_out, melt
 
 
 # --------------------------------------------------------------------------- #
@@ -191,7 +191,13 @@ def outlier_fit(
             # one sketch per column instead of one per (column, quantile)
             F.expr(f"{fn}(`{c}`, {pts})").alias(f"{c}__qs"),
         ]
-    row = fit_df.agg(*aggs).collect()[0]
+    # approx mode: fan the fit agg out — the percentile sketch makes it an
+    # interpreted ObjectHashAggregate and the bench-SF parquet scan is
+    # ~single-task (no-op at real scale).  Exact mode stays unfanned: its
+    # mean/stddev are double sums whose ulps depend on partitioning, and
+    # exact is the oracle-gated path.
+    src = fit_df if exact else fan_out(fit_df.select(*cols))
+    row = src.agg(*aggs).collect()[0]
 
     bounds: dict[str, tuple[float | None, float | None]] = {}
     k = min_validation

@@ -146,6 +146,9 @@ def unique_count(
         ).alias(f"{c}__unique_values")
         for c in cols
     ]
+    # exact: count_distinct plans an Expand — fan_out earns its exchange.
+    # approx: HLL maintenance is cheap; the exchange costs more than it
+    # saves at bench SFs (measured on the cardinality twin) — unfanned.
     src = fan_out(idf.select(*cols)) if exact else idf.select(*cols)
     return _stack_wide_row(src.agg(*aggs), cols, ["unique_values"], {"unique_values": "long"})
 
@@ -161,6 +164,9 @@ def measures_of_cardinality(
         cnt = F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(F.col(c))
         aggs.append(cnt.alias(f"{c}__unique_values"))
         aggs.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
+    # exact: count_distinct plans an 11-way Expand — fan_out earns its
+    # exchange.  approx: HLL registers are cheap to maintain; measured at
+    # sf0.1 the exchange costs more than it saves (1.02 → 1.48 s) — unfanned.
     wide = (fan_out(idf.select(*cols)) if exact else idf.select(*cols)).agg(*aggs)
     for c in cols:
         wide = wide.withColumn(
@@ -242,7 +248,13 @@ def measures_of_central_tendency(
     for c in disc_cols:
         aggs.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
     src = idf.select(*dict.fromkeys(num_cols + disc_cols))
-    wide = (fan_out(src) if exact else src).agg(*aggs)
+    # fan out in both modes: the percentile_approx median sketch makes the
+    # agg an ObjectHashAggregate (no whole-stage codegen), and at bench SFs
+    # the scan collapses to ~one real task.  The approx path's F.mean is a
+    # double sum whose ulps shift with partitioning — approx mode is the
+    # production/bench posture, not the oracle gate (exact mode keeps its
+    # decimal order-independent mean).  No-op at real scale.
+    wide = fan_out(src).agg(*aggs)
 
     parts = []
     if num_cols:
@@ -308,7 +320,13 @@ def measures_of_dispersion(
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
         ]
-    wide = (fan_out(idf.select(*cols)) if exact else idf.select(*cols)).agg(*aggs)
+    # fan out in both modes: one percentile sketch per column already makes
+    # this an ObjectHashAggregate (interpreted), and the parquet row-group
+    # layout at bench SFs leaves the scan ~single-task (measured 2.4 s →
+    # 1.2 s at sf0.1 with the fan-out).  percentile_approx's GK sketch merge
+    # changes values only within its accuracy contract and only in approx
+    # (non-oracle) mode; exact percentile is partition-order independent.
+    wide = fan_out(idf.select(*cols)).agg(*aggs)
     for c in cols:
         if exact:
             safe = (F.abs(F.col(f"{c}__min")) < F.lit(1e12)) & (
@@ -354,7 +372,9 @@ def measures_of_percentiles(
         fn = "percentile" if exact else "percentile_approx"
         acc = "" if exact else ", 100"
         aggs.append(F.expr(f"{fn}(`{c}`, {pcts}{acc})").alias(f"{c}__pcts"))
-    wide = (fan_out(idf.select(*cols)) if exact else idf.select(*cols)).agg(*aggs)
+    # fan out in both modes (see measures_of_dispersion: the sketch agg is
+    # interpreted and ~single-task at bench SFs; no-op at real scale)
+    wide = fan_out(idf.select(*cols)).agg(*aggs)
     for c in cols:
         for i, name in enumerate(_PCT_NAMES):
             if name == "min":
@@ -539,6 +559,11 @@ def measures_of_robustness(
     fn = "percentile" if exact else "percentile_approx"
     acc = "" if exact else ", 100"
 
+    # exact only: this battery makes SEVERAL passes over src (median, MAD,
+    # robust-z), and in approx mode each pass would re-pay the fan_out
+    # exchange for a light 1-sketch-per-column agg (measured 1.80 → 2.93 s
+    # at sf0.1 when fanned); exact percentile is the heavy sort-based path
+    # where the fan-out earns its exchanges.
     src = fan_out(idf.select(*cols)) if exact else idf.select(*cols)
     med_row = src.agg(
         *[F.expr(f"{fn}(`{c}`, 0.5{acc})").alias(c) for c in cols]

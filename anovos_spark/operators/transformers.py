@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from anovos_spark.core.typing import resolve_columns
+from anovos_spark.core.utils import fan_out
 
 
 def _out(idf: DataFrame, exprs: dict[str, Column], output_mode: str, suffix: str) -> DataFrame:
@@ -321,7 +322,9 @@ def iqr_standardization(
     aggs = [
         F.expr(f"{fn}(`{c}`, array(0.25, 0.5, 0.75){acc})").alias(f"{c}__q") for c in cols
     ]
-    row = idf.agg(*aggs).collect()[0]
+    # fan the percentile fit out (see attribute_binning_fit: interpreted
+    # agg, ~single-task scan at bench SFs, order-independent values)
+    row = fan_out(idf.select(*cols)).agg(*aggs).collect()[0]
     model = {}
     for c in cols:
         q = row[f"{c}__q"]
