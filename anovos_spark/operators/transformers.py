@@ -367,6 +367,64 @@ def normalization(
 # --------------------------------------------------------------------------- #
 # imputation (MMM: mean / median / mode)
 # --------------------------------------------------------------------------- #
+def _exact_medians(idf: DataFrame, cols: list[str]) -> dict[str, float]:
+    """Exact interpolated median per column — value-identical to Spark's
+    ``percentile(c, 0.5)`` but fully parallel.
+
+    ``percentile`` is a TypedImperativeAggregate: every task builds a
+    value→count map per column and ONE final reduce merges and sorts all
+    of them — the merge is single-threaded and sized by the total distinct
+    count, so it dominates no matter how the scan is partitioned.  This
+    shape instead melts to (attribute, value), pre-aggregates counts with
+    a combinable groupBy (map-side partials), takes one per-attribute
+    window cumsum, and interpolates DRIVER-side with the same formula
+    Percentile.getPercentile uses — ``(hi−pos)·v_lo + (pos−lo)·v_hi`` with
+    pos = 0.5·(n−1) — so results are bit-identical (floor/ceil on the same
+    double, same IEEE ops; columns are cast to double up front, exactly
+    like percentile's own interpolation domain for integral inputs).
+    Nulls are excluded from n, matching percentile's null handling."""
+    from anovos_spark.core.utils import melt
+
+    src = idf.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    long_df = melt(src, [], cols, "attribute", "value").where(
+        F.col("value").isNotNull()
+    )
+    counts = long_df.groupBy("attribute", "value").agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    w = Window.partitionBy("attribute").orderBy("value")
+    wa = Window.partitionBy("attribute")
+    cum = counts.withColumn("__end__", F.sum("__c__").over(w)).withColumn(
+        "__n__", F.sum("__c__").over(wa)
+    )
+    pos = (F.col("__n__") - 1).cast("double") * F.lit(0.5)
+    lo = F.floor(pos)
+    hi = F.ceil(pos)
+    start = F.col("__end__") - F.col("__c__")
+    rows = (
+        cum.groupBy("attribute")
+        .agg(
+            F.max(
+                F.when((start <= lo) & (lo < F.col("__end__")), F.col("value"))
+            ).alias("vlo"),
+            F.max(
+                F.when((start <= hi) & (hi < F.col("__end__")), F.col("value"))
+            ).alias("vhi"),
+            F.max(pos).alias("pos"),
+        )
+        .collect()
+    )
+    out: dict[str, float] = {}
+    for r in rows:
+        p, vlo, vhi = r["pos"], r["vlo"], r["vhi"]
+        lo_i, hi_i = math.floor(p), math.ceil(p)
+        if lo_i == hi_i:
+            out[r["attribute"]] = vlo
+        else:
+            out[r["attribute"]] = (hi_i - p) * vlo + (p - lo_i) * vhi
+    return out
+
+
 def imputation_mmm_fit(
     idf: DataFrame,
     list_of_cols="all",
@@ -383,18 +441,26 @@ def imputation_mmm_fit(
     cat_cols = resolve_columns(idf, list_of_cols, drop_cols, restrict_to="categorical")
     model: dict[str, dict] = {}
     if num_cols:
-        if method_type == "mean":
-            aggs = [F.mean(c).alias(f"{c}__v") for c in num_cols]
-        elif method_type == "median":
-            fn = "percentile" if exact else "percentile_approx"
-            acc = "" if exact else ", 100"
-            aggs = [F.expr(f"{fn}(`{c}`, 0.5{acc})").alias(f"{c}__v") for c in num_cols]
+        if method_type == "median" and exact:
+            # the melt/window shape is value-identical to percentile(c, 0.5)
+            # and avoids its single-threaded final map merge (see helper)
+            for c, v in _exact_medians(idf, num_cols).items():
+                if v is not None:
+                    model[c] = {"kind": "numerical", "value": v}
         else:
-            raise ValueError("method_type must be mean|median")
-        row = idf.agg(*aggs).collect()[0]
-        for c in num_cols:
-            if row[f"{c}__v"] is not None:
-                model[c] = {"kind": "numerical", "value": row[f"{c}__v"]}
+            if method_type == "mean":
+                aggs = [F.mean(c).alias(f"{c}__v") for c in num_cols]
+            elif method_type == "median":
+                aggs = [
+                    F.expr(f"percentile_approx(`{c}`, 0.5, 100)").alias(f"{c}__v")
+                    for c in num_cols
+                ]
+            else:
+                raise ValueError("method_type must be mean|median")
+            row = idf.agg(*aggs).collect()[0]
+            for c in num_cols:
+                if row[f"{c}__v"] is not None:
+                    model[c] = {"kind": "numerical", "value": row[f"{c}__v"]}
     if cat_cols:
         for r in mode_computation(idf, cat_cols).collect():
             model[r["attribute"]] = {"kind": "categorical", "value": r["mode"]}

@@ -160,6 +160,17 @@ def variable_clustering(
     total = idf.count()
     if total > sample_size:
         base = base.sample(False, sample_size / total, seed)
+    # fan out ONCE before the persist: the three fit passes below (encoding
+    # counts, exact-median impute, the p² co-moment agg) all aggregate the
+    # cached frame, and a bench-SF parquet scan materializes ~one real
+    # partition — which the persist would otherwise pin, serializing every
+    # pass.  One narrow shuffle paid once; no-op at real scale.  Placed
+    # AFTER the seeded sample so the realized sample is unchanged, and the
+    # fits are order-independent (integer counts, exact percentile) except
+    # corr's double sums, whose ulps the invariant-contract oracle absorbs.
+    from anovos_spark.core.utils import fan_out
+
+    base = fan_out(base)
     base.persist()
     df = base
     if cat_cols:
