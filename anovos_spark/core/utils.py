@@ -103,7 +103,22 @@ def fan_out(df: DataFrame) -> DataFrame:
         )
         est_partitions = max(1, size // max_pb)
     except Exception:
+        size = 0
         est_partitions = df.rdd.getNumPartitions()
-    if est_partitions < par:
+    # Fire only when the frame is BOTH under-parallel and cheap to move:
+    # 1. under-parallel by at least 2x (`*2` hysteresis — the estimate is a
+    #    rounded proxy for the real split count, and near the boundary the
+    #    gain cannot repay the exchange);
+    # 2. small enough that the shuffle is bounded at ~8 MB/core of
+    #    estimated bytes.  The size cap is what makes this safe at scale:
+    #    a data-sized frame near the parallelism boundary previously got
+    #    shuffled wholesale (sf10's 60M-row numeric projection estimated
+    #    4 splits on 32 cores and the unconditional `< par` fan cost
+    #    29-53 s vs 11-27 s unfanned), while every genuinely small frame —
+    #    the one-row-group bench tables, a 38 MB document corpus feeding
+    #    compute-heavy shingling — stays well under the cap.  At 100 TB
+    #    every data-sized projection exceeds the cap, so this can no
+    #    longer add a data-sized shuffle anywhere.
+    if est_partitions * 2 <= par and size <= 8 * 1024 * 1024 * par:
         return df.repartition(par)
     return df
