@@ -6,13 +6,19 @@ dominate round-over-round comparison (BASELINE.md documents a migrating
 ±30-40 s band); per-query minima isolate engine cost.
 
 Output contract (driver-parseable):
-- stdout: ONE compact JSON line
+- stdout ends with a compact JSON summary line
   {"metric": "total_query_sec", "value": N, "unit": "sec", "sf": ...,
    "n_queries": N, "n_errors": N, "timing": "min_of_2",
    "queries_file": "BENCH_DETAIL.json"}
-  The per-query map is NOT inlined — 153 entries overflow the 2,000-char
-  stdout tail the driver records, which left every BENCH_r0N.json with
-  parsed=null.
+  and, immediately BEFORE it, one full JSON line that additionally inlines
+  the per-query map ("queries": {name: sec, ...}).  Two lines because the
+  driver demonstrably parses only a 2,000-char stdout tail: BENCH_r01.json
+  (inline-only) is parsed=null — its ~5 KB line was truncated mid-map —
+  while every later round's compact line parses.  177 entries cannot fit
+  in 2,000 chars, so the full line satisfies a full-stdout reader and the
+  compact line (last, and alone well inside the tail) keeps the total
+  parseable by the tail reader; a tail reader scanning backwards finds the
+  compact line first and never sees the truncated head of the full one.
 - BENCH_DETAIL.json (repo root, or $SPARK_GRAFT_BENCH_DETAIL): the full
   per-query map {name: {"run1": s, "run2": s, "min": s}} plus the totals.
 """
@@ -175,8 +181,12 @@ def main():
             fh, indent=1, sort_keys=True,
         )
         fh.write("\n")
-    # the compact line is the ONLY stdout line: it must fit whole inside
-    # the 2,000-char tail the driver keeps
+    # full line first (per-query map inline, for any full-stdout reader),
+    # compact line LAST: the final line must fit whole inside the
+    # 2,000-char tail the driver keeps — see the module docstring
+    print(json.dumps({**summary,
+                      "queries": {k: v["min"] for k, v in detail.items()}},
+                     separators=(",", ":")))
     print(json.dumps(summary))
     spark.stop()
 
