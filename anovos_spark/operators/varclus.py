@@ -177,7 +177,19 @@ def variable_clustering(
         enc = label_encoding_fit(df, cat_cols)
         df = label_encoding_apply(df, enc)
     cols = num_cols + [c for c in cat_cols if c in df.columns]
-    df, _ = imputation_MMM(df.select(cols), cols, method_type="median")
+    # fit the exact-median impute ONLY for columns that actually contain
+    # nulls: the null census is one cheap codegen'd aggregation over the
+    # persisted sample, while each fitted median pays the melt → groupBy →
+    # window-cumsum exact-percentile chain.  Imputing a null-free column
+    # is the identity, so the skip is value-identical; clean inputs (the
+    # common production case, and every bench table) skip the whole chain.
+    df = df.select(cols)
+    nc = df.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols]
+    ).collect()[0]
+    null_cols = [c for c in cols if (nc[c] or 0) > 0]
+    if null_cols:
+        df, _ = imputation_MMM(df, null_cols, method_type="median")
     corr = _correlation_matrix_np(df, cols)
     base.unpersist()
 

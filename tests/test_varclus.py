@@ -98,3 +98,41 @@ def test_search_phase_fixes_bad_split():
     g1, g2 = _search_phase(c, [0, 2], [1, 3])
     assert {frozenset(g1), frozenset(g2)} == {frozenset({0, 1}), frozenset({2, 3})}
     assert _explained_variance(c, g1, g2) == pytest.approx(3.9, abs=1e-6)
+
+
+def test_varclus_null_bearing_column_matches_manual_median_fill(spark):
+    """The null-gated impute skip (r14) must leave null-BEARING inputs on
+    the exact same path as before: clustering a frame with nulls in one
+    column equals clustering the same frame with those nulls manually
+    filled with that column's exact median."""
+    import random
+
+    random.seed(11)
+    rows = []
+    for i in range(400):
+        a = random.gauss(0, 1)
+        b = a + random.gauss(0, 0.1)
+        x = random.gauss(0, 1)
+        y = x + random.gauss(0, 0.1)
+        rows.append((a, None if i % 7 == 0 else b, x, y))
+    df = spark.createDataFrame(rows, schema="a double, b double, x double, y double")
+    med_b = sorted(r[1] for r in rows if r[1] is not None)
+    n = len(med_b)
+    median = (med_b[(n - 1) // 2] + med_b[n // 2]) / 2.0
+    filled = spark.createDataFrame(
+        [(a, median if b is None else b, x, y) for a, b, x, y in rows],
+        schema="a double, b double, x double, y double",
+    )
+    out_null = sorted(
+        (r["cluster"], r["attribute"], r["RS_own"], r["RS_NC"], r["RS_ratio"])
+        for r in variable_clustering(df, ["a", "b", "x", "y"]).collect()
+    )
+    out_fill = sorted(
+        (r["cluster"], r["attribute"], r["RS_own"], r["RS_NC"], r["RS_ratio"])
+        for r in variable_clustering(filled, ["a", "b", "x", "y"]).collect()
+    )
+    assert out_null == out_fill
+    by_attr = {}
+    for _, attr, *_ in out_null:
+        by_attr[attr] = by_attr.get(attr, 0) + 1
+    assert all(v == 1 for v in by_attr.values())
