@@ -1920,9 +1920,12 @@ def q_streaming_window(spark, sf_dir):
         agg_exprs={"n_events": ("event_type", "count"), "value_sum": ("value", "sum")},
     )
     name = f"stream_win_{uuid.uuid4().hex[:8]}"
-    from anovos_spark.streaming.ops import streaming_shuffle_partitions
+    from anovos_spark.streaming.ops import derive_store_count, streaming_shuffle_partitions
 
-    with streaming_shuffle_partitions(spark):
+    # store count sized to the replay volume (parquet metadata count — no
+    # scan); results are partition-count invariant, see derive_store_count
+    n_ev = _parquet(spark, f"{sf_dir}/events.parquet").count()
+    with streaming_shuffle_partitions(spark, derive_store_count(n_ev)):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -1983,9 +1986,10 @@ def q_streaming_drift(spark, sf_dir):
         sdf, "ts", "value", cuts, props, window_duration="1 hour", watermark="1 hour"
     )
     name = f"stream_drift_{uuid.uuid4().hex[:8]}"
-    from anovos_spark.streaming.ops import streaming_shuffle_partitions
+    from anovos_spark.streaming.ops import derive_store_count, streaming_shuffle_partitions
 
-    with streaming_shuffle_partitions(spark):
+    n_ev = _parquet(spark, f"{sf_dir}/events.parquet").count()
+    with streaming_shuffle_partitions(spark, derive_store_count(n_ev)):
         q = (
             mon.writeStream.format("memory")
             .queryName(name)
@@ -2091,9 +2095,10 @@ def q_streaming_sessions(spark, sf_dir):
     sdf = _normalize_event_ts(sdf)
     sessions = sessionize(sdf, "ts", "user_id", gap="30 minutes", watermark="1 hour")
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    from anovos_spark.streaming.ops import streaming_shuffle_partitions
+    from anovos_spark.streaming.ops import derive_store_count, streaming_shuffle_partitions
 
-    with streaming_shuffle_partitions(spark):
+    n_ev = _parquet(spark, f"{sf_dir}/events.parquet").count()
+    with streaming_shuffle_partitions(spark, derive_store_count(n_ev)):
         q = (
             sessions.writeStream.format("memory")
             .queryName(name)

@@ -50,6 +50,22 @@ def streaming_shuffle_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set(key, old)
 
 
+def derive_store_count(
+    n_rows: int, lo: int = 2, hi: int = 32, rows_per_store: int = 250_000
+) -> int:
+    """Volume-derived state-store count for a stateful streaming query.
+
+    Each shuffle partition of a stateful operator is one state store
+    (open + commit + snapshot per micro-batch) — pure fixed cost at low
+    volume, a throughput necessity at high volume.  Derive the count
+    from the rows the run will actually push through state (interleaved
+    same-box A/B at sf0.1: 2 stores beat the old fixed 8 by ~0.1-0.25 s
+    per query lifecycle; the r10 scale probe showed the opposite cliff
+    at sf10, where a fixed 8 thrashed the stream-stream join).  Results
+    are partition-count invariant; only store sizing changes."""
+    return max(lo, min(hi, int(n_rows) // rows_per_store))
+
+
 def read_stream(
     spark: SparkSession,
     source: str,
@@ -576,9 +592,24 @@ def streaming_dedup_sink(
 
     def process(batch_df: DataFrame, batch_id: int):
         spark = batch_df.sparkSession
-        sig = minhash_signatures(batch_df, text_col, id_col, n, num_hashes)
+        # persist the batch's signatures: the pairs write and the index
+        # write are two separate actions over this frame, and unpersisted
+        # each would re-run the explode + num_hashes-min aggregate.  The
+        # footprint is one batch's [id, signature] rows — batch-bounded
+        # at any scale; released before the batch commits.
+        sig = minhash_signatures(batch_df, text_col, id_col, n, num_hashes).persist()
+        # explicit schema (signature fields + the two partition-dir
+        # columns): skips the footer-inference job the bare read paid on
+        # every batch; the layout is this sink's own write above
+        idx_schema = T.StructType(
+            list(sig.schema.fields)
+            + [
+                T.StructField("run_id", T.StringType()),
+                T.StructField("batch_id", T.IntegerType()),
+            ]
+        )
         try:
-            index = spark.read.parquet(index_path).where(
+            index = spark.read.schema(idx_schema).parquet(index_path).where(
                 ~((F.col("run_id") == run_id) & (F.col("batch_id") >= batch_id))
             ).select("id", "signature")
         except Exception as exc:  # first batch: no index yet
@@ -618,12 +649,15 @@ def streaming_dedup_sink(
                     F.lit(True).alias("intra"),
                 )
             )
-        pairs.write.mode("overwrite").parquet(
-            f"{pairs_path}/run_id={run_id}/batch_id={batch_id}"
-        )
-        sig.write.mode("overwrite").parquet(
-            f"{index_path}/run_id={run_id}/batch_id={batch_id}"
-        )
+        try:
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_path}/run_id={run_id}/batch_id={batch_id}"
+            )
+            sig.write.mode("overwrite").parquet(
+                f"{index_path}/run_id={run_id}/batch_id={batch_id}"
+            )
+        finally:
+            sig.unpersist()
 
     writer = (
         sdf.writeStream.queryName(query_name)
