@@ -2056,7 +2056,12 @@ def q_streaming_join(spark, sf_dir):
     # probe).  Join results are partition-count invariant; only the
     # store sizing changes.  Parquet metadata count — no scan.
     n_events = _parquet(spark, f"{sf_dir}/events.parquet").count()
-    n_stores = max(8, min(32, n_events // 250_000))
+    from anovos_spark.streaming.ops import derive_store_count
+
+    # floor 2 (was 8): interleaved A/B at sf0.1 put 2 stores at 1.67 s vs
+    # 8 at 2.50 s with identical output rows; the sf10 sizing (volume/250k,
+    # capped 32) is unchanged by the floor
+    n_stores = derive_store_count(n_events)
     # parquet sink, not the memory sink: the join emits O(input) rows
     # (7M at sf10) and the memory sink materializes ALL of them in the
     # DRIVER's in-memory table — a debugging sink.  A file sink keeps the
