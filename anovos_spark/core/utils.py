@@ -120,5 +120,17 @@ def fan_out(df: DataFrame) -> DataFrame:
     #    every data-sized projection exceeds the cap, so this can no
     #    longer add a data-sized shuffle anywhere.
     if est_partitions * 2 <= par and size <= 8 * 1024 * 1024 * par:
-        return df.repartition(par)
+        # Hash-repartition on a per-row synthetic key instead of keyless
+        # round-robin: every keyless repartition(n) first pays a LOCAL SORT
+        # of its input (spark.sql.execution.sortBeforeRepartition, needed so
+        # retried round-robin tasks reproduce the same row→partition map) —
+        # measured 0.93 s vs 0.60-0.66 s for the hash form on the sf0.1
+        # 600k-row battery scan, with 18.5k-19.1k rows/partition balance.
+        # monotonically_increasing_id (partition index << 33 | row index)
+        # spreads even fully-identical rows (a value-hash would send a
+        # degenerate identical-doc corpus to ONE partition) and is
+        # deterministic under task retry for the frames fan_out fronts:
+        # every call site fans a narrow projection/filter of a (re-read-
+        # stable) file scan, where row order per input split is fixed.
+        return df.repartition(par, F.xxhash64(F.monotonically_increasing_id()))
     return df
