@@ -473,21 +473,23 @@ def feature_recommender_match_distributional(
         attr_df.select(F.col(attr_col).alias("attribute")),
         F.col("attribute"), ["attribute"],
     ).withColumn("wt", F.lit(1.0))
-    # lexicon as a LITERAL map literal (≈150 keys): explode of the lookup
-    # is row-identical to the old inner join against a broadcast lexicon
-    # frame (absent key → null → explode drops the row) but costs zero
-    # broadcast-materialization jobs (0.13)
-    lex_map = F.create_map(
-        *[
-            x
-            for k, exps in sorted(lex.items())
-            for x in (F.lit(k), F.array(*[F.lit(e) for e in exps]))
-        ]
-    )
+    # lexicon as a broadcast-joined LOCAL frame, not a literal create_map:
+    # the r13 literal form saved one broadcast-materialization job, but a
+    # ~150-key map of string-array literals is a >1k-node expression tree
+    # that whole-stage codegen inlines into ONE method — measured 83 s of
+    # JIT compile on the query's first run (and ~6 s on EVERY later run:
+    # the plan's unit count thrashes the 100-entry generated-class cache),
+    # which starved the compiler queue and smeared 2-5x slowdowns across
+    # neighboring bench queries.  A LocalTableScan broadcast join carries
+    # the same rows with no generated code at all; inner-join semantics
+    # are row-identical to the map lookup (absent key → dropped row).
+    lex_rows = [(k, e) for k, exps in sorted(lex.items()) for e in exps]
+    lex_df = spark.createDataFrame(lex_rows, schema="__lk__ string, __le__ string")
     a_exp = (
         a_self.select("attribute", "token")
+        .join(F.broadcast(lex_df), F.col("token") == F.col("__lk__"))
         .select(
-            "attribute", F.explode(lex_map[F.col("token")]).alias("token"),
+            "attribute", F.col("__le__").alias("token"),
             F.lit(float(expansion_weight)).alias("wt"),
         )
     )
